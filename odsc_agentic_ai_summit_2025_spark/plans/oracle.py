@@ -1,0 +1,91 @@
+"""Local DuckDB-oracle comparison harness.
+
+Mirrors the driver's t2 gate: run the Spark query and the oracle SQL
+on the same parquet tables, sort columns by name, compare row count,
+column names, and values order-insensitively. Used by tests/ so a
+hash mismatch is caught locally before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # exact compare — queries are written to be bit-deterministic
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _rows_to_set(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=repr)
+
+
+def compare(
+    spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[bool, str]:
+    """Return (match, detail). Detail explains the first divergence."""
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    cur = con.execute(sql)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+
+    a = _rows_to_set(s_cols, s_rows)
+    b = _rows_to_set(d_cols, d_rows)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra != rb:
+            return False, f"first differing row (sorted) #{i}: spark={ra!r} duckdb={rb!r}"
+    return True, f"ok ({len(s_rows)} rows)"
+
+
+def run_inventory(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, tuple[bool, str]]:
+    from .registry import all_queries
+
+    con = duckdb_connect(sf_dir)
+    results: dict[str, tuple[bool, str]] = {}
+    for name, q in all_queries().items():
+        if names and name not in names:
+            continue
+        if q.oracle is None:
+            df = q.spark(spark, sf_dir)
+            results[name] = (df.count() >= 0, "rows-only (no oracle)")
+            continue
+        try:
+            results[name] = compare(q.spark(spark, sf_dir), con, q.oracle)
+        except Exception as e:  # surface per-query failures without aborting
+            results[name] = (False, f"exception: {e}")
+    return results

@@ -1,0 +1,49 @@
+"""Declared query inventory registry.
+
+Every operator claimed in SURVEY.md §2 gets a named entry here: a
+Spark callable ``(spark, sf_dir) -> DataFrame`` plus (where the
+semantics are SQL-expressible) an equivalent ANSI-SQL oracle string
+for DuckDB. The driver hash-compares the two at sf=0.01.
+
+Determinism conventions (both sides must follow them):
+
+- Alias every computed column identically in Spark and SQL.
+- Money aggregates: ``SUM(CAST(x AS DECIMAL(18,2)))`` — exact decimal
+  arithmetic, identical in any engine and any partition order — cast
+  to DOUBLE only at output (magnitudes here fit a double exactly).
+- Ratios/averages: IEEE division of two exactly-determined operands,
+  then ``ROUND(., 2)`` — identical doubles in, identical double out.
+- Top-k: always break ties with a unique key so LIMIT is a function.
+- Never output raw float accumulations (partition-order dependent).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    """One declared-inventory entry."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    covers: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids
+    description: str = ""
+
+
+def all_queries() -> dict[str, Query]:
+    """Assemble the full inventory from every plan module."""
+    from . import dedup, relational, retrieval, textops
+
+    out: dict[str, Query] = {}
+    for mod in (relational, textops, dedup, retrieval):
+        for q in mod.QUERIES:
+            if q.name in out:
+                raise ValueError(f"duplicate query name: {q.name}")
+            out[q.name] = q
+    return out

@@ -1,0 +1,98 @@
+"""Sources & sinks (SURVEY §2.1, S1-S9).
+
+Reference behaviors re-expressed Spark-first:
+
+- S1 parquet scan   (create_dataset.py:7)        → spark.read.parquet
+- S2 JSON scan      (src/build_graph.py:383)     → multiLine JSON + explicit
+                    schema (no inference pass — matters at 100 TB)
+- S3 JSON sink      (src/baml_extract.py:81)     → df.write.json
+- S4 multi-file concat + sort (src/concatenate_json.py:28-72)
+                                                 → glob read + orderBy
+- S5 deterministic row index (create_dataset.py:8-9)
+                                                 → row_number over explicit
+                    ordering; NOT monotonically_increasing_id (which is
+                    partition-dependent and non-reproducible)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table with its declared schema.
+
+    Explicit schema means the parquet footer is still consulted for
+    column pruning, but logical types are pinned — a 100 TB scan never
+    pays inference and drift fails loudly.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    only reads as a raw long (``spark.sql.legacy.parquet.nanosAsLong``);
+    we convert ns → µs with integer arithmetic (no double round-trip,
+    which would lose precision at 1e18 ns magnitudes).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),  # ns since epoch
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        return (
+            spark.read.schema(raw)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    schema = TESTDATA.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def register_testdata(spark: SparkSession, sf_dir: str, tables=None) -> None:
+    """Register testdata tables as temp views for the SQL entry points."""
+    for name in tables or TESTDATA:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_records(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S2: read a JSON file that is one top-level array of objects.
+
+    The reference reads these with ``pl.read_json``
+    (src/build_graph.py:383). Spark's JSON source is line-delimited by
+    default; the reference files are single-array, so ``multiLine``.
+    """
+    return spark.read.option("multiLine", True).schema(schema).json(path)
+
+
+def with_row_index(
+    df: DataFrame, order_cols: list[str], name: str = "record_id"
+) -> DataFrame:
+    """S5: deterministic 1-based dense row index.
+
+    The reference does ``with_row_index(offset=1)`` on the raw corpus
+    (create_dataset.py:8-9). A global window is fine for driver-side
+    corpus prep; for 100 TB assignments prefer zipWithIndex-style
+    per-partition offsets — this helper is the correctness-first path.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(name, F.row_number().over(w))
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S3: JSON sink (one object per line; coalesce(1) for file parity)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
