@@ -1,0 +1,71 @@
+"""Text-analysis column functions (training-data pipeline surface).
+
+Everything here is a pure ``pyspark.sql.functions`` composition —
+JVM-side, codegen-friendly, no Python UDFs — so the hot path stays in
+whole-stage codegen at 100 TB. Each helper has an exact ANSI-SQL
+twin used by the DuckDB oracles (see plans/textops.py).
+
+The rolling character hash replaces the reference's reliance on
+engine-internal hashing (LanceDB FTS tokenizer hashing is opaque);
+an explicit polynomial hash is engine-portable and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# Modulus chosen so acc*MULT + 255 never overflows int64 between mods.
+HASH_MOD = 1_000_000_007
+HASH_MULT = 31
+
+# Stopword list used by quality scoring (the synthetic corpus is
+# lowercase English-ish word soup; 'the'/'a' are its function words).
+STOPWORDS = ("the", "a")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (matches DuckDB string_split_regex)."""
+    return F.split(col, TOKEN_RE)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def char_poly_hash(col: Column, mod: int = HASH_MOD, mult: int = HASH_MULT) -> Column:
+    """Rolling polynomial hash over characters, fold in int64.
+
+    ``h = fold(chars, 0, (acc, c) -> (acc*mult + ascii(c)) % mod)``
+
+    Deterministic and identical in any engine with a left fold —
+    DuckDB twin: ``list_reduce(list_prepend(0, list_transform(
+    string_split(x, ''), c -> ascii(c))), (a, b) -> (a*31 + b) %
+    1000000007)``. Used as the token hash for MinHash/SimHash and as
+    the document fingerprint (SURVEY "document fingerprinting").
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(mult) + F.ascii(c)) % F.lit(mod),
+    )
+
+
+def char_poly_hash_sql(expr: str, mod: int = HASH_MOD, mult: int = HASH_MULT) -> str:
+    """The DuckDB-SQL twin of :func:`char_poly_hash`."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {mult} + b) % {mod})"
+    )

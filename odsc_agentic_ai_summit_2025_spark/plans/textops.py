@@ -1,3 +1,82 @@
-"""Text-analysis query inventory (filled by operators/textops)."""
+"""Text-analysis query inventory (documents table), each with a
+DuckDB oracle twin of the exact same integer/IEEE arithmetic."""
 
-QUERIES: list = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import char_poly_hash_sql
+from ..operators import textops as ops
+from ..sources.io import read_table
+from .registry import Query
+
+_TOKS = "string_split_regex(text, '\\s+')"
+_UTOKS = f"list_distinct({_TOKS})"
+
+
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.token_stats(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+Q30_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       CAST(len({_UTOKS}) AS INT) AS n_unique
+FROM documents
+"""
+
+
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.quality_score(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+Q31_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
+             (a, b) -> a + b) AS sum_len,
+         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (n_stop * 10000) // n_tokens AS stop_ratio_e4,
+       (sum_len * 10000) // n_tokens AS avg_token_len_e4,
+       ((n_tokens - n_stop) * LEAST(sum_len, n_tokens * 10) * 10000)
+           // (n_tokens * n_tokens * 10) AS quality_e4
+FROM t
+"""
+
+
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.lang_id(read_table(spark, sf_dir, "documents"), "text", "lang")
+
+
+Q32_SQL = f"""
+SELECT lang,
+       CASE WHEN list_contains({_TOKS}, 'the') THEN 'en'
+            WHEN list_contains({_TOKS}, 'a') THEN 'en'
+            ELSE 'unknown' END AS lang_guess,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.fingerprint(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+Q33_SQL = f"SELECT doc_id, {char_poly_hash_sql('text')} AS fingerprint FROM documents"
+
+
+QUERIES = [
+    Query("q30_token_stats", q30_token_stats, Q30_SQL,
+          ("A10", "F6"), "per-doc token counting"),
+    Query("q31_quality_score", q31_quality_score, Q31_SQL,
+          ("F12",), "heuristic quality features"),
+    Query("q32_lang_id", q32_lang_id, Q32_SQL,
+          ("F1", "F2"), "marker-based language ID + confusion"),
+    Query("q33_fingerprint", q33_fingerprint, Q33_SQL,
+          ("F12",), "rolling-hash document fingerprint"),
+]
