@@ -78,24 +78,41 @@ def minhash_signature(text: Column) -> Column:
     sig[i] = min over tokens of (a_i * H(token) + b_i) mod P.
     Array expressions only — no explode, no shuffle.
     """
-    hashes = token_hashes(text)
+    return _sig_from_hashes(token_hashes(text))
+
+
+def _sig_from_hashes(hashes: Column) -> Column:
+    """MinHash signature array from a token-hash array."""
 
     def perm(a: int, b: int):
-        # factory so the lambda has exactly one parameter (PySpark
-        # introspects lambda arity; default-arg closures break it)
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
-    sig = [F.array_min(F.transform(hashes, perm(a, b))) for (a, b) in MINHASH_PARAMS]
-    return F.array(*sig)
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for (a, b) in MINHASH_PARAMS]
+    )
 
 
 def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Doc → (band_id, bucket_key) rows for LSH bucketing.
 
-    A doc lands in N_BANDS buckets; near-dup docs collide in ≥1 band.
-    The only shuffle is the groupBy on (band_id, bucket_key).
+    Token hashes are dictionary-encoded: each distinct token in the
+    corpus is hashed ONCE (vocab-sized work), then joined back —
+    instead of re-folding the polynomial hash per (doc, token)
+    occurrence. At 100 TB the vocab table is orders of magnitude
+    smaller than the token stream, and AQE broadcasts it when small.
     """
-    sig = minhash_signature(F.col(text_col))
+    toks = df.select(
+        F.col(id_col), F.explode(unique_tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.select("tok").distinct().withColumn(
+        "h", char_poly_hash(F.col("tok"))
+    )
+    doc_hashes = (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(F.collect_list("h").alias("hs"))
+    )
+    sig = _sig_from_hashes(F.col("hs"))
     rows = []
     for band in range(N_BANDS):
         lo = band * ROWS_PER_BAND
@@ -105,27 +122,41 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         rows.append(
             F.struct(F.lit(band).alias("band_id"), band_key.alias("bucket_key"))
         )
-    return df.select(
+    return doc_hashes.select(
         F.col(id_col), F.explode(F.array(*rows)).alias("bb")
     ).select(id_col, "bb.band_id", "bb.bucket_key")
 
 
+MAX_BUCKET = 64
+
+
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, min_shared_bands: int = 1
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared_bands: int = 1,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥ ``min_shared_bands`` buckets.
 
     Self-join happens per (band, bucket) group — the classic LSH
-    trick that avoids the O(n²) pair space. Output columns:
-    a_id, b_id, n_shared_bands (all integers → oracle-exact).
+    trick that avoids the O(n²) pair space. Buckets larger than
+    ``max_bucket`` are skipped: a mega-bucket is quadratic pair
+    blowup with no discrimination (its members are all-pairs
+    candidates by construction — handle such groups as clusters, not
+    pairs; this is the standard skew guard in LSH dedup pipelines).
+    Output: a_id, b_id, n_shared_bands (all ints → oracle-exact).
     """
     b = minhash_band_buckets(df, text_col, id_col)
-    left = b.select(
-        F.col(id_col).alias("a_id"), "band_id", "bucket_key"
+    small = (
+        b.groupBy("band_id", "bucket_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket)
+        .select("band_id", "bucket_key")
     )
-    right = b.select(
-        F.col(id_col).alias("b_id"), "band_id", "bucket_key"
-    )
+    b = b.join(small, ["band_id", "bucket_key"])
+    left = b.select(F.col(id_col).alias("a_id"), "band_id", "bucket_key")
+    right = b.select(F.col(id_col).alias("b_id"), "band_id", "bucket_key")
     return (
         left.join(right, ["band_id", "bucket_key"])
         .filter(F.col("a_id") < F.col("b_id"))

@@ -1,0 +1,108 @@
+"""Full-text search: batch postings build + BM25 scoring (SURVEY V3,
+A10).
+
+The reference calls ``table.create_fts_index("note")`` and LanceDB
+runs BM25 internally (generate_note_embeddings.py:49). Spark-first,
+the index IS a DataFrame program:
+
+- postings ``[term, doc_id, tf]`` — one explode + one groupBy;
+  partition by term so query-time lookups prune.
+- doc stats ``[doc_id, dl]`` and corpus stats ``[term, df]`` + N,
+  avgdl — the BM25 ingredients.
+- score = Σ_t idf(t) · tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)),
+  idf = ln((N-df+0.5)/(df+0.5) + 1) — Robertson/Sparck-Jones BM25+.
+
+At 100 TB: postings are written bucketed by term (query terms hit
+few buckets); the score is a join of the tiny query-term slice
+against doc stats — broadcast the term slice, never the postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+K1 = 1.2
+B = 0.75
+RRF_K = 60
+
+
+def build_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """[term, doc_id, tf] — term frequency per document."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc"), F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 score per document for a bag of query terms.
+
+    N and avgdl are computed exactly (integer sum / integer count →
+    one IEEE division) so the oracle reproduces them bit-for-bit.
+    """
+    postings = build_postings(docs, text_col, id_col)
+    dls = doc_lengths(docs, text_col, id_col)
+    n_docs = docs.count()  # scalar; broadcast into the expression
+    sum_dl = dls.agg(F.sum("dl")).collect()[0][0]
+    avgdl = sum_dl / n_docs  # exact ints → deterministic double
+
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = F.array(*[F.lit(t) for t in query_terms])
+
+    hit = (
+        postings.filter(F.array_contains(qterms, F.col("term")))
+        .join(dfreq, "term")
+        .join(dls, "doc")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        hit.withColumn("term_score", idf * tf_norm)
+        .groupBy("doc")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int,
+) -> DataFrame:
+    """Top-k docs by BM25, rank-only output (rank ties → doc id).
+
+    Emitting ranks rather than raw float scores keeps the result
+    engine-exact; score gaps between distinct tf/dl profiles are
+    orders of magnitude above double noise.
+    """
+    w = W.orderBy(F.desc("score"), F.asc("doc"))
+    return (
+        bm25_scores(docs, text_col, id_col, query_terms)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias("doc_id"), "rank")
+    )

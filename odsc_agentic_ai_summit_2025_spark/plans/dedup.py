@@ -81,10 +81,15 @@ bands AS (
   SELECT doc_id, band_id,
          CASE band_id {band_cases} END AS bucket_key
   FROM sigs, (VALUES {band_ids}) AS b(band_id)
-)
+),
+small AS (
+  SELECT band_id, bucket_key FROM bands
+  GROUP BY 1, 2 HAVING COUNT(*) <= {ops.MAX_BUCKET}
+),
+kept AS (SELECT bands.* FROM bands JOIN small USING (band_id, bucket_key))
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared_bands
-FROM bands a
-JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+FROM kept a
+JOIN kept b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
             AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
