@@ -1,0 +1,199 @@
+"""Property-graph build: node/edge DataFrames + SQL views (SURVEY
+§2.1 S6-S7, §2.3 J2, §2.4 A1-A2).
+
+The reference materializes 6 node tables and 5 edge tables in Kuzu
+via Cypher ``MERGE`` (src/build_graph.py:209-378). Spark-first, each
+``MERGE (n {key}) SET props`` is a deterministic batch rebuild —
+sort + dropDuplicates on the key — and each
+``MATCH (a {k1}), (b {k2}) MERGE (a)-[:R]->(b)`` is a distinct
+projection of candidate pairs semi-joined against both endpoint
+tables (unmatched FK rows drop out exactly like an unmatched MATCH).
+
+At scale: node tables are written bucketed by key; edges bucketed by
+src so pattern joins co-locate. Multi-hop queries then run as
+chained equi-joins over the views (see plans/golden.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import normalize
+
+
+def _merge_nodes(df: DataFrame, key: str, order: list[str]) -> DataFrame:
+    """MERGE-equivalent: last-write-wins per key in ARRIVAL order.
+
+    Kuzu applies ``MERGE ... SET`` row by row, so the surviving
+    properties come from the last row the pipeline produced for that
+    key (record order, then array position). A window row_number
+    descending over those order columns reproduces that exactly and
+    deterministically, independent of partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(*[F.desc(c) for c in order])
+    keep = [c for c in df.columns if c != key and c not in order and not c.startswith("_")]
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, *keep)
+    )
+
+
+@dataclass
+class FhirGraph:
+    """The 6 node + 5 edge tables, ready to register as views."""
+
+    patient: DataFrame
+    address: DataFrame
+    practitioner: DataFrame
+    substance: DataFrame
+    allergy: DataFrame
+    immunization: DataFrame
+    lives_in: DataFrame
+    treats: DataFrame
+    experiences: DataFrame
+    causes: DataFrame
+    has_immunization: DataFrame
+
+    def register(self, spark: SparkSession) -> None:
+        for name, df in vars(self).items():
+            df.createOrReplaceTempView(name)
+
+    def tables(self) -> dict[str, DataFrame]:
+        return dict(vars(self))
+
+
+def build_graph(extracted: DataFrame) -> FhirGraph:
+    """extracted_fhir records → property graph tables.
+
+    Mirrors build_graph.py:381-402 (five preps + 11 ingests) as one
+    lazy DataFrame program; nothing materializes until the caller
+    writes or queries.
+    """
+    addr = normalize.prep_address(extracted)
+    pat = normalize.prep_patient(extracted)
+    prac = normalize.prep_practitioner(extracted)
+    subs = normalize.prep_substance(extracted)
+    imm = normalize.prep_immunization(extracted)
+
+    # -- node tables (MERGE ≡ keyed dedupe, arrival order = record
+    # order then array position) --
+    address = _merge_nodes(
+        addr.filter(F.col("id").isNotNull()), "id", ["record_id"]
+    )
+    patient = pat  # record_id is unique by construction (S5)
+    practitioner = _merge_nodes(
+        prac.filter(F.col("id").isNotNull()), "id", ["record_id"]
+    )
+    substance = subs.filter(F.col("name").isNotNull()).select("name").distinct()
+    allergy = _merge_nodes(
+        subs.filter(F.col("id").isNotNull()).select(
+            "id", "category", "manifestation", "record_id", "_pos"
+        ),
+        "id",
+        ["record_id", "_pos"],
+    )
+    immunization = _merge_nodes(
+        imm.select(
+            "id",
+            "status",
+            F.col("occurrenceDateTime").cast("timestamp").alias("occurrenceDateTime"),
+            "traits",
+            "record_id",
+            "_pos",
+        ),
+        "id",
+        ["record_id", "_pos"],
+    )
+
+    # -- edge tables (MATCH+MERGE ≡ distinct pairs, FK-validated) --
+    pat_keys = patient.select(F.col("patient_id").alias("_pk"))
+
+    def fk_patient(edges: DataFrame, col: str) -> DataFrame:
+        return edges.join(
+            pat_keys, edges[col] == pat_keys["_pk"], "left_semi"
+        )
+
+    lives_in = fk_patient(
+        addr.filter(F.col("id").isNotNull() & F.col("record_id").isNotNull())
+        .select(F.col("record_id").alias("src"), F.col("id").alias("dst"))
+        .distinct(),
+        "src",
+    ).join(address.select(F.col("id").alias("dst")), "dst", "left_semi")
+
+    treats = fk_patient(
+        prac.select(F.col("id").alias("src"), F.col("record_id").alias("dst")).distinct(),
+        "dst",
+    ).join(practitioner.select(F.col("id").alias("src")), "src", "left_semi")
+
+    experiences = fk_patient(
+        subs.select(F.col("record_id").alias("src"), F.col("id").alias("dst")).distinct(),
+        "src",
+    ).join(allergy.select(F.col("id").alias("dst")), "dst", "left_semi")
+
+    causes = (
+        subs.filter(F.col("name").isNotNull())
+        .select(F.col("name").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+        .join(allergy.select(F.col("id").alias("dst")), "dst", "left_semi")
+    )
+
+    has_immunization = fk_patient(
+        imm.select(F.col("record_id").alias("src"), F.col("id").alias("dst")).distinct(),
+        "src",
+    ).join(immunization.select(F.col("id").alias("dst")), "dst", "left_semi")
+
+    return FhirGraph(
+        patient=patient,
+        address=address,
+        practitioner=practitioner,
+        substance=substance,
+        allergy=allergy,
+        immunization=immunization,
+        lives_in=lives_in,
+        treats=treats,
+        experiences=experiences,
+        causes=causes,
+        has_immunization=has_immunization,
+    )
+
+
+def variable_length_paths(
+    edges: DataFrame, src: str, dst: str, min_hops: int, max_hops: int
+) -> DataFrame:
+    """Iterative self-join for Cypher ``-[r*min..max]-`` patterns
+    (README.md:137). Returns (start, end, hops) over directed edges.
+
+    Each iteration is one equi-join + union — the standard BFS
+    expansion; at 100 TB keep frontier deduped per hop to bound
+    growth, which dropDuplicates below does.
+    """
+    # graph node keys are heterogeneous (string slugs, int64 patient
+    # ids) — normalize to string so hop joins never hit a lossy cast
+    e = edges.select(
+        F.col(src).cast("string").alias("start"),
+        F.col(dst).cast("string").alias("end"),
+    )
+    frontier = e.withColumn("hops", F.lit(1))
+    out = frontier if min_hops <= 1 else None
+    for hop in range(2, max_hops + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.end") == F.col("e.start"))
+            .select(
+                F.col("f.start").alias("start"),
+                F.col("e.end").alias("end"),
+                F.lit(hop).alias("hops"),
+            )
+            .dropDuplicates(["start", "end"])
+        )
+        frontier = nxt
+        if hop >= min_hops:
+            out = nxt if out is None else out.unionByName(nxt)
+    assert out is not None
+    return out.dropDuplicates(["start", "end", "hops"])
