@@ -1,0 +1,91 @@
+"""PII guardrails: email detection + masking + action policy
+(SURVEY §2.7 F3-F5, §2.9 L11; reference src/guardrails.py:93-352).
+
+Detection and masking are pure column expressions — regex extract-all
+and a backreference substitution — so the whole guardrail layer runs
+JVM-side inside whole-stage codegen; there is no UDF in the hot path.
+The same regexes are exposed as plain-Python helpers for the
+driver-side RAG question/answer guardrails (one string at a time).
+
+Masking policy: keep the first and last character of the local part,
+replace the middle with ``***``, keep the domain — enough to
+recognize "was this my address" without leaking it (the reference's
+positional mask, src/guardrails.py:200-237).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+# first char | middle (masked) | last char | @domain
+_MASK_PATTERN = (
+    r"([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]*)([A-Za-z0-9._%+-])"
+    r"@([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+)
+_MASK_REPLACEMENT = r"$1***$3@$4"
+
+
+def extract_emails(col: Column) -> Column:
+    """F3: all email addresses in a string column → array<string>."""
+    return F.regexp_extract_all(col, F.lit(EMAIL_PATTERN), 0)
+
+
+def email_count(col: Column) -> Column:
+    return F.size(extract_emails(col))
+
+
+def email_domains(col: Column) -> Column:
+    """F5: domain of each detected email (split on '@')."""
+    return F.transform(
+        extract_emails(col), lambda e: F.split(e, "@").getItem(1)
+    )
+
+
+def mask_emails(col: Column) -> Column:
+    """F4/L11: positional mask, pure regexp_replace (no UDF)."""
+    return F.regexp_replace(col, _MASK_PATTERN, _MASK_REPLACEMENT)
+
+
+# ---------------------------------------------------------------------------
+# Driver-side twins (RAG input/output guardrails run on one string)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = re.compile(EMAIL_PATTERN)
+_MASK_RE = re.compile(_MASK_PATTERN)
+
+
+def find_emails(text: str) -> list[str]:
+    return _EMAIL_RE.findall(text)
+
+
+def mask_emails_text(text: str) -> str:
+    return _MASK_RE.sub(r"\1***\3@\4", text)
+
+
+@dataclass(frozen=True)
+class GuardrailResult:
+    """Outcome of validating one string (reference manager semantics,
+    src/guardrails.py:240-352: BLOCK ≻ WARN ≻ LOG)."""
+
+    action: str  # 'BLOCK' | 'WARN' | 'LOG'
+    emails: tuple[str, ...]
+    masked_text: str
+
+
+def validate_text(
+    text: str, block_threshold: int = 3, warn_threshold: int = 1
+) -> GuardrailResult:
+    emails = tuple(find_emails(text))
+    if len(emails) >= block_threshold:
+        action = "BLOCK"
+    elif len(emails) >= warn_threshold:
+        action = "WARN"
+    else:
+        action = "LOG"
+    return GuardrailResult(action, emails, mask_emails_text(text))

@@ -1,0 +1,147 @@
+"""Hybrid Graph-RAG query path, end-to-end (SURVEY §3.1; reference
+run_hybrid_rag, src/rag.py:120-158).
+
+Driver-side orchestration around Spark-built artifacts:
+
+1. input guardrail (mask emails in the question)        rag_obs_eval.py:268-288
+2. schema introspection → XML                           utils.py:37-105
+3. LLM schema pruning                                   rag.py:29-39
+4. LLM entity-keyword extraction                        rag.py:114-127
+5a. graph branch: text2sql → spark.sql over the views   rag.py:48-75
+5b. vector branch: hybrid FTS+vector search, RRF top-k  rag.py:83-96
+6. synthesis (graph wins on counts)                     rag.py:147-150
+7. output guardrail                                     rag_obs_eval.py:357-379
+
+Steps 2-4/6 are one LLM round-trip each (driver-side, injectable
+client); 5a/5b are Spark jobs. The reference runs 5a/5b as concurrent
+asyncio tasks; submitting the two Spark actions sequentially computes
+the same result (latency overlap is a serving concern, and both
+branches read only precomputed artifacts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import guardrails
+from ..functions.embedder import embed, DEFAULT_DIM
+from ..functions.schema_xml import fhir_graph_schema_xml
+from ..operators import fts, rrf
+from ..operators import similarity as sim
+from .client import LLMClient, MockLLMClient
+
+
+@dataclass
+class HybridRagAnswer:
+    question: str
+    masked_question: str
+    guardrail_action: str
+    pruned_schema: str
+    entities: list[dict[str, str]]
+    sql: str
+    graph_answer: str
+    vector_answer: str
+    final_answer: str
+    graph_rows: list[tuple] = field(default_factory=list)
+    context_ids: list[int] = field(default_factory=list)
+
+
+class HybridRag:
+    """Holds the precomputed artifacts (graph views + note/vector
+    tables) and answers questions through the 7-step path."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        graph,
+        notes: DataFrame,
+        client: LLMClient | None = None,
+        top_k: int = 2,  # reference default, rag.py:80
+        dim: int = DEFAULT_DIM,
+    ) -> None:
+        self.spark = spark
+        self.graph = graph
+        self.client = client or MockLLMClient()
+        self.top_k = top_k
+        self.dim = dim
+        self.schema_xml = fhir_graph_schema_xml(graph)
+        graph.register(spark)
+        # S8: embed-on-insert as an explicit column op; cache both
+        # retrieval artifacts — they serve every question.
+        self.notes = embed(notes, "note", "vector", dim).cache()
+
+    # -- vector branch (rag.py:83-96) --------------------------------------
+    def _vector_context(self, entities: list[dict[str, str]]) -> DataFrame:
+        query_text = " ".join(e["value"] for e in entities)
+        terms = [
+            t for t in query_text.lower().split() if t
+        ]
+        bm = fts.bm25_topk(self.notes, "note", "record_id", terms, k=20)
+        qdf = embed(
+            self.spark.createDataFrame(
+                [(0, query_text)], "qid long, q string"
+            ),
+            "q",
+            "vector",
+            self.dim,
+        )
+        vec = sim.knn_bruteforce(
+            self.notes, qdf, "vector", "record_id", "qid", k=20,
+            exclude_self=False,  # query id domain is disjoint from record_ids
+        ).select(F.col("n_id").alias("record_id"), "rank")
+        fused = rrf.rrf_fuse(
+            [bm.withColumnRenamed("doc_id", "record_id"), vec],
+            id_col="record_id",
+            top_k=self.top_k,
+        )
+        return fused.join(
+            self.notes.select("record_id", "note"), "record_id"
+        ).orderBy("rrf_rank")
+
+    def ask(self, question: str) -> HybridRagAnswer:
+        # 1. input guardrail
+        gr = guardrails.validate_text(question)
+        q = gr.masked_text
+
+        # 2-4. prune schema, extract entities (one LLM call each)
+        pruned = self.client.prune_schema(self.schema_xml, q)
+        entities = self.client.extract_entity_keywords(q, pruned)
+
+        # 5a. graph branch: generated SQL over the registered views
+        sql = self.client.text2sql(q, pruned, entities)
+        graph_rows: list[tuple] = []
+        graph_answer = ""
+        try:
+            graph_rows = [tuple(r) for r in self.spark.sql(sql).collect()]
+            graph_answer = self.client.answer(
+                q, "; ".join(", ".join(str(v) for v in row) for row in graph_rows)
+            )
+        except Exception:  # bad generated SQL ≡ reference's Q10 failure mode
+            graph_answer = ""
+
+        # 5b. vector branch: hybrid top-k context → answer
+        hits = self._vector_context(entities).collect()
+        context_ids = [int(r["record_id"]) for r in hits]
+        vec_context = "\n\n".join(r["note"] for r in hits)
+        vector_answer = self.client.answer(q, vec_context)
+
+        # 6. synthesis + 7. output guardrail
+        final = self.client.synthesize(q, vector_answer, graph_answer)
+        final = guardrails.mask_emails_text(final)
+
+        return HybridRagAnswer(
+            question=question,
+            masked_question=q,
+            guardrail_action=gr.action,
+            pruned_schema=pruned,
+            entities=entities,
+            sql=sql,
+            graph_answer=graph_answer,
+            vector_answer=vector_answer,
+            final_answer=final,
+            graph_rows=graph_rows,
+            context_ids=context_ids,
+        )
