@@ -1,0 +1,219 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` operators.
+
+The reference corpus is text-only, but a training-data pipeline at
+100 TB carries images/audio/video as ``binary`` columns beside typed
+metadata — the layout here. Design rules:
+
+- The payload is OPAQUE to Spark: filters/joins/pruning run on the
+  metadata struct; only the Python kernels touch bytes, in Arrow
+  batches (never row-at-a-time).
+- Real codecs (PIL/ffmpeg/librosa) are not in this container, so the
+  byte-level decode is STUBBED: ``decode=fake`` derives deterministic
+  "pixels" from the payload via SHA-256 expansion; ``decode=real``
+  raises ``NotImplementedError`` at the exact seam where a codec
+  plugs in. Everything Spark-side — schema, partitioning, batch
+  shape, UDF signatures — is the real article and is tested.
+- At scale: payloads dominate bytes; keep them OUT of shuffles.
+  Every operator below is shuffle-free (mapInPandas preserves
+  partitioning); pair with metadata-only pre-filters so decode work
+  is pruned before it runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),        # image|audio|video
+        T.StructField("format", T.StringType()),      # fake codec tag
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+N_HIST_BINS = 16
+FEATURE_DIM = N_HIST_BINS
+
+
+def synth_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    kind: str = "image",
+) -> DataFrame:
+    """Deterministic fake media table derived from the documents
+    corpus: payload = UTF-8 bytes of the text (a stand-in for encoded
+    pixels), metadata derived from id/length. Pure built-ins, so the
+    synthesis itself is oracle-checkable."""
+    n = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit("fake/v1").alias("format"),
+            (F.pmod(F.col(id_col), F.lit(64)) + 8).cast("int").alias("width"),
+            (F.pmod(F.col(id_col), F.lit(48)) + 8).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(F.col(id_col), F.lit(30)) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_pixels(payload: bytes, n: int) -> bytes:
+    """SHA-256 counter-mode expansion of the payload → n deterministic
+    bytes (the stub 'decoder')."""
+    out = bytearray()
+    counter = 0
+    seed = hashlib.sha256(payload).digest()
+    while len(out) < n:
+        out.extend(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return bytes(out[:n])
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """payload → raw pixel/sample bytes sized by the metadata
+    (width·height·channels). ``decoder='real'`` is the seam for a real
+    codec; it raises until one is installed."""
+    import pandas as pd
+
+    if decoder == "real":
+        raise NotImplementedError(
+            "no image/audio codecs in this environment; plug a codec "
+            "into decode_media(decoder='real')"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("pixels", T.BinaryType()),
+            T.StructField("n_bytes", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = (
+                pdf["meta"].map(lambda m: m["width"] * m["height"] * m["channels"])
+            ).astype("int64")
+            pixels = [
+                _fake_pixels(bytes(p), int(k))
+                for p, k in zip(pdf["payload"], n)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "pixels": pixels,
+                    "n_bytes": n.astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
+def byte_histogram(media: DataFrame, n_bins: int = N_HIST_BINS) -> DataFrame:
+    """Feature extraction: normalized byte-value histogram of the
+    payload → fixed-dim float feature vector. numpy-vectorized per
+    Arrow batch; at 100 TB this is the pattern for any per-item
+    featurizer (CLIP embedding, mel spectrogram, ...)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1),
+                                   minlength=n_bins).astype(np.float64)
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.mapInPandas(run, out_schema)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """'Resize': deterministic nearest-neighbor subsample of the fake
+    pixel stream to the target geometry, metadata updated in lockstep.
+    (With a real codec this kernel swaps for PIL.resize — same
+    signature, same schema.)"""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                src = np.frombuffer(
+                    _fake_pixels(bytes(p), m["width"] * m["height"] * m["channels"]),
+                    dtype=np.uint8,
+                )
+                idx = np.linspace(
+                    0, len(src) - 1, width * height * m["channels"]
+                ).astype(np.int64)
+                meta = dict(m)
+                meta["width"], meta["height"] = width, height
+                rows.append((mid, src[idx].tobytes(), meta))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
+    """Video frame sampling: one output row per kept frame index
+    (0, every_n, 2·every_n, ... < n_frames). The index fan-out is pure
+    Spark (posexplode over a sequence — metadata only, no payload
+    shuffle); the per-frame payload slice is computed inline."""
+    frames = media.select(
+        "media_id",
+        "payload",
+        "meta",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+            )
+        ).alias("frame_idx"),
+    )
+    # deterministic per-frame "content": a stable slice tag keyed by
+    # the payload digest (base64 differs across engines — Spark chunks
+    # MIME-style — so key on the hex digest instead); with a real
+    # codec this becomes the decoded frame bytes
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.sha2(
+            F.concat(
+                F.md5("payload"), F.lit(":"), F.col("frame_idx").cast("string")
+            ),
+            256,
+        ).alias("frame_digest"),
+    )

@@ -1,0 +1,251 @@
+"""Extended inventory: multimodal plumbing, IVF ANN, sessionization,
+guardrails, and the embedding pipeline — the training-data-pipeline
+surface beyond the reference's own operators (tasked alongside
+SURVEY §2; graded as first-class components).
+
+Oracle notes:
+- documents.text is pure ASCII (verified), so DuckDB's VARCHAR md5 /
+  ord() agree with Spark's byte-level md5 / payload bytes.
+- q47 runs IVF with nprobe = k_clusters, which is exhaustive search —
+  bit-identical to the brute-force oracle while still exercising the
+  two-stage probe/scan plan.
+- q51 has no oracle: its vectors come from xxhash64 feature hashing,
+  which DuckDB cannot reproduce; the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import guardrails
+from ..functions.embedder import embed
+from ..operators import ivf, multimodal
+from ..operators import similarity as sim
+from ..sources.io import read_table
+from ..streaming.pipeline import sessionize
+from .registry import Query
+
+
+# ---------------------------------------------------------------------------
+# q44 — blob synthesis + stats (multimodal schema plumbing)
+# ---------------------------------------------------------------------------
+
+def q44_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(read_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+Q44_SQL = """
+SELECT doc_id AS media_id,
+       length(text) AS n_bytes,
+       md5(text) AS digest,
+       CAST(doc_id % 64 + 8 AS INT) AS width,
+       CAST(doc_id % 30 + 1 AS INT) AS n_frames
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q45 — payload byte-histogram features (mapInPandas featurizer)
+# ---------------------------------------------------------------------------
+
+def q45_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(read_table(spark, sf_dir, "documents"))
+    feats = multimodal.byte_histogram(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("bin", "share")
+    )
+
+
+Q45_SQL = """
+WITH chars AS (
+  SELECT doc_id, ord(c) // 16 AS bin
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  WHERE c != ''
+),
+counts AS (SELECT doc_id, bin, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
+grid AS (SELECT doc_id, length(text) AS total, unnest(range(16)) AS bin
+         FROM documents)
+SELECT g.doc_id AS media_id, CAST(g.bin AS INT) AS bin,
+       CAST(COALESCE(c.cnt, 0) AS DOUBLE) / g.total AS share
+FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# q46 — video frame sampling (metadata fan-out, per-frame digest)
+# ---------------------------------------------------------------------------
+
+def q46_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(read_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every_n=5)
+
+
+Q46_SQL = """
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       sha256(md5(text) || ':' || frame_idx) AS frame_digest
+FROM (SELECT doc_id, text,
+             unnest(range(0, doc_id % 30 + 1, 5)) AS frame_idx
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q47 — IVF ANN at nprobe = K (exhaustive ⇒ oracle-exact)
+# ---------------------------------------------------------------------------
+
+def q47_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    index = ivf.ivf_build(emb, "embedding", "vec_id", k_clusters=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf.ivf_search(index, queries, "vec_id", k=5, nprobe=8)
+
+
+Q47_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS cos
+      FROM c, q WHERE n_id != q_id)
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q48 — gap sessionization (islands pattern; streaming twin in tests)
+# ---------------------------------------------------------------------------
+
+def q48_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(read_table(spark, sf_dir, "events"), "30 minutes")
+
+
+Q48_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+  FROM ordered)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49/q50 — guardrail surface (emails injected deterministically so the
+# masker has something to mask at any SF)
+# ---------------------------------------------------------------------------
+
+def _with_contact(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user."),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or admin"),
+            F.col("doc_id").cast("string"),
+            F.lit("@corp.example.com."),
+        ).alias("text"),
+    )
+
+
+def q49_guardrail_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_contact(read_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", guardrails.mask_emails(F.col("text")).alias("masked")
+    )
+
+
+Q49_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         text || ' Contact: user.' || doc_id || '@example.org or admin'
+              || doc_id || '@corp.example.com.',
+         '([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]*)([A-Za-z0-9._%+-])@([A-Za-z0-9.-]+\.[A-Za-z]{2,})',
+         '\1***\3@\4', 'g') AS masked
+FROM documents
+"""
+
+
+def q50_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_contact(read_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        guardrails.email_count(F.col("text")).alias("n_emails"),
+        F.array_join(
+            guardrails.email_domains(F.col("text")), ","
+        ).alias("domains"),
+    )
+
+
+Q50_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+         text || ' Contact: user.' || doc_id || '@example.org or admin'
+              || doc_id || '@corp.example.com.',
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       list_aggregate(
+         list_transform(
+           regexp_extract_all(
+             text || ' Contact: user.' || doc_id || '@example.org or admin'
+                  || doc_id || '@corp.example.com.',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+           e -> string_split(e, '@')[2]),
+         'string_agg', ',') AS domains
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q51 — embedding pipeline end-to-end (V1 + V2; rows-only: xxhash64
+# vectors are not reproducible in DuckDB)
+# ---------------------------------------------------------------------------
+
+def q51_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs = embed(docs, "text", "vector", dim=64).select("doc_id", "vector")
+    queries = vecs.filter(F.col("doc_id") < 3)
+    return sim.knn_bruteforce(
+        vecs, queries, "vector", "doc_id", "doc_id", k=5, exclude_self=True
+    )
+
+
+QUERIES = [
+    Query("q44_blob_stats", q44_blob_stats, Q44_SQL,
+          ("multimodal",), "binary payload synthesis + digest/stat projection"),
+    Query("q45_byte_histogram", q45_byte_histogram, Q45_SQL,
+          ("multimodal",), "Arrow-batched byte-histogram featurizer"),
+    Query("q46_frame_sample", q46_frame_sample, Q46_SQL,
+          ("multimodal",), "frame sampling fan-out with per-frame digest"),
+    Query("q47_ivf_knn", q47_ivf_knn, Q47_SQL,
+          ("V2", "O2"), "IVF ANN (nprobe=K exhaustive, oracle-exact)"),
+    Query("q48_sessionize", q48_sessionize, Q48_SQL,
+          ("streaming",), "gap-based sessionization (islands pattern)"),
+    Query("q49_guardrail_mask", q49_guardrail_mask, Q49_SQL,
+          ("F4", "L11"), "email masking, pure regex (no UDF)"),
+    Query("q50_email_stats", q50_email_stats, Q50_SQL,
+          ("F3", "F5"), "email detection + domain extraction"),
+    Query("q51_hash_embed_knn", q51_hash_embed_knn, None,
+          ("V1", "V2"), "hash-embed + exact kNN (rows-only check)"),
+]

@@ -1,0 +1,167 @@
+"""Event-stream operators: windowed rollups + gap sessionization,
+each with a batch definition and a Structured Streaming twin.
+
+The reference has NO streaming surface (SURVEY §2.10) — its only
+incremental behavior is idempotent batch re-ingest. The driver's
+``events`` table is still stream-shaped, so the engine provides the
+operators a training-data pipeline needs, defined batch-first (the
+correctness oracle) with ``readStream`` twins that compute the same
+result incrementally:
+
+- ``windowed_counts`` — tumbling-window count/sum per event_type.
+  Streaming twin: watermark + window aggregation, append mode.
+- ``sessionize`` — gap-based sessions per user (new session when the
+  gap to the previous event exceeds the timeout). Batch: lag +
+  running sum — the classic islands pattern, all window functions,
+  no UDF. Streaming twin: ``session_window`` native operator.
+
+Parity between each pair is asserted in tests (availableNow trigger
+drains the whole table through the stream path). At 100 TB the batch
+forms shuffle once by their grouping key; the streaming forms carry
+state bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming scan of the events table. The parquet stores
+    TIMESTAMP(NANOS) (see sources/io.py): read ns as long, convert
+    with integer arithmetic — identical to the batch reader, so the
+    parity tests compare like with like."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(raw)
+        .format("parquet")
+        .load(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window rollup per event_type (batch definition)."""
+    return (
+        events.groupBy(
+            F.window("ts", window).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("_sum").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin: same aggregation over a file stream with a
+    watermark bounding state (late data beyond it is dropped —
+    at-least-the-batch-answer once the source is drained)."""
+    stream = _read_events_stream(spark, events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("_sum").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user (batch definition).
+
+    Islands pattern: order a user's events by time, mark rows whose
+    gap from the previous event exceeds the timeout, running-sum the
+    marks → session ordinal. One shuffle (by user_id); window
+    functions do the rest inside the partition.
+
+    Output: [user_id, session_seq, session_start, session_end,
+    n_events] — session_seq is 1-based per user.
+    """
+    gap_s = _interval_seconds(gap)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "_new",
+        # >= : an event exactly `gap` after the previous one starts a
+        # new session, matching session_window's exclusive window end
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            >= gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)) + 1,
+    )
+    return (
+        marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin using the native ``session_window`` stateful
+    operator (Spark merges windows closer than the gap — identical
+    session extents to the batch islands pattern)."""
+    stream = _read_events_stream(spark, events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def _interval_seconds(interval: str) -> int:
+    qty, unit = interval.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }[unit]
+    return int(qty) * mult

@@ -1,0 +1,155 @@
+"""Multimodal plumbing, IVF ANN recall, and batch↔stream parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import synth_media
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    return synth_media(read_table(spark, sf_dir, "documents")).cache()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+def test_decode_shapes_and_determinism(spark, media):
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import decode_media
+
+    out = decode_media(media.limit(20))
+    rows = {r["media_id"]: r for r in out.collect()}
+    meta = {r["media_id"]: r["meta"] for r in media.limit(20).collect()}
+    for mid, r in rows.items():
+        m = meta[mid]
+        expect = m["width"] * m["height"] * m["channels"]
+        assert r["n_bytes"] == expect
+        assert len(r["pixels"]) == expect
+    # determinism across partitioning
+    again = {
+        r["media_id"]: bytes(r["pixels"])
+        for r in decode_media(media.limit(20).repartition(5)).collect()
+    }
+    assert {k: bytes(v["pixels"]) for k, v in rows.items()} == again
+
+
+def test_decode_real_is_a_stub(spark, media):
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(media, decoder="real")
+
+
+def test_resize_updates_meta_and_payload(spark, media):
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import resize_media
+
+    out = resize_media(media.limit(10), width=4, height=4).collect()
+    for r in out:
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert len(r["payload"]) == 4 * 4 * r["meta"]["channels"]
+
+
+def test_histogram_features_sum_to_one(spark, media):
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        byte_histogram,
+    )
+
+    rows = byte_histogram(media.limit(10)).collect()
+    for r in rows:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# IVF: recall at nprobe < K against the exact baseline
+# ---------------------------------------------------------------------------
+
+def test_ivf_recall(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.operators import ivf
+    from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in knn_bruteforce(
+            emb, queries, "embedding", "vec_id", "vec_id", k=5
+        ).collect()
+    }
+    index = ivf.ivf_build(emb, "embedding", "vec_id", k_clusters=8, seed=42)
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in ivf.ivf_search(index, queries, "vec_id", k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 3/8 of the corpus must recover well over 3/8 of the true
+    # neighbors (0.64 measured on this data) — and exhaustive nprobe=K
+    # equals brute force exactly, which q47's oracle asserts
+    assert recall >= 0.55, recall
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins compute the batch answers
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events_stream_dir(sf_dir, tmp_path_factory):
+    """The file-stream source requires a DIRECTORY of parquet files;
+    stage the single events.parquet into one."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _drain(query_df, spark, name):
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_stream_parity(spark, sf_dir, events_stream_dir):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        windowed_counts,
+        windowed_counts_stream,
+    )
+
+    batch = windowed_counts(read_table(spark, sf_dir, "events"))
+    stream = windowed_counts_stream(spark, events_stream_dir)
+    got = _drain(stream, spark, "wc_stream")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s
+
+
+def test_sessionize_stream_parity(spark, sf_dir, events_stream_dir):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    batch = (
+        sessionize(read_table(spark, sf_dir, "events"), "30 minutes")
+        .select("user_id", "session_start", "n_events")
+    )
+    stream = sessionize_stream(spark, events_stream_dir, "30 minutes")
+    got = _drain(stream, spark, "sess_stream")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s
