@@ -19,6 +19,8 @@ def main() -> None:
     from odsc_agentic_ai_summit_2025_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+    # JVM/codegen warmup outside any query's timing: one tiny job
+    spark.range(1000).selectExpr("sum(id)").collect()
 
     queries = all_queries()
     timings: dict[str, float] = {}

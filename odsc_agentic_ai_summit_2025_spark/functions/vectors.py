@@ -28,3 +28,23 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_vectorized():
+    """Arrow-batched cosine for hot paths scoring many pairs: numpy
+    float64 row-wise dot — 10-100× the interpreted fold. Use where
+    only the resulting RANKING is emitted (GEMM summation order
+    differs from the sequential fold in last-ulp ways)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _cos(a, b):
+        import numpy as np
+        import pandas as pd
+
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)

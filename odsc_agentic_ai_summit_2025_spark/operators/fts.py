@@ -99,10 +99,14 @@ def bm25_topk(
     engine-exact; score gaps between distinct tf/dl profiles are
     orders of magnitude above double noise.
     """
+    # limit-then-rank: TakeOrdered prunes to k rows distributedly;
+    # the global window only ever numbers those k (a bare global
+    # row_number would single-partition every scored doc).
     w = W.orderBy(F.desc("score"), F.asc("doc"))
     return (
         bm25_scores(docs, text_col, id_col, query_terms)
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
         .select(F.col("doc").alias("doc_id"), "rank")
     )

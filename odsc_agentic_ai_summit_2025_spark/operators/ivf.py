@@ -29,7 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, cosine_vectorized
 
 
 @dataclass
@@ -46,7 +46,8 @@ def ivf_build(
     id_col: str,
     k_clusters: int,
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 8,  # coarse quantizer: placement plateaus fast,
+    # and each extra iteration is a full corpus pass
 ) -> IvfIndex:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -109,10 +110,11 @@ def ivf_search(
         "cluster_id",
     )
     wk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    cos = cosine_vectorized()
     return (
         c.join(F.broadcast(probes), "cluster_id")
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("cos", cos(F.col("qv"), F.col("nv")))
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank")

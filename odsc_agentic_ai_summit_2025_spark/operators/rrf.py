@@ -48,9 +48,13 @@ def rrf_fuse(
         score = term if score is None else score + term
     out = fused.withColumn("rrf_score", score)
     if top_k is not None:
+        # limit-then-rank: the candidate set is already small (union
+        # of the input top-k lists) but keep the scale-safe shape —
+        # TakeOrdered first, window over top_k rows only
         w = W.orderBy(F.desc("rrf_score"), F.asc(id_col))
         out = (
-            out.withColumn("rrf_rank", F.row_number().over(w))
-            .filter(F.col("rrf_rank") <= top_k)
+            out.orderBy(F.desc("rrf_score"), F.asc(id_col))
+            .limit(top_k)
+            .withColumn("rrf_rank", F.row_number().over(w))
         )
     return out

@@ -225,7 +225,12 @@ FROM documents
 def q51_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     vecs = embed(docs, "text", "vector", dim=64).select("doc_id", "vector")
-    queries = vecs.filter(F.col("doc_id") < 3)
+    # embed the 3 query docs separately: hash embedding is per-row, so
+    # filter-before-embed is legal and keeps the (recomputed) query
+    # branch O(queries) instead of re-embedding the whole corpus
+    queries = embed(
+        docs.filter(F.col("doc_id") < 3), "text", "vector", dim=64
+    ).select("doc_id", "vector")
     return sim.knn_bruteforce(
         vecs, queries, "vector", "doc_id", "doc_id", k=5, exclude_self=True
     )

@@ -98,11 +98,16 @@ WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
 
 def q03_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
+    # limit-then-rank: orderBy+limit is a distributed TakeOrdered
+    # (top-100 per partition, merge on driver); the global window then
+    # only numbers 100 rows. A bare global row_number would funnel the
+    # whole table through one partition.
     w = W.orderBy("c_custkey")
     return (
         cust.select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
     )
 
 
