@@ -1,0 +1,188 @@
+"""Judge metrics (L10/U2), source round-trips (S3-S5), graph
+persistence, and variable-length path queries (J3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+EXTRACTED = "/root/reference/data/extracted_fhir.json"
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(EXTRACTED), reason="reference data not present"
+)
+
+
+# ---------------------------------------------------------------------------
+# L10 judge metrics
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def answers(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "How many patients are there?",
+                "There are 42 patients in total.",
+                "records show 42 patients registered",
+                "42",
+            ),
+            (
+                "Which city?",
+                "Boston, contact admin@leak.example.com",
+                "the patient lives in Salem",
+                "Salem",
+            ),
+        ],
+        "question string, answer string, context string, expected string",
+    )
+
+
+def test_judge_metrics_columns(spark, answers):
+    from odsc_agentic_ai_summit_2025_spark.llm.judge import judge_metrics
+
+    rows = judge_metrics(
+        answers, expected_col="expected", sample_rate=1.0
+    ).collect()
+    good = next(r for r in rows if "42" in r["answer"])
+    bad = next(r for r in rows if "Boston" in r["answer"])
+    assert good["contains"] == 1.0 and bad["contains"] == 0.0
+    assert good["context_recall"] > bad["context_recall"]
+    assert good["moderation"] == 0.0 and bad["moderation"] == 1.0
+    assert 0.0 <= good["answer_relevance"] <= 1.0
+
+
+def test_judge_sampling_bounds_cost(spark):
+    from odsc_agentic_ai_summit_2025_spark.llm.judge import judge_metrics
+
+    big = spark.range(1000).select(
+        F.lit("q").alias("question"),
+        F.lit("a").alias("answer"),
+        F.lit("c").alias("context"),
+    )
+    n = judge_metrics(big, sample_rate=0.05, seed=7).count()
+    assert 10 <= n <= 120  # ~5% of 1000
+
+
+def test_answer_similarity_u2(spark):
+    from odsc_agentic_ai_summit_2025_spark.llm.judge import answer_similarity
+
+    df = spark.createDataFrame(
+        [("the quick brown fox", "the slow brown fox")], "a string, b string"
+    )
+    (val,) = df.select(answer_similarity(F.col("a"), F.col("b"))).first()
+    assert abs(val - 3 / 4) < 1e-12  # {the, brown, fox} over max(4, 4)
+
+
+def test_metrics_summary(spark, answers):
+    from odsc_agentic_ai_summit_2025_spark.llm.judge import (
+        judge_metrics,
+        metrics_summary,
+    )
+
+    row = metrics_summary(
+        judge_metrics(answers, expected_col="expected", sample_rate=1.0)
+    ).first()
+    assert row["n_scored"] == 2
+    assert row["avg_contains"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# S3/S4/S5 sources round-trip
+# ---------------------------------------------------------------------------
+
+def test_json_sink_and_multifile_concat(spark, tmp_path):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import write_json
+
+    df = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "record_id long, note string"
+    )
+    write_json(df.repartition(3), str(tmp_path / "out"))
+    # S4: glob read of the per-batch files + global order
+    back = (
+        spark.read.schema("record_id long, note string")
+        .json(str(tmp_path / "out"))
+        .orderBy("record_id")
+    )
+    assert [r["record_id"] for r in back.collect()] == [1, 2, 3]
+
+
+def test_with_row_index_deterministic(spark):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import with_row_index
+
+    df = spark.createDataFrame(
+        [("x",), ("a",), ("m",)], "note string"
+    )
+    out1 = with_row_index(df.repartition(3), ["note"]).collect()
+    out2 = with_row_index(df.coalesce(1), ["note"]).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    byname = {r["note"]: r["record_id"] for r in out1}
+    assert byname == {"a": 1, "m": 2, "x": 3}  # 1-based, order-defined
+
+
+# ---------------------------------------------------------------------------
+# Graph persistence (bucketed tables) + variable-length paths
+# ---------------------------------------------------------------------------
+
+@needs_ref
+def test_graph_write_read_bucketed(spark, tmp_path):
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import (
+        build_graph,
+        read_graph,
+        write_graph,
+    )
+    from odsc_agentic_ai_summit_2025_spark.schemas import EXTRACTED_FHIR
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_json_records
+
+    g = build_graph(read_json_records(spark, EXTRACTED, EXTRACTED_FHIR))
+    write_graph(g, str(tmp_path / "graph"), n_buckets=4)
+    tables = read_graph(spark, str(tmp_path / "graph"))
+    assert tables["patient"].count() == g.patient.count()
+    assert tables["treats"].count() == g.treats.count()
+    # bucketed co-located join: with broadcast disabled, the plan must
+    # be a sort-merge join with NO shuffle exchange (bucket layout
+    # satisfies the join's distribution requirement)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = tables["treats"].join(
+            tables["practitioner"].withColumnRenamed("id", "src"), "src"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+@needs_ref
+def test_variable_length_paths(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import (
+        build_graph,
+        variable_length_paths,
+    )
+    from odsc_agentic_ai_summit_2025_spark.schemas import EXTRACTED_FHIR
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_json_records
+
+    g = build_graph(read_json_records(spark, EXTRACTED, EXTRACTED_FHIR))
+    # patient -EXPERIENCES-> allergy <-CAUSES- substance is 1 hop on
+    # the union graph in each direction; 2 hops connects patient to
+    # substance ids
+    edges = g.experiences.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).unionByName(
+        g.causes.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    paths = variable_length_paths(edges, "src", "dst", 1, 2)
+    hops = {r["hops"] for r in paths.select("hops").distinct().collect()}
+    assert hops == {1, 2}
+    two = paths.filter(F.col("hops") == 2)
+    # patient 45 reaches substance 'shellfish' in exactly 2 hops
+    assert (
+        two.filter(
+            (F.col("start") == "45") & (F.col("end") == "shellfish")
+        ).count()
+        == 1
+    )
