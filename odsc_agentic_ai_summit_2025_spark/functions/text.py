@@ -69,3 +69,23 @@ def char_poly_hash_sql(expr: str, mod: int = HASH_MOD, mult: int = HASH_MULT) ->
         f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
         f"(a, b) -> (a * {mult} + b) % {mod})"
     )
+
+
+# F8: number-word variants used by golden-answer matching (reference
+# src/tests/test_graphrag.py:6-35 — an expected "1" also matches "one")
+NUMBER_WORDS = {
+    "1": "one", "2": "two", "3": "three", "4": "four", "5": "five",
+    "6": "six", "7": "seven", "8": "eight", "9": "nine", "10": "ten",
+}
+
+
+def number_variants(s: str) -> list[str]:
+    """All accepted renderings of an expected value (driver-side
+    helper for assertion matching, not a data-plane op)."""
+    out = [s]
+    if s in NUMBER_WORDS:
+        out.append(NUMBER_WORDS[s])
+    inv = {v: k for k, v in NUMBER_WORDS.items()}
+    if s.lower() in inv:
+        out.append(inv[s.lower()])
+    return out

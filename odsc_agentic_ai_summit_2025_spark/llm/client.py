@@ -333,10 +333,11 @@ class MockLLMClient:
         """Keep node/rel elements whose label or properties appear in
         the question (the semantic analog of the reference's prompt:
         'return only relevant schema elements')."""
-        qwords = set(re.findall(r"[a-z]+", question.lower()))
+        stem = lambda w: w[:-1] if w.endswith("s") else w
+        qwords = {stem(w) for w in re.findall(r"[a-z]+", question.lower())}
         kept = []
         for el in re.findall(r"<(?:node|rel)\b[^>]*>.*?</(?:node|rel)>|<(?:node|rel)\b[^/>]*/>", schema_xml, re.S):
-            words = set(re.findall(r"[a-z]+", el.lower()))
+            words = {stem(w) for w in re.findall(r"[a-z]+", el.lower())}
             if words & qwords:
                 kept.append(el)
         body = "\n".join(kept) if kept else schema_xml
