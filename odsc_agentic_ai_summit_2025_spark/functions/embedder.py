@@ -7,13 +7,13 @@ so the default embedder is a **feature-hashing bag-of-words**: token →
 ``xxhash64`` bucket in [0, dim), sign ±1 from a second bit of the same
 hash, summed per bucket, then L2-normalized. Properties that matter:
 
-- Pure Spark built-ins, expressed as explode → groupBy — the shape
-  that scales: per-token work is one hash, the per-document reduction
-  is an integer-weighted sum (order-free, so deterministic under any
-  partitioning), and the whole job is a single shuffle by doc id.
-  (A per-row ``transform(sequence(0,dim))`` fold computes the same
-  thing but is O(dim·tokens) interpreted expression evals per row —
-  measured 100× slower at corpus scale.)
+- Map-only and shuffle-free: token hashing is JVM-side codegen, the
+  per-row scatter-add is one vectorized ``np.bincount`` per Arrow
+  batch. The reduction is an integer-weighted sum — order-free, so
+  vectors are deterministic under any partitioning. (Both an
+  explode→groupBy formulation — two shuffles — and a per-row
+  ``transform(sequence(0,dim))`` fold — O(dim·tokens) interpreted
+  evals — were measured slower by 2× and 100×.)
 - The exact same expression embeds a 100 TB corpus and a single query
   row, so query/document vectors agree bit-for-bit by construction.
 - Cosine over these vectors ≈ token-overlap similarity, which is all
@@ -37,67 +37,64 @@ def tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
-def _zero_vec(dim: int) -> Column:
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)), lambda _: F.lit(0.0)
-    )
-
-
 def embed(
     df: DataFrame,
     text_col: str,
     out_col: str = "vector",
     dim: int = DEFAULT_DIM,
-    id_cols: list[str] | None = None,
+    id_cols: list[str] | None = None,  # kept for API compat; unused
 ) -> DataFrame:
     """Append an L2-normalized hash-embedding column.
 
     V1 as an explicit column op (S8: LanceDB's implicit
-    embed-on-insert becomes embed + write). ``id_cols`` defaults to
-    every column but ``text_col`` — they key the groupBy, so they must
-    identify rows (true for every table here).
-    """
-    ids = id_cols or [c for c in df.columns if c != text_col]
+    embed-on-insert becomes embed + write). Two-stage, SHUFFLE-FREE:
 
-    tok = df.select(
-        *ids, F.explode(tokens(F.col(text_col))).alias("_tok")
+    1. JVM side: tokenize and hash each token to its (bucket, sign)
+       pair with ``xxhash64`` — one array column, whole-stage codegen.
+    2. Arrow batch side: per-row ``np.bincount`` scatter-add into the
+       dense vector + L2 normalize — vectorized, row-local.
+
+    No explode, no groupBy: the operator is map-only, so it pipelines
+    into whatever shuffle the downstream plan needs. Sums are exact
+    integer ±1 counts in float64, so vectors are bit-identical under
+    any partitioning (and identical to a groupBy formulation).
+    """
+    from pyspark.sql import types as T
+
+    h = lambda t: F.xxhash64(t)
+    contrib = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.struct(
+            F.pmod(h(t), F.lit(dim)).cast("int").alias("b"),
+            (F.pmod(F.shiftright(h(t), 8), F.lit(2)) * 2 - 1)
+            .cast("double")
+            .alias("s"),
+        ),
     )
-    h = F.xxhash64("_tok")
-    contrib = tok.select(
-        *ids,
-        F.pmod(h, F.lit(dim)).cast("int").alias("_bucket"),
-        (F.pmod(F.shiftright(h, 8), F.lit(2)) * 2 - 1)
-        .cast("double")
-        .alias("_sign"),
+    with_contrib = df.withColumn("_contrib", contrib)
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
     )
-    sparse = (
-        contrib.groupBy(*ids, "_bucket")
-        .agg(F.sum("_sign").alias("_val"))
-        .groupBy(*ids)
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("_bucket"), F.collect_list("_val")
-            ).alias("_m")
-        )
-    )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.col("_m")[i], F.lit(0.0)),
-    )
-    nrm_expr = F.aggregate(
-        F.col("_raw"), F.lit(0.0), lambda acc, v: acc + v * v
-    )
-    vec = sparse.withColumn("_raw", dense).select(
-        *ids,
-        F.when(
-            F.sqrt(nrm_expr) > 0,
-            F.transform(F.col("_raw"), lambda v: v / F.sqrt(nrm_expr)),
-        )
-        .otherwise(F.col("_raw"))
-        .alias(out_col),
-    )
-    # rows whose text had zero tokens vanish at explode — restore them
-    # with the zero vector so the operator is row-preserving
-    return df.join(vec, ids, "left").withColumn(
-        out_col, F.coalesce(F.col(out_col), _zero_vec(dim))
-    )
+
+    def densify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = []
+            for cs in pdf["_contrib"]:
+                if len(cs):
+                    b = np.fromiter((c["b"] for c in cs), dtype=np.int64)
+                    s = np.fromiter((c["s"] for c in cs), dtype=np.float64)
+                    v = np.bincount(b, weights=s, minlength=dim)
+                    nrm = np.sqrt((v * v).sum())
+                    vecs.append((v / nrm if nrm else v).tolist())
+                else:
+                    vecs.append([0.0] * dim)
+            out = pdf.drop(columns=["_contrib"])
+            out[out_col] = vecs
+            yield out
+
+    return with_contrib.mapInPandas(densify, out_schema)

@@ -40,39 +40,79 @@ class IvfIndex:
     id_col: str
 
 
+TRAIN_SAMPLE_CAP = 50_000
+
+
 def ivf_build(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
     k_clusters: int,
     seed: int = 42,
-    max_iter: int = 8,  # coarse quantizer: placement plateaus fast,
-    # and each extra iteration is a full corpus pass
+    max_iter: int = 15,
+    train_sample: int = TRAIN_SAMPLE_CAP,
 ) -> IvfIndex:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """Train the coarse quantizer on a bounded SAMPLE (collected to
+    the driver, seeded Lloyd iterations in numpy), then assign the
+    full corpus in one distributed GEMM pass.
 
-    feat = corpus.withColumn("_features", array_to_vector(F.col(vec_col)))
-    model = KMeans(
-        k=k_clusters, seed=seed, maxIter=max_iter, featuresCol="_features",
-        predictionCol="cluster_id",
-    ).fit(feat)
-    assigned = model.transform(feat).drop("_features")
-    centroids = (
-        corpus.sparkSession.createDataFrame(
-            [(i,) for i in range(k_clusters)], "cluster_id int"
-        )
-        .join(
-            feat.sparkSession.createDataFrame(
-                [
-                    (i, [float(x) for x in c])
-                    for i, c in enumerate(model.clusterCenters())
-                ],
-                f"cluster_id int, centroid array<double>",
-            ),
-            "cluster_id",
-        )
+    This is the 100 TB shape: nobody runs Lloyd over the full corpus —
+    centroid quality converges with a few-hundred-points-per-centroid
+    sample, and the only full-corpus work is a single mapInPandas
+    assignment (vs. max_iter full passes for cluster-side KMeans).
+    Deterministic: seeded sample, seeded init, fixed iteration count.
+    """
+    import numpy as np
+
+    n = corpus.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    sample = (
+        corpus.select(vec_col).sample(frac, seed).collect()
+        if frac < 1.0
+        else corpus.select(vec_col).collect()
     )
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=min(k_clusters, len(x)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(1)
+        for j in range(len(centers)):
+            pts = x[lab == j]
+            if len(pts):
+                centers[j] = pts.mean(0)
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
+        "cluster_id int, centroid array<double>",
+    )
+    bc = spark.sparkContext.broadcast(centers)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cts = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # argmin of ||v-c||² = argmax of 2v·c - ||c||²
+            scores = 2 * (m @ cts.T) - (cts * cts).sum(1)[None, :]
+            out = pdf.copy()
+            out["cluster_id"] = scores.argmax(1).astype("int32")
+            yield out
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [T.StructField("cluster_id", T.IntegerType())]
+    )
+    assigned = corpus.mapInPandas(assign, out_schema)
     return IvfIndex(centroids, assigned, vec_col, id_col)
 
 
