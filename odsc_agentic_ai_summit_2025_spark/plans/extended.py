@@ -236,6 +236,82 @@ def q51_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q52 — exact quantiles (sort-based percentile; rounded so the two
+# engines' identical interpolation arithmetic stays comparable)
+# ---------------------------------------------------------------------------
+
+def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q52_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q53 — CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+def q53_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+Q53_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q54 — as-of join (custom operator; DuckDB's native ASOF JOIN is the
+# oracle). For each click, the user's latest purchase at-or-before it.
+# ---------------------------------------------------------------------------
+
+def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="pts",
+        value_cols=["purchase_value"],
+    ).select("event_id", "user_id", "purchase_value")
+
+
+Q54_SQL = """
+SELECT l.event_id, l.user_id, r.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 QUERIES = [
     Query("q44_blob_stats", q44_blob_stats, Q44_SQL,
           ("multimodal",), "binary payload synthesis + digest/stat projection"),
@@ -253,4 +329,10 @@ QUERIES = [
           ("F3", "F5"), "email detection + domain extraction"),
     Query("q51_hash_embed_knn", q51_hash_embed_knn, None,
           ("V1", "V2"), "hash-embed + exact kNN (rows-only check)"),
+    Query("q52_percentiles", q52_percentiles, Q52_SQL,
+          ("A3", "F12"), "exact quantiles per group"),
+    Query("q53_cube", q53_cube, Q53_SQL,
+          ("A3",), "CUBE grouping sets"),
+    Query("q54_asof_join", q54_asof_join, Q54_SQL,
+          ("J3",), "as-of join via union-tag window (one shuffle)"),
 ]
