@@ -72,6 +72,11 @@ class HybridRag:
         # S8: embed-on-insert as an explicit column op; cache both
         # retrieval artifacts — they serve every question.
         self.notes = embed(notes, "note", "vector", dim).cache()
+        # FTS index built ONCE (generate_note_embeddings.py:49); every
+        # ask() only scores its own query-term slice
+        self.fts_index = fts.build_fts_index(
+            self.notes, "note", "record_id", cache=True
+        )
 
     # -- vector branch (rag.py:83-96) --------------------------------------
     def _vector_context(self, entities: list[dict[str, str]]) -> DataFrame:
@@ -79,7 +84,7 @@ class HybridRag:
         terms = [
             t for t in query_text.lower().split() if t
         ]
-        bm = fts.bm25_topk(self.notes, "note", "record_id", terms, k=20)
+        bm = fts.bm25_topk_indexed(self.fts_index, terms, k=20)
         qdf = embed(
             self.spark.createDataFrame(
                 [(0, query_text)], "qid long, q string"

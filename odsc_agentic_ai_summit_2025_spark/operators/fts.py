@@ -19,6 +19,8 @@ against doc stats — broadcast the term slice, never the postings.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -27,6 +29,31 @@ from ..functions.text import tokens
 K1 = 1.2
 B = 0.75
 RRF_K = 60
+
+
+@dataclass
+class FtsIndex:
+    """The persisted form of the FTS index: postings + doc lengths +
+    corpus stats. Build once, serve every query (the reference builds
+    its FTS index once at ingest, generate_note_embeddings.py:49)."""
+
+    postings: DataFrame  # [term, doc, tf]
+    dls: DataFrame       # [doc, dl]
+    n_docs: int
+    avgdl: float
+
+
+def build_fts_index(
+    docs: DataFrame, text_col: str, id_col: str, cache: bool = False
+) -> FtsIndex:
+    postings = build_postings(docs, text_col, id_col)
+    dls = doc_lengths(docs, text_col, id_col)
+    if cache:
+        postings = postings.cache()
+        dls = dls.cache()
+    n_docs = docs.count()
+    sum_dl = dls.agg(F.sum("dl")).collect()[0][0]
+    return FtsIndex(postings, dls, n_docs, sum_dl / n_docs)
 
 
 def build_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -52,16 +79,28 @@ def bm25_scores(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """BM25 score per document for a bag of query terms.
+    """BM25 score per document for a bag of query terms (builds a
+    throwaway index; serve repeated queries from ``build_fts_index`` +
+    ``bm25_scores_indexed``)."""
+    return bm25_scores_indexed(
+        build_fts_index(docs, text_col, id_col), query_terms, k1, b
+    )
+
+
+def bm25_scores_indexed(
+    index: FtsIndex,
+    query_terms: list[str],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 against a prebuilt index.
 
     N and avgdl are computed exactly (integer sum / integer count →
     one IEEE division) so the oracle reproduces them bit-for-bit.
+    The query-term slice of postings is tiny — joins build from it.
     """
-    postings = build_postings(docs, text_col, id_col)
-    dls = doc_lengths(docs, text_col, id_col)
-    n_docs = docs.count()  # scalar; broadcast into the expression
-    sum_dl = dls.agg(F.sum("dl")).collect()[0][0]
-    avgdl = sum_dl / n_docs  # exact ints → deterministic double
+    postings, dls = index.postings, index.dls
+    n_docs, avgdl = index.n_docs, index.avgdl
 
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = F.array(*[F.lit(t) for t in query_terms])
@@ -99,12 +138,18 @@ def bm25_topk(
     engine-exact; score gaps between distinct tf/dl profiles are
     orders of magnitude above double noise.
     """
+    return bm25_topk_indexed(
+        build_fts_index(docs, text_col, id_col), query_terms, k
+    )
+
+
+def bm25_topk_indexed(index: FtsIndex, query_terms: list[str], k: int) -> DataFrame:
     # limit-then-rank: TakeOrdered prunes to k rows distributedly;
     # the global window only ever numbers those k (a bare global
     # row_number would single-partition every scored doc).
     w = W.orderBy(F.desc("score"), F.asc("doc"))
     return (
-        bm25_scores(docs, text_col, id_col, query_terms)
+        bm25_scores_indexed(index, query_terms)
         .orderBy(F.desc("score"), F.asc("doc"))
         .limit(k)
         .withColumn("rank", F.row_number().over(w))

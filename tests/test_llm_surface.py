@@ -177,9 +177,10 @@ def test_hybrid_rag_golden_path(spark, notes_df, gold_df):
     from odsc_agentic_ai_summit_2025_spark.plans.golden import GOLDEN_CASES
 
     rag = HybridRag(spark, build_graph(gold_df), notes_df)
-    # count-style and enumeration cases through the whole pipeline
-    for idx in (0, 3, 9):
-        case = GOLDEN_CASES[idx]
+    # ALL 10 golden questions through the whole pipeline — the
+    # reference's live-LLM run documents 9/10 (README.md:142-151);
+    # the deterministic path must go 10/10
+    for case in GOLDEN_CASES:
         ans = rag.ask(case.question)
         assert ans.guardrail_action == "LOG"
         for expected in case.expected:
