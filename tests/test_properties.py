@@ -1,0 +1,114 @@
+"""Property-based tests (Hypothesis): custom operators vs plain-Python
+reference implementations on randomized small inputs.
+
+The reference has no property testing (SURVEY §5); we add it for the
+operators whose semantics we defined ourselves (as-of join,
+sessionization, RRF) — the DuckDB oracle already covers them on the
+fixed testdata, this covers the input space around it.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # user/key
+        st.integers(0, 10_000),   # ts seconds
+        st.integers(0, 100),      # value
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[1]),  # no (key, ts) ties (asof contract)
+)
+
+
+@settings(**SETTINGS)
+@given(left=events_strategy, right=events_strategy)
+def test_asof_join_matches_reference(spark, left, right):
+    from odsc_agentic_ai_summit_2025_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t * 1_000_000, i) for i, (k, t, _) in enumerate(left)],
+        "k long, lts long, row_id long",
+    ).selectExpr("k", "timestamp_micros(lts) AS lts", "row_id")
+    rdf = spark.createDataFrame(
+        [(k, t * 1_000_000, v) for (k, t, v) in right],
+        "k long, rts long, v long",
+    ).selectExpr("k", "timestamp_micros(rts) AS rts", "v")
+
+    got = {
+        r["row_id"]: r["v"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    }
+
+    for i, (k, t, _) in enumerate(left):
+        prior = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        expect = max(prior)[1] if prior else None
+        assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy, gap_s=st.integers(1, 5000))
+def test_sessionize_matches_reference(spark, events, gap_s):
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import sessionize
+
+    df = spark.createDataFrame(
+        [(i, t * 1_000_000, k) for i, (k, t, _) in enumerate(events)],
+        "event_id long, ts long, user_id long",
+    ).selectExpr("event_id", "timestamp_micros(ts) AS ts", "user_id")
+
+    got = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in sessionize(df, f"{gap_s} seconds").collect()
+    }
+
+    # python reference: per user, sorted times, split on gap >= gap_s
+    expect: dict[tuple[int, int], int] = {}
+    for k in {e[0] for e in events}:
+        times = sorted(t for (u, t, _) in events if u == k)
+        seq, count, prev = 1, 0, None
+        for t in times:
+            if prev is not None and t - prev >= gap_s:
+                expect[(k, seq)] = count
+                seq, count = seq + 1, 0
+            count += 1
+            prev = t
+        expect[(k, seq)] = count
+    assert got == expect
+
+
+rank_list = st.lists(st.integers(0, 30), min_size=1, max_size=10, unique=True)
+
+
+@settings(**SETTINGS)
+@given(a=rank_list, b=rank_list)
+def test_rrf_matches_formula(spark, a, b):
+    from odsc_agentic_ai_summit_2025_spark.operators.rrf import rrf_fuse
+
+    adf = spark.createDataFrame(
+        [(x, i + 1) for i, x in enumerate(a)], "doc_id long, rank long"
+    )
+    bdf = spark.createDataFrame(
+        [(x, i + 1) for i, x in enumerate(b)], "doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse([adf, bdf], id_col="doc_id").collect()
+    }
+    for doc in set(a) | set(b):
+        s = 0.0
+        if doc in a:
+            s += 1.0 / (60 + a.index(doc) + 1)
+        if doc in b:
+            s += 1.0 / (60 + b.index(doc) + 1)
+        assert abs(got[doc] - s) < 1e-12
