@@ -112,19 +112,41 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         .groupBy(id_col)
         .agg(F.collect_list("h").alias("hs"))
     )
-    sig = _sig_from_hashes(F.col("hs"))
-    rows = []
-    for band in range(N_BANDS):
-        lo = band * ROWS_PER_BAND
-        band_key = F.concat_ws(
-            "_", *[sig.getItem(i).cast("string") for i in range(lo, lo + ROWS_PER_BAND)]
-        )
-        rows.append(
-            F.struct(F.lit(band).alias("band_id"), band_key.alias("bucket_key"))
-        )
-    return doc_hashes.select(
-        F.col(id_col), F.explode(F.array(*rows)).alias("bb")
-    ).select(id_col, "bb.band_id", "bb.bucket_key")
+
+    # signatures + banding in one vectorized Arrow pass: the (N_HASH ×
+    # tokens) permute-min is a numpy matrix min — identical int64
+    # arithmetic to the column expression (h < 2^30 · a < 2^32 keeps
+    # every product below 2^63), measured several× faster than
+    # N_HASH interpreted array_min(transform(...)) folds per doc.
+    import numpy as np
+
+    a_vec = np.array([a for (a, _) in MINHASH_PARAMS], dtype=np.int64)
+    b_vec = np.array([b for (_, b) in MINHASH_PARAMS], dtype=np.int64)
+
+    def sig_bands(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bands, keys = [], [], []
+            for did, hs in zip(pdf[id_col], pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64)
+                sig = (
+                    (a_vec[:, None] * h[None, :] + b_vec[:, None]) % MINHASH_P
+                ).min(axis=1)
+                for band in range(N_BANDS):
+                    lo = band * ROWS_PER_BAND
+                    ids.append(did)
+                    bands.append(band)
+                    keys.append(
+                        "_".join(str(v) for v in sig[lo: lo + ROWS_PER_BAND])
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "band_id": bands, "bucket_key": keys}
+            )
+
+    return doc_hashes.mapInPandas(
+        sig_bands, f"{id_col} long, band_id int, bucket_key string"
+    )
 
 
 MAX_BUCKET = 64
