@@ -132,7 +132,9 @@ def ivf_search(
         F.col(query_id_col).alias("q_id"),
         F.col(index.vec_col).alias("qv"),
     )
-    # stage 1: route each query to its nprobe nearest centroids
+    # stage 1: route each query to its nprobe nearest centroids.
+    # (crossJoin + broadcast plans as a nested-loop join by
+    # construction — correct here: the centroid side is K rows.)
     wq = W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cluster_id"))
     probes = (
         q.crossJoin(F.broadcast(index.centroids))

@@ -55,9 +55,25 @@ def embedding_neardup_pairs(
         .groupBy("bid")
         .agg(F.collect_list("item").alias("items"))
     )
-    a = blocks.select(F.col("bid").alias("bid_a"), F.col("items").alias("items_a"))
-    b = blocks.select(F.col("bid").alias("bid_b"), F.col("items").alias("items_b"))
-    grid = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+    # unordered block-pair grid as an EQUI join (a non-equi
+    # bid_a <= bid_b join plans as BroadcastNestedLoopJoin, which
+    # replicates the block payloads; the explicit pair list keeps both
+    # sides hash-joinable and the pair table is tiny: B(B+1)/2 rows)
+    pair_rows = [
+        (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    ]
+    grid_keys = df.sparkSession.createDataFrame(
+        pair_rows, "bid_a int, bid_b int"
+    )
+    a = blocks.select(
+        F.col("bid").cast("int").alias("bid_a"),
+        F.col("items").alias("items_a"),
+    )
+    b = blocks.select(
+        F.col("bid").cast("int").alias("bid_b"),
+        F.col("items").alias("items_b"),
+    )
+    grid = grid_keys.join(a, "bid_a").join(b, "bid_b")
 
     thr = threshold
 

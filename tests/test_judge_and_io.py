@@ -186,3 +186,23 @@ def test_variable_length_paths(spark):
         ).count()
         == 1
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-record debug diff (SURVEY §5, src/debug.py parity)
+# ---------------------------------------------------------------------------
+
+@needs_ref
+def test_debug_record(spark):
+    from odsc_agentic_ai_summit_2025_spark.llm.debug import debug_record
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import build_graph
+    from odsc_agentic_ai_summit_2025_spark.schemas import EXTRACTED_FHIR, NOTES
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_json_records
+
+    notes = read_json_records(spark, "/root/reference/data/note.json", NOTES)
+    gold = read_json_records(spark, EXTRACTED, EXTRACTED_FHIR)
+    d = debug_record(notes, gold, 45, graph=build_graph(gold))
+    assert "Marisol" in d["note"]
+    assert d["extracted"]["name"]["family"] == "Rodríguez"
+    assert d["graph"]["patient"][0]["surname"] == "Rodríguez"
+    assert any(e for e in d["graph"]["edges"]["experiences"])
