@@ -146,18 +146,37 @@ _DATE_ISO_RE = re.compile(r"(\d{4}-\d{2}-\d{2})")
 _YEAR_ONLY_RE = re.compile(r"\b(1[89]\d{2}|20\d{2})\b")
 _PHONE_RE = re.compile(r"(\d{3}-\d{3}-\d{4})")
 _EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")
-# "<street number> <Name Words...>, <City>, <State> [... <zip>]"
-_STREET = r"\d{1,5}\s+[A-Z][\w'’-]*(?:\s+[A-Z0-9][\w'’-]*)*"
+# "<street number> <Name Words...>[, Unit N], <City>, <State> [... <zip>]"
+# (tokens allow lowercase: a handful of notes are entirely lowercase)
+_STREET = (
+    r"\d{1,5}[^\S\n]+[A-Za-z][\w'’-]*(?:[^\S\n]+[A-Za-z0-9][\w'’.-]*){0,5}"
+    r"(?:,?[^\S\n]*(?i:unit|suite|apt\.?)[^\S\n]*\w+)?"
+)
 _ADDR_RE = re.compile(
     rf"({_STREET})(?:,| in)\s*"
-    r"([A-Z][a-zA-Z]+(?:\s[A-Z][a-zA-Z]+)*),\s*"
-    r"([A-Z][a-z]+(?:\s[A-Z][a-z]+)*)"
+    r"([A-Za-z][\w'’-]*(?:[^\S\n][A-Za-z][\w'’-]*){0,3}),\s*"
+    r"([A-Za-z]+(?:[^\S\n][A-Za-z]+)*)"
     r"(?:[^\d]{0,30}?(\d{5}))?"
+)
+# a street match is the PATIENT's only in a residence context; street
+# matches inside facility/visit sentences are the hospital's address
+# (the gold leaves patient address null there)
+_RESIDENCE_RE = re.compile(
+    r"(?i)resid|lives?|living|home|address|hails|domicil|dwell|stay"
+)
+_FACILITY_RE = re.compile(
+    r"(?i)hospital|clinic|cent(?:er|re)|medical|facility|visit|encounter"
+    r"|rehab|practice|office"
 )
 # composite fallback parts when the pieces are scattered across
 # sentences ("his residence is at 1048 Koepp Flat, with the postal
-# code 02116"; "from Salem, Massachusetts")
-_STREET_ONLY_RE = re.compile(rf"(?:at|of|is)\s+({_STREET})")
+# code 02116"; "from Salem, Massachusetts"). The street-only branch
+# fires only on an explicit residence phrase — an untriggered
+# number+words pattern matches prose like "3 on a scale of 0 to 10".
+_STREET_ONLY_RE = re.compile(
+    rf"(?i:home|resides?|residence|address|living|lives|hails)"
+    rf"\D{{0,25}}?(?:at|is|of|from)?\s+({_STREET})"
+)
 _CITY_STATE_RE = re.compile(
     r"(?:from|in|of)\s+([A-Z][a-z]+(?:\s[A-Z][a-z]+)*),\s*"
     r"([A-Z][a-z]+(?:\s[A-Z][a-z]+)*)"
@@ -285,18 +304,29 @@ class MockLLMClient:
         addr = None
         from .eval_states import STATE_NAMES
 
+        # full state names only: facility addresses in the notes use
+        # "MA"-style abbreviations, patient residences the full name —
+        # accepting abbreviations was measured to ADD false positives
+        _lower_states = {s.lower() for s in STATE_NAMES}
+        best = fallback = None
         for am in _ADDR_RE.finditer(note):
             state = am.group(3).strip()
-            if state not in STATE_NAMES:
+            if state.lower() not in _lower_states:
                 continue
-            addr = {
-                "line": am.group(1).strip(),
+            ctx = note[max(0, am.start() - 90): am.start()]
+            cand = {
+                "line": am.group(1).strip().rstrip(","),
                 "city": am.group(2).strip(),
                 "state": state,
                 "postalCode": am.group(4),
                 "country": "US",
             }
-            break
+            if _RESIDENCE_RE.search(ctx) and not _FACILITY_RE.search(ctx):
+                best = cand
+                break
+            if fallback is None:
+                fallback = cand
+        addr = best or fallback
         if addr is None:
             cs = next(
                 (
@@ -306,7 +336,16 @@ class MockLLMClient:
                 ),
                 None,
             )
-            st = _STREET_ONLY_RE.search(note)
+            st = next(
+                (
+                    m
+                    for m in _STREET_ONLY_RE.finditer(note)
+                    if not _FACILITY_RE.search(
+                        note[max(0, m.start() - 90): m.start()]
+                    )
+                ),
+                None,
+            )
             if cs or st:
                 zm = _ZIP_RE.search(note)
                 addr = {
