@@ -108,16 +108,18 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     Output: [user_id, session_seq, session_start, session_end,
     n_events] — session_seq is 1-based per user.
     """
-    gap_s = _interval_seconds(gap)
+    gap_us = _interval_seconds(gap) * 1_000_000
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     marked = events.withColumn(
         "_new",
         # >= : an event exactly `gap` after the previous one starts a
-        # new session, matching session_window's exclusive window end
+        # new session, matching session_window's exclusive window end.
+        # Microsecond arithmetic: casting to long truncates to seconds
+        # and mis-classifies gaps within 1s of the timeout.
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
-            >= gap_s,
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            >= gap_us,
             1,
         )
         .otherwise(0)
