@@ -160,6 +160,80 @@ def sessionize_stream(
     )
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Batch definition of the per-user lifetime aggregate:
+    [user_id, n_events, total_value] (exact decimal sum)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def user_running_totals_stream(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Custom stateful streaming twin via ``applyInPandasWithState``:
+    one state cell per user carrying (n, exact-decimal total),
+    updated per micro-batch in Arrow batches.
+
+    This is the template for any custom stateful operator Spark lacks
+    natively (running dedup sets, session carts, feature windows):
+    group state is bounded by key cardinality, not stream length, and
+    the per-batch update is vectorized pandas. State here never
+    expires (lifetime totals) — put a timeout on the state when the
+    key space is unbounded.
+    """
+    from decimal import Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total_micros", T.LongType()),  # exact µ-units
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total_micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer accumulation of value in micro-units:
+            # double-sum order varies by batch; integers don't
+            total_micros += int(
+                sum(int(round(v * 1_000_000)) for v in pdf["value"])
+            )
+        state.update((n, total_micros))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_micros / 1_000_000],
+            }
+        )
+
+    stream = _read_events_stream(spark, events_path)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _interval_seconds(interval: str) -> int:
     qty, unit = interval.split()
     mult = {

@@ -153,3 +153,37 @@ def test_sessionize_stream_parity(spark, sf_dir, events_stream_dir):
     b = sorted(map(tuple, batch.collect()))
     s = sorted(map(tuple, got.collect()))
     assert b == s
+
+
+def test_stateful_running_totals_parity(spark, sf_dir, events_stream_dir):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        user_running_totals,
+        user_running_totals_stream,
+    )
+
+    batch = user_running_totals(read_table(spark, sf_dir, "events"))
+    stream = user_running_totals_stream(spark, events_stream_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("urt_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per micro-batch; the LAST row
+    # per user is the final state (single batch here → exactly one)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("urt_stream").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, tot) in want.items():
+        gn, gtot = got[uid]
+        assert gn == n, uid
+        assert abs(gtot - tot) < 1e-9, (uid, gtot, tot)
