@@ -61,6 +61,14 @@ def embed(
     """
     from pyspark.sql import types as T
 
+    from ..sources.io import ensure_min_partitions
+
+    # fan out BEFORE the tokenize+hash projection: on an under-split
+    # input both the JVM expression and the Arrow kernel would
+    # otherwise run on one core (the exchange sits above any project
+    # added after it, so ordering here decides where the work lands)
+    df = ensure_min_partitions(df)
+
     h = lambda t: F.xxhash64(t)
     contrib = F.transform(
         tokens(F.col(text_col)),

@@ -61,7 +61,11 @@ def extract_fhir(
                 {f.name: [r.get(f.name) for r in rows] for f in EXTRACTED_FHIR.fields}
             )
 
-    return notes.select("record_id", "note").mapInPandas(run, EXTRACTED_FHIR)
+    from ..sources.io import ensure_min_partitions
+
+    return ensure_min_partitions(
+        notes.select("record_id", "note")
+    ).mapInPandas(run, EXTRACTED_FHIR)
 
 
 def guarded_extract_fhir(

@@ -112,7 +112,15 @@ def ivf_build(
         list(corpus.schema.fields)
         + [T.StructField("cluster_id", T.IntegerType())]
     )
-    assigned = corpus.mapInPandas(assign, out_schema)
+    from ..sources.io import ensure_min_partitions
+
+    # An IVF index is a MATERIALIZED artifact: at scale `assigned` is
+    # written out partitioned by cluster_id (see module docstring); the
+    # in-memory analog is persist(), which also keeps a search from
+    # re-running the assignment kernel per action.
+    assigned = (
+        ensure_min_partitions(corpus).mapInPandas(assign, out_schema).persist()
+    )
     return IvfIndex(centroids, assigned, vec_col, id_col)
 
 

@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.io import ensure_min_partitions
+
 MEDIA_META = T.StructType(
     [
         T.StructField("kind", T.StringType()),        # image|audio|video
@@ -127,7 +129,7 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, out_schema)
+    return ensure_min_partitions(media).mapInPandas(run, out_schema)
 
 
 def byte_histogram(media: DataFrame, n_bins: int = N_HIST_BINS) -> DataFrame:
@@ -157,7 +159,7 @@ def byte_histogram(media: DataFrame, n_bins: int = N_HIST_BINS) -> DataFrame:
                 feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return media.mapInPandas(run, out_schema)
+    return ensure_min_partitions(media).mapInPandas(run, out_schema)
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -185,7 +187,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 rows.append((mid, src[idx].tobytes(), meta))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
-    return media.mapInPandas(run, MEDIA_SCHEMA)
+    return ensure_min_partitions(media).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int) -> DataFrame:

@@ -187,8 +187,10 @@ def knn_bruteforce(
                     }
                 )
 
-    cand = corpus.select(
-        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    from ..sources.io import ensure_min_partitions
+
+    cand = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
     ).mapInPandas(local_topk, "q_id long, n_id long, cos double")
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Fresh python worker per task: with reuse on, Spark 4.1's
+        # idle-worker pool intermittently hands later Arrow stages a
+        # stale worker whose handshake stalls the whole stage 10-30 s
+        # (measured: a kNN query after an IVF query went 5 s → 15-36 s;
+        # reuse=false removes the stall for a ~100 ms/task fork cost,
+        # noise for the seconds-long kernel tasks this engine runs).
+        .config("spark.python.worker.reuse", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -60,6 +60,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(path)
 
 
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Fan a kernel stage's input out to at least ``min_parts`` splits.
+
+    Arrow kernels (``mapInPandas`` / pandas UDF stages) inherit the
+    upstream split count; a small or single-row-group parquet file
+    pins the whole CPU-bound Python stage to ONE core regardless of
+    cluster size. At real scale inputs arrive in many splits and this
+    is a NO-OP (the partition count is read from the lazy RDD plan —
+    no job runs); only an under-split input pays one round-robin
+    shuffle, which is narrow data next to the kernel compute it
+    unlocks. Kernels here are row-local, so round-robin placement
+    cannot change any result.
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
+
+
 def register_testdata(spark: SparkSession, sf_dir: str, tables=None) -> None:
     """Register testdata tables as temp views for the SQL entry points."""
     for name in tables or TESTDATA:
