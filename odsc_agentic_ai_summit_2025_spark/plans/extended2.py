@@ -1,0 +1,333 @@
+"""Second extension batch: windowed analytics, skew-safe aggregation,
+exact moment statistics, document chunking, interval joins, and
+sketch aggregates — operators a 100 TB training-data pipeline leans
+on daily, each expressed so the DuckDB oracle reproduces it exactly.
+
+Determinism notes (registry conventions apply):
+- Rolling sums/deciles ride on exact DECIMAL accumulation; doubles
+  only at the output boundary.
+- q60 derives corr/stddev from exact decimal moment sums with an
+  explicit, identically-parenthesized double formula in both engines
+  (never the engines' own one-pass corr(), whose accumulation order
+  is partition-dependent).
+- q57 (HLL sketch) has no oracle: Spark's HyperLogLog++ and DuckDB's
+  sketch differ by construction; the rows-only gate plus a pytest
+  error-bound against the exact count cover it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators.rangejoin import window_count
+from ..sources.io import read_table
+from .registry import Query
+
+
+# ---------------------------------------------------------------------------
+# q55 — 7-day rolling revenue (RANGE window over day numbers)
+# ---------------------------------------------------------------------------
+
+def q55_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+    ).withColumn(
+        "day_no", F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day_no")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        F.col("rev_d").cast("double").alias("day_rev"),
+        F.sum("rev_d").over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days_7d"),
+    )
+
+
+Q55_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_no
+  FROM orders GROUP BY 1, 2, 4)
+SELECT o_orderpriority, day,
+       CAST(rev_d AS DOUBLE) AS day_rev,
+       CAST(SUM(rev_d) OVER (
+         PARTITION BY o_orderpriority ORDER BY day_no
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+       COUNT(*) OVER (
+         PARTITION BY o_orderpriority ORDER BY day_no
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days_7d
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# q56 — decile stats (ntile over a total order)
+# ---------------------------------------------------------------------------
+
+def q56_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+Q56_SQL = """
+SELECT o_orderpriority, decile, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 — HLL approx distinct beside the exact count (rows-only: sketch
+# internals are engine-specific by construction)
+# ---------------------------------------------------------------------------
+
+def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — corpus heavy hitters (document frequency ≥ 5%)
+# ---------------------------------------------------------------------------
+
+def q58_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # total is one row — broadcast; threshold as exact integer algebra
+    return (
+        dfc.crossJoin(F.broadcast(total))
+        .filter(F.col("df") * 20 >= F.col("n_docs"))
+        .select("tok", "df")
+    )
+
+
+Q58_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+  FROM documents),
+dfc AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tok, df FROM dfc, n WHERE df * 20 >= n_docs
+"""
+
+
+# ---------------------------------------------------------------------------
+# q59 — salted two-phase aggregation (skew-safe; result ≡ plain GROUP BY)
+# ---------------------------------------------------------------------------
+
+def q59_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum per supplier via an explicit salt: shuffle 1 spreads any
+    hot key over 16 sub-keys, shuffle 2 combines 16 tiny partials.
+    Decimal partials make the two-phase result bit-identical to the
+    direct aggregation (the oracle), so the skew-mitigation shape is
+    verified, not just trusted. (AQE skew handling covers sort-merge
+    joins; pre-aggregation salting is the portable recipe for skewed
+    groupBys and is what you'd reach for on a 100 TB hot-key table.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_suppkey", "_salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+        F.count(F.lit(1)).alias("pn"),
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.sum("pn").alias("n_items"),
+    )
+
+
+Q59_SQL = """
+SELECT l_suppkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q60 — correlation / stddev from exact decimal moments
+# ---------------------------------------------------------------------------
+
+def q60_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    )
+    std_x = F.sqrt((n * sx2 - sx * sx) / (n * (n - F.lit(1.0))))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 2).alias("mean_qty"),
+        F.round(std_x, 4).alias("std_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+Q60_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dsx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS dsx2,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy2
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n,
+       ROUND(CAST(dsx AS DOUBLE) / CAST(n AS DOUBLE), 2) AS mean_qty,
+       ROUND(SQRT((CAST(n AS DOUBLE) * CAST(dsx2 AS DOUBLE)
+                   - CAST(dsx AS DOUBLE) * CAST(dsx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 4) AS std_qty,
+       ROUND((CAST(n AS DOUBLE) * CAST(dsxy AS DOUBLE)
+              - CAST(dsx AS DOUBLE) * CAST(dsy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(dsx2 AS DOUBLE)
+                     - CAST(dsx AS DOUBLE) * CAST(dsx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(dsy2 AS DOUBLE)
+                       - CAST(dsy AS DOUBLE) * CAST(dsy AS DOUBLE))), 6) AS corr_qty_price
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# q61 — sliding-window document chunking (RAG ingestion shape)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def q61_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunks per document (size 32, stride 24) —
+    the standard embed-ingestion splitter, as pure array algebra: one
+    tokenize, per-row ``sequence`` of chunk starts, explode + slice.
+    Map-only (no shuffle); chunk ids are derived, not assigned."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"), F.explode(starts).alias("_s"))
+        .select(
+            "doc_id",
+            (F.col("_s") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_s") + 1, CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("_toks"), F.col("_s") + 1, CHUNK_SIZE)).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+
+
+Q61_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS st
+  FROM t)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       array_to_string(toks[st + 1 : st + {CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(len(toks[st + 1 : st + {CHUNK_SIZE}]) AS INT) AS n_chunk_tokens
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q62 — interval join: clicks in the hour before each purchase
+# ---------------------------------------------------------------------------
+
+def q62_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    return window_count(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="cts",
+        lower_s=-3600, upper_s=0, count_col="n_clicks_1h",
+    ).select("event_id", "user_id", "n_clicks_1h")
+
+
+Q62_SQL = """
+SELECT p.event_id, p.user_id, COUNT(c.user_id) AS n_clicks_1h
+FROM (SELECT event_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+GROUP BY 1, 2
+"""
+
+
+QUERIES = [
+    Query("q55_rolling_revenue", q55_rolling_revenue, Q55_SQL,
+          ("A3", "O1"), "7-day rolling revenue via RANGE window"),
+    Query("q56_decile_stats", q56_decile_stats, Q56_SQL,
+          ("A3", "O2"), "ntile deciles over a total order"),
+    Query("q57_approx_distinct", q57_approx_distinct, None,
+          ("A4",), "HLL approx distinct beside exact (rows-only)"),
+    Query("q58_heavy_hitters", q58_heavy_hitters, Q58_SQL,
+          ("A10", "F6"), "document-frequency heavy hitters"),
+    Query("q59_salted_agg", q59_salted_agg, Q59_SQL,
+          ("A1", "A3"), "salted two-phase aggregation (skew-safe)"),
+    Query("q60_corr_moments", q60_corr_moments, Q60_SQL,
+          ("A3",), "corr/stddev from exact decimal moments"),
+    Query("q61_chunk_docs", q61_chunk_docs, Q61_SQL,
+          ("multimodal", "V1"), "sliding-window document chunking"),
+    Query("q62_window_join", q62_window_join, Q62_SQL,
+          ("J3", "streaming"), "bucketed interval join (clicks before purchase)"),
+]
