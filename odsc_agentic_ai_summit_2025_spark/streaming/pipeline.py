@@ -160,6 +160,56 @@ def sessionize_stream(
     )
 
 
+def interval_join_pairs(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """Batch definition: (purchase, click) pairs where the click lands
+    in the hour before the purchase — the pair-level core of q62,
+    via the bucketed equi plan in ``operators/rangejoin.py``."""
+    from ..operators.rangejoin import interval_join
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    return interval_join(
+        purchases, clicks, on="user_id", left_ts="pts", right_ts="cts",
+        lower_s=-window_s, upper_s=0, how="inner",
+    ).select("purchase_id", "user_id", "cts")
+
+
+def interval_join_stream(
+    spark: SparkSession,
+    events_path: str,
+    window_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin: native stream-stream interval join. Watermarks
+    on both sides + the time-range predicate bound the join state —
+    Spark evicts a buffered click once no future purchase can reach
+    back to it. Same output as :func:`interval_join_pairs` once the
+    source drains."""
+    stream = _read_events_stream(spark, events_path)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts"))
+        .withWatermark("pts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+        .withWatermark("cts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user AND cts >= pts - INTERVAL {window_s} SECOND "
+            "AND cts < pts"
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "cts")
+
+
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Batch definition of the per-user lifetime aggregate:
     [user_id, n_events, total_value] (exact decimal sum)."""

@@ -155,6 +155,29 @@ def test_sessionize_stream_parity(spark, sf_dir, events_stream_dir):
     assert b == s
 
 
+def test_interval_join_stream_parity(spark, sf_dir, events_stream_dir):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        interval_join_pairs,
+        interval_join_stream,
+    )
+
+    batch = interval_join_pairs(read_table(spark, sf_dir, "events"))
+    stream = interval_join_stream(spark, events_stream_dir)
+    # stream-stream joins only support append output mode
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ij_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, spark.table("ij_stream").collect()))
+    assert b == s
+
+
 def test_stateful_running_totals_parity(spark, sf_dir, events_stream_dir):
     from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
     from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
