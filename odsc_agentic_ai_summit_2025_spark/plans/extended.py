@@ -141,8 +141,8 @@ WITH ordered AS (
   FROM events),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
   FROM ordered)
 SELECT user_id, session_seq,
        MIN(ts) AS session_start, MAX(ts) AS session_end,

@@ -536,7 +536,7 @@ def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q21_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY 1
 """
