@@ -4,18 +4,28 @@ ollama/nomic-embed-text).
 
 Tests must be reproducible without a model server (SURVEY §7 tier B),
 so the default embedder is a **feature-hashing bag-of-words**: token →
-``xxhash64`` bucket in [0, dim), sign ±1 from a second bit of the same
-hash, summed per bucket, then L2-normalized. Properties that matter:
+polynomial-hash bucket in [0, dim), sign ±1 from the next bit-range of
+the same hash, summed per bucket, then L2-normalized. Properties that
+matter:
 
-- Map-only and shuffle-free: token hashing is JVM-side codegen, the
-  per-row scatter-add is one vectorized ``np.bincount`` per Arrow
-  batch. The reduction is an integer-weighted sum — order-free, so
-  vectors are deterministic under any partitioning. (Both an
-  explode→groupBy formulation — two shuffles — and a per-row
-  ``transform(sequence(0,dim))`` fold — O(dim·tokens) interpreted
-  evals — were measured slower by 2× and 100×.)
+- Map-only and shuffle-free: token hashing is JVM-side (higher-order
+  ``aggregate`` fold), the per-row scatter-add is one vectorized
+  ``np.bincount`` over the whole Arrow batch. The reduction is an
+  integer-weighted sum — order-free, so vectors are deterministic
+  under any partitioning. (Both an explode→groupBy formulation — two
+  shuffles — and a per-row ``transform(sequence(0,dim))`` fold —
+  O(dim·tokens) interpreted evals — were measured slower by 2× and
+  100×.)
+- ENGINE-PORTABLE: the token hash is the repo's own
+  ``char_poly_hash`` (functions/text.py), which has an exact DuckDB
+  twin (``char_poly_hash_sql``) — so the whole embed→kNN pipeline is
+  oracle-checkable (plans/extended.py Q51_SQL), unlike the previous
+  ``xxhash64`` variant whose hash exists only inside Spark.
 - The exact same expression embeds a 100 TB corpus and a single query
   row, so query/document vectors agree bit-for-bit by construction.
+- All arithmetic that feeds the L2 norm is exact-integer-in-double
+  (±1 sums, squares of integers), so the normalization divisor is
+  bit-identical in any engine and under any partition order.
 - Cosine over these vectors ≈ token-overlap similarity, which is all
   the correctness suite needs from retrieval ranking.
 
@@ -28,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .text import HASH_MOD, char_poly_hash
 
 DEFAULT_DIM = 64
 TOKEN_PATTERN = r"[a-z0-9]+"
@@ -49,10 +61,12 @@ def embed(
     V1 as an explicit column op (S8: LanceDB's implicit
     embed-on-insert becomes embed + write). Two-stage, SHUFFLE-FREE:
 
-    1. JVM side: tokenize and hash each token to its (bucket, sign)
-       pair with ``xxhash64`` — one array column, whole-stage codegen.
-    2. Arrow batch side: per-row ``np.bincount`` scatter-add into the
-       dense vector + L2 normalize — vectorized, row-local.
+    1. JVM side: tokenize, then one polynomial-hash fold per token
+       (``char_poly_hash``); bucket = h mod dim, sign from the next
+       bit range ((h div dim) mod 2). One fold serves both outputs.
+    2. Arrow batch side: a single ``np.bincount`` over the whole
+       batch (composite key row·dim + bucket) scatter-adds every
+       token of every row at once, then one vectorized L2 normalize.
 
     No explode, no groupBy: the operator is map-only, so it pipelines
     into whatever shuffle the downstream plan needs. Sums are exact
@@ -69,17 +83,25 @@ def embed(
     # added after it, so ordering here decides where the work lands)
     df = ensure_min_partitions(df)
 
-    h = lambda t: F.xxhash64(t)
-    contrib = F.transform(
-        tokens(F.col(text_col)),
-        lambda t: F.struct(
-            F.pmod(h(t), F.lit(dim)).cast("int").alias("b"),
-            (F.pmod(F.shiftright(h(t), 8), F.lit(2)) * 2 - 1)
-            .cast("double")
-            .alias("s"),
-        ),
+    # hash once per token, then derive (bucket, sign) from the hash
+    # array — two cheap array traversals instead of two char folds
+    hashes = F.transform(tokens(F.col(text_col)), lambda t: char_poly_hash(t))
+    # (h - h%dim)/dim is an exact integer ≤ HASH_MOD/dim, so the
+    # double division below is exact (IEEE: exact when the true
+    # quotient is representable); DuckDB twin is plain `h // dim`
+    buckets = F.transform(hashes, lambda h: F.pmod(h, F.lit(dim)).cast("int"))
+    signs = F.transform(
+        hashes,
+        lambda h: (
+            F.pmod(
+                ((h - F.pmod(h, F.lit(dim))) / F.lit(dim)).cast("long"),
+                F.lit(2),
+            )
+            * 2
+            - 1
+        ).cast("double"),
     )
-    with_contrib = df.withColumn("_contrib", contrib)
+    with_contrib = df.withColumn("_b", buckets).withColumn("_s", signs)
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -88,21 +110,62 @@ def embed(
 
     def densify(batches):
         import numpy as np
-        import pandas as pd
+        import pandas as pd  # noqa: F401
 
         for pdf in batches:
-            vecs = []
-            for cs in pdf["_contrib"]:
-                if len(cs):
-                    b = np.fromiter((c["b"] for c in cs), dtype=np.int64)
-                    s = np.fromiter((c["s"] for c in cs), dtype=np.float64)
-                    v = np.bincount(b, weights=s, minlength=dim)
-                    nrm = np.sqrt((v * v).sum())
-                    vecs.append((v / nrm if nrm else v).tolist())
-                else:
-                    vecs.append([0.0] * dim)
-            out = pdf.drop(columns=["_contrib"])
-            out[out_col] = vecs
+            n = len(pdf)
+            if n == 0:
+                continue
+            cells_b = [np.asarray(c, dtype=np.int64) for c in pdf["_b"]]
+            lengths = np.fromiter(map(len, cells_b), dtype=np.int64, count=n)
+            if lengths.sum():
+                flat_b = np.concatenate(cells_b)
+                flat_s = np.concatenate(
+                    [np.asarray(c, dtype=np.float64) for c in pdf["_s"]]
+                )
+                row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+                v = np.bincount(
+                    row_idx * dim + flat_b, weights=flat_s, minlength=n * dim
+                ).reshape(n, dim)
+            else:
+                v = np.zeros((n, dim))
+            nrm = np.sqrt((v * v).sum(axis=1, keepdims=True))
+            np.divide(v, nrm, out=v, where=nrm > 0)
+            out = pdf.drop(columns=["_b", "_s"])
+            out[out_col] = list(v)
             yield out
 
     return with_contrib.mapInPandas(densify, out_schema)
+
+
+def embed_sql_vector_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+) -> str:
+    """DuckDB CTE body reproducing :func:`embed` as a sparse
+    ``(id, bucket, weight)`` relation named ``vec`` — the oracle-side
+    twin used by Q51_SQL. Weights are the L2-normalized components;
+    buckets absent from ``vec`` are exact zeros."""
+    from .text import char_poly_hash_sql
+
+    poly = char_poly_hash_sql("t")
+    return f"""
+tok AS (
+  SELECT {id_col} AS id, unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS t
+  FROM {table}),
+hb AS (
+  SELECT id,
+         CAST(h % {dim} AS INT) AS b,
+         CAST((h // {dim}) % 2 * 2 - 1 AS DOUBLE) AS s
+  FROM (SELECT id, {poly} AS h FROM tok)),
+acc AS (SELECT id, b, SUM(s) AS w FROM hb GROUP BY 1, 2),
+nrm AS (SELECT id, sqrt(SUM(w * w)) AS nn FROM acc GROUP BY 1),
+vec AS (SELECT a.id, a.b, a.w / n.nn AS w
+        FROM acc a JOIN nrm n ON a.id = n.id AND n.nn > 0)
+""".strip()
+
+
+# silence linters: HASH_MOD is part of the documented contract above
+_ = HASH_MOD

@@ -73,17 +73,20 @@ class HybridRag:
         # retrieval artifacts — they serve every question.
         self.notes = embed(notes, "note", "vector", dim).cache()
         # FTS index built ONCE (generate_note_embeddings.py:49); every
-        # ask() only scores its own query-term slice
+        # ask() only scores its own query-term slice. Index and query
+        # share ONE normalization (lowercase alnum runs) — a raw
+        # whitespace index is case/punctuation-sensitive, so lowercased
+        # query terms would miss capitalized entity terms ('Rosenbaum')
+        # and hybrid retrieval silently degrades to vector-only.
         self.fts_index = fts.build_fts_index(
-            self.notes, "note", "record_id", cache=True
+            self.notes, "note", "record_id", cache=True,
+            tokenizer=fts.normalized_tokens,
         )
 
     # -- vector branch (rag.py:83-96) --------------------------------------
     def _vector_context(self, entities: list[dict[str, str]]) -> DataFrame:
         query_text = " ".join(e["value"] for e in entities)
-        terms = [
-            t for t in query_text.lower().split() if t
-        ]
+        terms = fts.normalize_query_terms(query_text)
         bm = fts.bm25_topk_indexed(self.fts_index, terms, k=20)
         qdf = embed(
             self.spark.createDataFrame(

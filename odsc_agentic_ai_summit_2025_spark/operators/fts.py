@@ -19,9 +19,10 @@ against doc stats — broadcast the term slice, never the postings.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -30,44 +31,76 @@ K1 = 1.2
 B = 0.75
 RRF_K = 60
 
+Tokenizer = Callable[[Column], Column]
+
+
+def normalized_tokens(col: Column) -> Column:
+    """Lowercase alnum-run tokenizer — the normalization-shared
+    variant for serving paths (HybridRag applies the same rule to
+    query terms, so 'Rosenbaum' in a note matches 'rosenbaum' in a
+    question; with the raw whitespace tokenizer the BM25 branch
+    silently missed every capitalized/punctuated entity term)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+"), 0)
+
+
+def normalize_query_terms(text: str) -> list[str]:
+    """Driver-side twin of :func:`normalized_tokens` for query
+    strings — one shared rule for index build and query."""
+    import re
+
+    return re.findall(r"[a-z0-9]+", text.lower())
+
 
 @dataclass
 class FtsIndex:
     """The persisted form of the FTS index: postings + doc lengths +
-    corpus stats. Build once, serve every query (the reference builds
-    its FTS index once at ingest, generate_note_embeddings.py:49)."""
+    per-term document frequency + corpus stats. Build once, serve
+    every query (the reference builds its FTS index once at ingest,
+    generate_note_embeddings.py:49). df(term) is a build-time member
+    so serving never re-aggregates the full postings per query."""
 
     postings: DataFrame  # [term, doc, tf]
     dls: DataFrame       # [doc, dl]
+    dfreq: DataFrame     # [term, df]
     n_docs: int
     avgdl: float
 
 
 def build_fts_index(
-    docs: DataFrame, text_col: str, id_col: str, cache: bool = False
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    cache: bool = False,
+    tokenizer: Tokenizer = tokens,
 ) -> FtsIndex:
-    postings = build_postings(docs, text_col, id_col)
-    dls = doc_lengths(docs, text_col, id_col)
+    postings = build_postings(docs, text_col, id_col, tokenizer)
+    dls = doc_lengths(docs, text_col, id_col, tokenizer)
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if cache:
         postings = postings.cache()
         dls = dls.cache()
+        dfreq = dfreq.cache()
     n_docs = docs.count()
     sum_dl = dls.agg(F.sum("dl")).collect()[0][0]
-    return FtsIndex(postings, dls, n_docs, sum_dl / n_docs)
+    return FtsIndex(postings, dls, dfreq, n_docs, sum_dl / n_docs)
 
 
-def build_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def build_postings(
+    docs: DataFrame, text_col: str, id_col: str, tokenizer: Tokenizer = tokens
+) -> DataFrame:
     """[term, doc_id, tf] — term frequency per document."""
     return (
-        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        docs.select(F.col(id_col).alias("doc"), F.explode(tokenizer(F.col(text_col))).alias("term"))
         .groupBy("term", "doc")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
-def doc_lengths(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def doc_lengths(
+    docs: DataFrame, text_col: str, id_col: str, tokenizer: Tokenizer = tokens
+) -> DataFrame:
     return docs.select(
-        F.col(id_col).alias("doc"), F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+        F.col(id_col).alias("doc"), F.size(tokenizer(F.col(text_col))).cast("long").alias("dl")
     )
 
 
@@ -102,12 +135,19 @@ def bm25_scores_indexed(
     postings, dls = index.postings, index.dls
     n_docs, avgdl = index.n_docs, index.avgdl
 
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = F.array(*[F.lit(t) for t in query_terms])
 
+    # df(term) comes from the index (computed once at build); only the
+    # query-term slice of it joins here, and that slice is tiny →
+    # broadcast, so serving touches no postings-wide aggregate
     hit = (
         postings.filter(F.array_contains(qterms, F.col("term")))
-        .join(dfreq, "term")
+        .join(
+            F.broadcast(
+                index.dfreq.filter(F.array_contains(qterms, F.col("term")))
+            ),
+            "term",
+        )
         .join(dls, "doc")
     )
     idf = F.log(

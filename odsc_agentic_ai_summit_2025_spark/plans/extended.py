@@ -9,8 +9,9 @@ Oracle notes:
 - q47 runs IVF with nprobe = k_clusters, which is exhaustive search —
   bit-identical to the brute-force oracle while still exercising the
   two-stage probe/scan plan.
-- q51 has no oracle: its vectors come from xxhash64 feature hashing,
-  which DuckDB cannot reproduce; the driver records a rows-only check.
+- q51's vectors come from char_poly_hash feature hashing, which has
+  an exact DuckDB twin — the oracle rebuilds the sparse normalized
+  vectors in SQL (functions/embedder.py:embed_sql_vector_cte).
 """
 
 from __future__ import annotations
@@ -218,8 +219,11 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# q51 — embedding pipeline end-to-end (V1 + V2; rows-only: xxhash64
-# vectors are not reproducible in DuckDB)
+# q51 — embedding pipeline end-to-end (V1 + V2). The embedder hashes
+# tokens with the repo's own char_poly_hash, which has an exact DuckDB
+# twin — so the full embed→kNN pipeline is oracle-checked: the oracle
+# rebuilds the sparse normalized vectors in SQL and ranks by the same
+# cosine (dot of L2-normalized vectors; missing bucket overlap ≡ 0).
 # ---------------------------------------------------------------------------
 
 def q51_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +238,29 @@ def q51_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_bruteforce(
         vecs, queries, "vector", "doc_id", "doc_id", k=5, exclude_self=True
     )
+
+
+def _q51_sql() -> str:
+    from ..functions.embedder import embed_sql_vector_cte
+
+    return f"""
+WITH {embed_sql_vector_cte()},
+grid AS (SELECT q.doc_id AS q_id, d.doc_id AS n_id
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 3) q,
+              (SELECT doc_id FROM documents) d
+         WHERE d.doc_id != q.doc_id),
+dots AS (SELECT q.id AS q_id, d.id AS n_id, SUM(q.w * d.w) AS cos
+         FROM vec q JOIN vec d ON q.b = d.b
+         WHERE q.id < 3 AND d.id != q.id
+         GROUP BY 1, 2),
+scored AS (SELECT g.q_id, g.n_id, COALESCE(dt.cos, 0.0) AS cos
+           FROM grid g LEFT JOIN dots dt
+             ON g.q_id = dt.q_id AND g.n_id = dt.n_id)
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -327,8 +354,8 @@ QUERIES = [
           ("F4", "L11"), "email masking, pure regex (no UDF)"),
     Query("q50_email_stats", q50_email_stats, Q50_SQL,
           ("F3", "F5"), "email detection + domain extraction"),
-    Query("q51_hash_embed_knn", q51_hash_embed_knn, None,
-          ("V1", "V2"), "hash-embed + exact kNN (rows-only check)"),
+    Query("q51_hash_embed_knn", q51_hash_embed_knn, _q51_sql(),
+          ("V1", "V2"), "hash-embed + exact kNN (portable-hash oracle)"),
     Query("q52_percentiles", q52_percentiles, Q52_SQL,
           ("A3", "F12"), "exact quantiles per group"),
     Query("q53_cube", q53_cube, Q53_SQL,
