@@ -20,7 +20,7 @@ implementations, which normally lean on engine-internal hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import char_poly_hash, unique_tokens
@@ -217,32 +217,67 @@ def jaccard_pairs(
     id_col: str,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram(1) Jaccard over distinct-token sets.
+    """Exact token-set Jaccard-threshold pairs via PREFIX FILTERING.
 
-    explode → equi-join on token → group pair → |A∩B| / |A∪B|.
-    The join key is the token, so hot tokens are the skew axis; at
-    scale, drop top-df tokens first (they carry no signal) — the
-    classic stopword-pruning trick for similarity joins.
+    A raw token-keyed self-join is quadratic in every hot token's
+    document frequency — stopwords make it blow up at scale. The
+    prefix-filter theorem (Chaudhuri et al. / ppjoin) gives a
+    LOSSLESS candidate generator instead: order each document's
+    distinct tokens by global df ascending (rarest first, ties by
+    token), and keep only its first ``|A| - ceil(t·|A|) + 1``
+    tokens. Any pair with J ≥ t must share at least one PREFIX
+    token on both sides, so joining prefixes only misses nothing —
+    while stopwords (max df) sort to the ends of documents and all
+    but vanish from the join key space. Candidates are then verified
+    with the exact intersection on the full distinct-token arrays
+    (JVM-side ``array_intersect``), so the output is identical to
+    the naive all-pairs program (property-tested).
+
+    Shuffle ledger at scale: df census (tok), rank window (doc),
+    prefix self-join (rare toks only), verify joins (doc id) — every
+    key is either a document id or a rare token; no hot-key axis.
     """
     toks = df.select(
         F.col(id_col), F.explode(unique_tokens(F.col(text_col))).alias("tok")
     )
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select(F.col(id_col).alias("a_id"), "tok")
-    b = toks.select(F.col(id_col).alias("b_id"), "tok")
-    inter = (
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = W.partitionBy(id_col).orderBy("_df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("_pos", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    )
+    a = prefix.select(F.col(id_col).alias("a_id"), "tok")
+    b = prefix.select(F.col(id_col).alias("b_id"), "tok")
+    cand = (
         a.join(b, "tok")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("a_id", "b_id")
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("n_b"))
+    # exact verification on full distinct-token arrays (map-only
+    # recompute from the source — cheaper than shipping arrays
+    # through the ranking shuffles)
+    arrs = df.select(
+        F.col(id_col), unique_tokens(F.col(text_col)).alias("_toks")
+    )
+    va = arrs.select(F.col(id_col).alias("a_id"), F.col("_toks").alias("_ta"))
+    vb = arrs.select(F.col(id_col).alias("b_id"), F.col("_toks").alias("_tb"))
     thresh_e4 = int(threshold * 10000)
+    n_inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    n_a = F.size("_ta").cast("long")
+    n_b = F.size("_tb").cast("long")
     union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("n_inter", n_inter)
+        .withColumn("n_a", n_a)
+        .withColumn("n_b", n_b)
         .withColumn(
             # exact fixed-point (×1e4, floor) — engine-portable; IEEE
             # ROUND at half-boundaries is not

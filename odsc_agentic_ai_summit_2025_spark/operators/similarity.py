@@ -1,9 +1,12 @@
 """Similarity search over embedding columns (SURVEY V2/O2 + the
 training-pipeline ANN surface).
 
-- ``embedding_neardup_pairs`` — all-pairs cosine above a threshold.
-  Locally a broadcast self-join; the scale path is LSH bucketing
-  (``lsh_buckets``) so only same-bucket pairs are scored.
+- ``embedding_neardup_pairs`` — EXACT cosine-threshold pairs at
+  sub-quadratic compute: LSH buckets give spatially coherent blocks,
+  each block carries a (centroid, angular radius) summary, and block
+  PAIRS are pruned with a sound spherical-triangle bound — a pair of
+  blocks is skipped only when no member pair can possibly reach the
+  threshold. Surviving pairs run the block-GEMM kernel.
 - ``knn_bruteforce`` — exact top-k neighbors for a query set
   (broadcast queries × corpus, window rank). This is the correctness
   baseline the ANN variants are judged against.
@@ -15,10 +18,43 @@ training-pipeline ANN surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+
+
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG over the
+    dimension index); values in [-1, 1). Shared by ``lsh_buckets``
+    and the near-dup block assignment so bucketing is reproducible
+    run-to-run — required for incremental rebuilds to collide
+    consistently."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        s = seed * 1_000_003 + p * 7919
+        for _ in range(dim):
+            s = (1103515245 * s + 12345) % (2**31)
+            vals.append(s / float(2**30) - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def _lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id of a vector column under fixed planes."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
 
 
 def embedding_neardup_pairs(
@@ -26,18 +62,37 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float,
-    block_size: int = 256,
+    n_planes: int = 6,
+    seed: int = 7,
 ) -> DataFrame:
-    """Pairs (a_id < b_id) with cosine ≥ threshold, via block-GEMM.
+    """Pairs (a_id < b_id) with cosine ≥ threshold — EXACT, via
+    LSH-blocked GEMM with sound block-pair pruning.
 
     A naive pair join materializes O(n²) vector copies and evaluates
-    an interpreted fold per pair — 290 s at a mere 2k vectors. The
-    scalable plan: bucket vectors into blocks, join the (small)
-    block-pair grid, and run one vectorized float64 matmul per block
-    pair inside Arrow-batched ``mapInPandas``. Data shipped is
-    O(n²/B) instead of O(n²·d); compute is BLAS, not per-row lambdas.
-    At 100 TB, feed LSH buckets (``lsh_buckets``) as the blocks so
-    only plausible pairs meet; the kernel below is unchanged.
+    an interpreted fold per pair — 290 s at a mere 2k vectors. And a
+    hash(id)-blocked grid still *computes* every pair (O(n²) GEMM),
+    which is the 100× scale-killer. The plan here:
+
+    1. Block by LSH bucket (sign pattern under ``n_planes`` seeded
+       hyperplanes) — spatially coherent: a block's members span a
+       small angular cap, not the whole sphere.
+    2. One distributed pass computes per-block (centroid, angular
+       radius); the B summaries are collected (B ≤ 2^n_planes, a few
+       KB) and every unordered block pair is tested against the
+       spherical triangle inequality: the angle between any x∈A, y∈B
+       is ≥ angle(cA, cB) − radius(A) − radius(B), so if
+       cos(max(0, θ_AB − rA − rB)) < threshold no pair in A×B can
+       qualify and the pair is pruned — *provably* nothing is missed
+       (small float-safety margins keep the bound conservative).
+    3. Surviving block pairs join their payloads and run one
+       vectorized float64 matmul per pair inside Arrow-batched
+       ``mapInPandas`` — data shipped is O(surviving · block-size),
+       compute is BLAS, not per-row lambdas.
+
+    Random far-apart blocks prune (their bound caps below any real
+    threshold); only angular neighborhoods are scored. Compute now
+    scales with how much of the sphere is actually populated near
+    itself — the property that survives a 100× corpus.
 
     Output is ids only: the threshold sits in a measured gap of the
     score distribution, so last-ulp accumulation differences between
@@ -45,32 +100,84 @@ def embedding_neardup_pairs(
     """
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
-    n = df.count()
-    n_blocks = max(1, -(-n // block_size))
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        return df.sparkSession.createDataFrame([], "a_id long, b_id long")
+    dim = first[0]["d"]
+    planes = _lsh_planes(dim, n_planes, seed)
+    bucket = _lsh_bucket_expr(vec_col, planes)
+
     blocks = (
         df.select(
-            (F.abs(F.hash(F.col(id_col))) % n_blocks).alias("bid"),
+            bucket.alias("bid"),
             F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("item"),
         )
         .groupBy("bid")
         .agg(F.collect_list("item").alias("items"))
     )
+
+    # per-block angular summaries: centroid direction + max member
+    # angle. One grouped pass over (bid, v); the result is ≤ 2^p rows.
+    def block_stats(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.maximum(nrm, 1e-300)
+        c = m.mean(axis=0)
+        cn = np.linalg.norm(c)
+        if cn < 1e-12:
+            # degenerate (members cancel): no useful cap — full radius
+            return pd.DataFrame(
+                {"bid": [pdf["bid"].iloc[0]], "radius": [math.pi]}
+                | {"centroid": [([1.0] + [0.0] * (m.shape[1] - 1))]}
+            )
+        c = c / cn
+        dots = np.clip(m @ c, -1.0, 1.0)
+        radius = float(np.arccos(dots.min())) + 1e-7  # safety margin
+        return pd.DataFrame(
+            {"bid": [pdf["bid"].iloc[0]], "radius": [radius], "centroid": [c.tolist()]}
+        )
+
+    stats = (
+        df.select(bucket.alias("bid"), F.col(vec_col).alias("v"))
+        .groupBy("bid")
+        .applyInPandas(block_stats, "bid long, radius double, centroid array<double>")
+        .collect()
+    )
+
+    import numpy as np
+
+    bids = [r["bid"] for r in stats]
+    radii = np.array([r["radius"] for r in stats])
+    cents = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in stats])
+    theta = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    # sound prune: keep pair unless even the closest possible member
+    # pair (angle θ−rA−rB, floored at 0) falls below the threshold
+    min_angle = np.maximum(theta - radii[:, None] - radii[None, :], 0.0)
+    feasible = np.cos(min_angle) >= threshold - 1e-9
+    pair_rows = [
+        (int(bids[i]), int(bids[j]))
+        for i in range(len(bids))
+        for j in range(i, len(bids))
+        if feasible[i, j]
+    ]
+    if not pair_rows:
+        return df.sparkSession.createDataFrame([], "a_id long, b_id long")
     # unordered block-pair grid as an EQUI join (a non-equi
     # bid_a <= bid_b join plans as BroadcastNestedLoopJoin, which
     # replicates the block payloads; the explicit pair list keeps both
-    # sides hash-joinable and the pair table is tiny: B(B+1)/2 rows)
-    pair_rows = [
-        (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
-    ]
+    # sides hash-joinable and the surviving-pair table is tiny)
     grid_keys = df.sparkSession.createDataFrame(
-        pair_rows, "bid_a int, bid_b int"
+        pair_rows, "bid_a long, bid_b long"
     )
     a = blocks.select(
-        F.col("bid").cast("int").alias("bid_a"),
+        F.col("bid").alias("bid_a"),
         F.col("items").alias("items_a"),
     )
     b = blocks.select(
-        F.col("bid").cast("int").alias("bid_b"),
+        F.col("bid").alias("bid_b"),
         F.col("items").alias("items_b"),
     )
     grid = grid_keys.join(a, "bid_a").join(b, "bid_b")
@@ -91,7 +198,14 @@ def embedding_neardup_pairs(
                 ma /= np.linalg.norm(ma, axis=1, keepdims=True)
                 mb /= np.linalg.norm(mb, axis=1, keepdims=True)
                 sim_mat = ma @ mb.T
-                ai, bj = np.nonzero(sim_mat >= thr)
+                if row["bid_a"] == row["bid_b"]:
+                    # self-block: identical item sets on both sides —
+                    # keep the strict upper triangle or every pair
+                    # (and every self-pair) appears twice
+                    sim_mat = np.triu(sim_mat >= thr, k=1)
+                    ai, bj = np.nonzero(sim_mat)
+                else:
+                    ai, bj = np.nonzero(sim_mat >= thr)
                 ids_a, ids_b = ia[ai], ib[bj]
                 lo = np.minimum(ids_a, ids_b)
                 hi = np.maximum(ids_a, ids_b)
@@ -106,10 +220,130 @@ def embedding_neardup_pairs(
                     }
                 )
 
-    # a pair lands in exactly one unordered block pair → distinct-free
-    return grid.mapInPandas(score_blocks, "a_id long, b_id long").dropDuplicates(
-        ["a_id", "b_id"]
+    # a pair lands in exactly one unordered block pair (each id has
+    # exactly one bucket) → genuinely distinct-free, no dedupe shuffle
+    return grid.mapInPandas(score_blocks, "a_id long, b_id long")
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_tables: int = 16,
+    planes_per_table: int = 8,
+    seed: int = 101,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Approximate near-dup pairs via banded hyperplane LSH with EXACT
+    verification — the 100 TB path for high-threshold near-duplicate
+    detection (``embedding_neardup_pairs`` stays exact at any
+    threshold, but on isotropic data it cannot beat O(n²) compute;
+    no exact method can — pairs at a mid-range threshold are
+    statistically invisible at block granularity).
+
+    Banded OR-amplification: ``n_tables`` independent tables, each
+    hashing a vector to the sign pattern of ``planes_per_table``
+    seeded hyperplanes. A pair is a CANDIDATE if it collides in ≥1
+    table; candidates are then verified with the exact cosine, so
+    precision is 1.0 and recall is 1-(1-p^r)^b with
+    p = 1 - θ/π. For the near-dup regime this targets (cos ≥ 0.9,
+    θ ≤ 26°) recall is ≥ 0.999 at the defaults; it decays fast
+    below cos ~0.7 — use the exact operator there.
+
+    Scale shape: one map-only pass computes all b·r projections as a
+    single GEMM and emits (id, table, bucket) keys — ids only, never
+    vectors; the candidate self-join shuffles ids; a broadcast
+    bucket-size filter (≤ b·2^r rows) caps degenerate buckets
+    (``max_bucket``) so a hot sign-pattern cannot go quadratic —
+    same skew guard as the MinHash banding (dedup.py). Verification
+    re-joins the two vector columns by id (hash joins, AQE-sized)
+    and computes one vectorized row-wise dot per Arrow batch.
+
+    Planes are deterministic per (seed, table), so the candidate set
+    — hence the output — is reproducible run-to-run.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        return df.sparkSession.createDataFrame([], "a_id long, b_id long")
+    dim = first[0]["d"]
+    all_planes = np.array(
+        [
+            _lsh_planes(dim, planes_per_table, seed + 7919 * t)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (b, r, dim)
+    proj_mat = all_planes.reshape(n_tables * planes_per_table, dim).T
+    bc = df.sparkSession.sparkContext.broadcast(proj_mat)
+    nt, rp = n_tables, planes_per_table
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        pm = bc.value
+        pows = (1 << np.arange(rp)).astype(np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (m @ pm) > 0  # (n, b*r)
+            bkts = (bits.reshape(n, nt, rp) * pows).sum(axis=2)  # (n, b)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, nt),
+                    "t": np.tile(np.arange(nt, dtype=np.int32), n),
+                    "bkt": bkts.reshape(-1),
+                }
+            )
+
+    from ..sources.io import ensure_min_partitions
+
+    keyed = ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
+        bucketize, "id long, t int, bkt long"
     )
+    # skew guard: the (table, bucket) census is ≤ b·2^r rows → broadcast
+    ok_buckets = (
+        keyed.groupBy("t", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    keyed = keyed.join(F.broadcast(ok_buckets), ["t", "bkt"])
+    a = keyed.select(F.col("id").alias("a_id"), "t", "bkt")
+    b = keyed.select(F.col("id").alias("b_id"), "t", "bkt")
+    cand = (
+        a.join(b, ["t", "bkt"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    pairs = cand.join(va, "a_id").join(vb, "b_id")
+    thr = threshold
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            cos = (A * B).sum(axis=1)
+            yield pdf.loc[cos >= thr, ["a_id", "b_id"]]
+
+    return pairs.mapInPandas(verify, "a_id long, b_id long")
 
 
 def knn_bruteforce(
@@ -211,23 +445,5 @@ def lsh_buckets(
     """
     first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = first[0]["d"] if first else 0
-
-    def plane(p: int) -> list[float]:
-        # deterministic LCG; values in [-1, 1)
-        vals = []
-        s = seed * 1_000_003 + p * 7919
-        for _ in range(dim):
-            s = (1103515245 * s + 12345) % (2**31)
-            vals.append(s / float(2**30) - 1.0)
-        return vals
-
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        arr = F.array(*[F.lit(v) for v in plane(p)])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bucket = _lsh_bucket_expr(vec_col, _lsh_planes(dim, n_planes, seed))
     return df.select(F.col(id_col), bucket.alias("bucket"))

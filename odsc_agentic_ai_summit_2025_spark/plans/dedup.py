@@ -130,6 +130,33 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q63_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup over hash-embedded documents — the 100 TB
+    approximate path with exact verification. At the gate threshold
+    (0.95, θ≈18°) and defaults (16 tables × 8 planes, seeded) the
+    candidate stage has deterministic full recall on this corpus, so
+    the exact all-pairs oracle matches; in general recall is
+    1-(1-p^r)^b and the operator is documented approximate."""
+    from ..functions.embedder import embed
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs = embed(docs, "text", "vector", dim=64).select("doc_id", "vector")
+    return sim.neardup_pairs_lsh(vecs, "vector", "doc_id", threshold=0.95)
+
+
+def _q63_sql() -> str:
+    from ..functions.embedder import embed_sql_vector_cte
+
+    return f"""
+WITH {embed_sql_vector_cte()},
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id, SUM(a.w * b.w) AS cos
+  FROM vec a JOIN vec b ON a.b = b.b AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT a_id, b_id FROM pairs WHERE cos >= 0.95
+"""
+
+
 QUERIES = [
     Query("q34_dedup_exact", q34_dedup_exact, Q34_SQL,
           ("A1", "A2"), "exact dedup via sha256 groupBy"),
@@ -141,4 +168,6 @@ QUERIES = [
           ("V2",), "SimHash fingerprints"),
     Query("q38_embedding_neardup", q38_embedding_neardup, Q38_SQL,
           ("V2", "O2"), "embedding cosine near-dup pairs"),
+    Query("q63_neardup_lsh", q63_neardup_lsh, _q63_sql(),
+          ("V2", "V1"), "banded-LSH near-dup with exact verification"),
 ]
