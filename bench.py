@@ -29,8 +29,17 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = q.spark(spark, sf_dir)
-            # count() forces full execution without driver-collect cost
-            df.count()
+            # force EVERY output column to be computed: a bare count()
+            # lets Catalyst prune unreferenced projection expressions,
+            # so projection-only queries (masking, fingerprints, string
+            # batteries) would be timed as bare scan+count. Hashing all
+            # columns into one aggregated value defeats pruning while
+            # keeping driver transfer at one row.
+            from pyspark.sql import functions as F
+
+            df.select(
+                F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+            ).agg(F.expr("bit_xor(_h)")).collect()
             dt = time.perf_counter() - t0
         except Exception as e:  # keep benching even if one query breaks
             print(f"bench error {name}: {e}", file=sys.stderr)

@@ -63,17 +63,30 @@ def asof_join(
             *value_cols,
         )
     )
+    # final tie-breaker: among right rows sharing (key, ts), order by
+    # the value columns so the surviving match is deterministic under
+    # any partitioning (greatest value wins); left rows sort after all
+    # same-ts right rows via _tag regardless
     w = (
         W.partitionBy(on)
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", *[F.asc_nulls_first(c) for c in value_cols])
         .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # carry the matched right row ATOMICALLY (one struct, NULL for
+    # probe rows) — per-column last() could stitch values from
+    # different right rows when one of them holds a NULL
+    vstruct = F.when(
+        F.col("_tag") == 0, F.struct(*[F.col(c) for c in value_cols])
     )
     matched = unioned.select(
         *probe_cols,
         "_tag",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last(vstruct, ignorenulls=True).over(w).alias("_v"),
     )
-    return matched.filter(F.col("_tag") == 1).drop("_tag")
+    return (
+        matched.filter(F.col("_tag") == 1)
+        .select(
+            *probe_cols,
+            *[F.col("_v").getField(c).alias(c) for c in value_cols],
+        )
+    )

@@ -30,6 +30,24 @@ from pyspark.sql import functions as F
 _US = 1_000_000
 
 
+def _with_row_key(
+    left: DataFrame, left_key: str | None
+) -> tuple[DataFrame, str, bool]:
+    """Row identity for left-preserving variants. Row identity must
+    be a KEY, not the row's values: value-keyed anti-joins/group-bys
+    drop NULL-bearing rows (NULL never equi-matches) and merge
+    duplicate rows. Callers pass their unique key (``left_key``) —
+    free; otherwise a surrogate ``monotonically_increasing_id`` is
+    attached and the keyed frame is cached, because the id is only
+    stable across the plan's two consumers if the input isn't
+    recomputed with a different row→partition placement. At 100 TB
+    pass a real key."""
+    if left_key is not None:
+        return left, left_key, False
+    keyed = left.withColumn("_lid", F.monotonically_increasing_id()).cache()
+    return keyed, "_lid", True
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -39,13 +57,16 @@ def interval_join(
     lower_s: float,
     upper_s: float,
     how: str = "inner",
+    left_key: str | None = None,
 ) -> DataFrame:
     """Join rows of ``right`` whose ``right_ts`` falls in
     ``[left_ts + lower_s, left_ts + upper_s)`` for each left row.
 
     ``how`` is ``inner`` or ``left`` (unmatched left rows kept with
-    nulls). Timestamps are compared at microsecond precision (exact
-    integer arithmetic — no double epoch round-trip).
+    nulls; pass ``left_key`` — a unique left column — so row identity
+    survives NULLs and duplicates). Timestamps are compared at
+    microsecond precision (exact integer arithmetic — no double
+    epoch round-trip).
     """
     lower_us = int(lower_s * _US)
     upper_us = int(upper_s * _US)
@@ -56,9 +77,13 @@ def interval_join(
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
 
+    keyed, lk, added_key = (
+        _with_row_key(left, left_key) if how == "left" else (left, None, False)
+    )
+
     lo = l_us + F.lit(lower_us)
     hi = l_us + F.lit(upper_us) - F.lit(1)
-    lhs = left.withColumn("_lo_us", lo).withColumn(
+    lhs = keyed.withColumn("_lo_us", lo).withColumn(
         "_bucket",
         F.explode(
             F.array_distinct(
@@ -81,17 +106,18 @@ def interval_join(
         return joined.drop("_lo_us", "_bucket", "_r_us")
     if how != "left":
         raise ValueError(f"unsupported how={how!r}")
-    # left join: re-attach unmatched left rows (anti on the match keys)
+    # left join: re-attach unmatched left rows — anti-join on the ROW
+    # KEY (an anti-join on all columns would re-emit matched rows that
+    # contain NULLs and collapse duplicate rows)
     matched = joined.drop("_lo_us", "_bucket", "_r_us")
     right_cols = [c for c in right.columns if c != on]
-    unmatched = left.join(
-        matched.select(*left.columns).distinct(),
-        on=left.columns,
-        how="left_anti",
+    unmatched = keyed.join(
+        matched.select(lk).distinct(), on=lk, how="left_anti"
     )
     for c in right_cols:
         unmatched = unmatched.withColumn(c, F.lit(None))
-    return matched.unionByName(unmatched)
+    out = matched.unionByName(unmatched)
+    return out.drop("_lid") if added_key else out
 
 
 def window_count(
@@ -103,16 +129,22 @@ def window_count(
     lower_s: float,
     upper_s: float,
     count_col: str = "n_in_window",
+    left_key: str | None = None,
 ) -> DataFrame:
     """Per left row: COUNT of right rows inside its window (0 kept).
 
-    Aggregates the inner interval join and left-joins the counts back,
-    so zero-match rows survive — equivalent to SQL
-    ``LEFT JOIN ... GROUP BY left.*`` with ``COUNT(right.key)``.
+    Aggregates the inner interval join on the left ROW KEY and joins
+    the counts back by that key, so zero-match rows survive, NULL-
+    bearing rows keep their counts, and duplicate left rows each keep
+    their own count (grouping on the row's values would merge
+    duplicates and fan a doubled count back to both). Pass
+    ``left_key`` (a unique left column) to avoid the surrogate-key
+    cache.
     """
+    keyed, lk, added_key = _with_row_key(left, left_key)
     probe = right.select(on, right_ts)
     hits = interval_join(
-        left.select(on, left_ts, *[c for c in left.columns if c not in (on, left_ts)]),
+        keyed.select(lk, on, left_ts),
         probe.withColumnRenamed(right_ts, "_rts"),
         on=on,
         left_ts=left_ts,
@@ -121,8 +153,8 @@ def window_count(
         upper_s=upper_s,
         how="inner",
     )
-    key_cols = [c for c in left.columns]
-    counts = hits.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(count_col))
-    return left.join(counts, on=key_cols, how="left").withColumn(
+    counts = hits.groupBy(lk).agg(F.count(F.lit(1)).alias(count_col))
+    out = keyed.join(counts, on=lk, how="left").withColumn(
         count_col, F.coalesce(F.col(count_col), F.lit(0))
     )
+    return out.drop("_lid") if added_key else out

@@ -260,12 +260,29 @@ def neardup_pairs_lsh(
     re-joins the two vector columns by id (hash joins, AQE-sized)
     and computes one vectorized row-wise dot per Arrow batch.
 
+    Real corpora are often a narrow CONE, not an isotropic sphere
+    (bag-of-words embeddings over a shared vocabulary all point the
+    same way), and hyperplane LSH cannot discriminate inside a cone —
+    one sign pattern swallows most of the corpus. The candidate
+    hashing therefore CENTERS each normalized vector on the corpus
+    mean direction first (one cheap distributed pass); centering
+    spreads the cone over the sphere, shrinking buckets by orders of
+    magnitude, while verification still uses the RAW cosine so
+    precision is untouched.
+
     Planes are deterministic per (seed, table), so the candidate set
     — hence the output — is reproducible run-to-run.
+
+    The input is persisted (MEMORY_AND_DISK): the operator consumes
+    it three times (mean pass, bucketize pass, verify joins) and an
+    embedding plan upstream would otherwise be recomputed for each.
     """
     import numpy as np
     import pandas as pd  # noqa: F401
 
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not first:
         return df.sparkSession.createDataFrame([], "a_id long, b_id long")
@@ -278,21 +295,47 @@ def neardup_pairs_lsh(
         dtype=np.float64,
     )  # (b, r, dim)
     proj_mat = all_planes.reshape(n_tables * planes_per_table, dim).T
-    bc = df.sparkSession.sparkContext.broadcast(proj_mat)
     nt, rp = n_tables, planes_per_table
+
+    # corpus mean direction of the normalized vectors: one map-only
+    # pass emitting per-batch partial sums (a few rows per partition)
+    def partial_mean(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame({"s": [m.sum(axis=0).tolist()], "n": [len(m)]})
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(partial_mean, "s array<double>, n long")
+        .collect()
+    )
+    total = sum(r["n"] for r in parts)
+    mean_vec = (
+        np.sum([np.asarray(r["s"]) for r in parts], axis=0) / max(total, 1)
+        if parts
+        else np.zeros(dim)
+    )
+    bc = df.sparkSession.sparkContext.broadcast((proj_mat, mean_vec))
 
     def bucketize(batches):
         import numpy as np
         import pandas as pd
 
-        pm = bc.value
+        pm, mu = bc.value
         pows = (1 << np.arange(rp)).astype(np.int64)
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            bits = (m @ pm) > 0  # (n, b*r)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            bits = ((m - mu) @ pm) > 0  # (n, b*r)
             bkts = (bits.reshape(n, nt, rp) * pows).sum(axis=2)  # (n, b)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             yield pd.DataFrame(

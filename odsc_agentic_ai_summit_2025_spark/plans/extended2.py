@@ -298,6 +298,7 @@ def q62_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_count(
         purchases, clicks, on="user_id", left_ts="ts", right_ts="cts",
         lower_s=-3600, upper_s=0, count_col="n_clicks_1h",
+        left_key="event_id",
     ).select("event_id", "user_id", "n_clicks_1h")
 
 

@@ -73,6 +73,49 @@ def test_interval_join_left_keeps_unmatched(spark):
     assert out[0]["row_id"] == 1 and out[0]["rts"] is None
 
 
+def test_window_count_null_and_duplicate_rows(spark):
+    """Row identity is a KEY, not the row's values: duplicate left
+    rows each keep their own count and NULL-bearing rows are neither
+    dropped nor re-emitted (the old value-keyed anti/group logic
+    failed both)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.rangejoin import (
+        interval_join,
+        window_count,
+    )
+
+    # two IDENTICAL left rows + one row with a NULL payload column
+    ldf = spark.createDataFrame(
+        [(0, 100 * 1_000_000, "x"), (0, 100 * 1_000_000, "x"),
+         (0, 200 * 1_000_000, None)],
+        "k long, lus long, payload string",
+    ).selectExpr("k", "timestamp_micros(lus) AS lts", "payload")
+    rdf = spark.createDataFrame(
+        [(0, 95 * 1_000_000), (0, 99 * 1_000_000), (0, 150 * 1_000_000)],
+        "k long, rus long",
+    ).selectExpr("k", "timestamp_micros(rus) AS rts")
+
+    rows = window_count(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        lower_s=-10, upper_s=0,
+    ).collect()
+    counts = sorted(
+        ((r["payload"], r["n_in_window"]) for r in rows),
+        key=lambda t: (t[0] is not None, t),
+    )
+    # each duplicate gets its own count of 2; the NULL row gets 0
+    assert counts == [(None, 0), ("x", 2), ("x", 2)]
+
+    out = interval_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        lower_s=-10, upper_s=0, how="left",
+    ).collect()
+    # 2 matches × 2 duplicate rows + 1 unmatched NULL row = 5; the
+    # matched NULL-free rows must NOT be re-emitted as unmatched
+    assert len(out) == 5
+    null_rows = [r for r in out if r["payload"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["rts"] is None
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     """HLL at rsd=0.02 must land within 5% of the exact count."""
     from odsc_agentic_ai_summit_2025_spark.plans.extended2 import (

@@ -58,7 +58,12 @@ def test_golden_case(spark, graph_views, idx):
     # (test_graphrag.py:38-53): every expected value appears in the
     # answer (any number-word variant counts); extra rows are allowed.
     for expected in case.expected:
-        assert any(v in got for v in number_variants(expected)), (
+        accepted = [
+            v
+            for e in (expected, *case.also_accepts)
+            for v in number_variants(e)
+        ]
+        assert any(v in got for v in accepted), (
             f"{case.question!r}: expected {expected!r} in {got!r}"
         )
     if idx == 3:  # category enumeration is exact in both engines
