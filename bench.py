@@ -47,6 +47,11 @@ def main() -> None:
         timings[name] = round(dt, 4)
         if dt == dt:
             total += dt
+        # release intermediates an operator persisted for its own
+        # multi-consumer plan (FTS/IVF indexes, LSH inputs): without
+        # this, 60 queries of leftovers accumulate in executor memory
+        # and late queries pay GC for early queries' caches
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
