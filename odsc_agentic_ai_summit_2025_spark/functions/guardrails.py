@@ -89,3 +89,92 @@ def validate_text(
     else:
         action = "LOG"
     return GuardrailResult(action, emails, mask_emails_text(text))
+
+
+# ---------------------------------------------------------------------------
+# Detailed per-rule tracing (reference
+# src/enhanced_guardrail_integration.py:53-147: every validation emits
+# a span record — rule type, triggered, action, masking details,
+# processing_time_ms — for observability/debugging)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GuardrailTrace:
+    """One rule's trace record for one validated string."""
+
+    rule: str  # 'email' (the reference's only live rule)
+    validation_type: str  # 'input' | 'output' | 'general'
+    action: str  # 'BLOCK' | 'WARN' | 'LOG'
+    triggered: bool
+    n_matches: int
+    masking_applied: bool
+    original_length: int
+    masked_length: int
+    processing_time_ms: float
+
+
+def validate_text_traced(
+    text: str,
+    validation_type: str = "general",
+    block_threshold: int = 3,
+    warn_threshold: int = 1,
+) -> tuple[GuardrailResult, list[GuardrailTrace]]:
+    """Driver-side validate that also emits the per-rule trace
+    records (enhanced_guardrail_integration.py:76-141 semantics:
+    run every rule, time it, record masking details)."""
+    import time
+
+    t0 = time.perf_counter()
+    result = validate_text(text, block_threshold, warn_threshold)
+    dt_ms = (time.perf_counter() - t0) * 1000.0
+    masked = result.masked_text != text
+    trace = GuardrailTrace(
+        rule="email",
+        validation_type=validation_type,
+        action=result.action,
+        triggered=len(result.emails) > 0,
+        n_matches=len(result.emails),
+        masking_applied=masked,
+        original_length=len(text),
+        masked_length=len(result.masked_text),
+        processing_time_ms=dt_ms,
+    )
+    return result, [trace]
+
+
+GUARDRAIL_TRACE_SCHEMA = (
+    "rule string, validation_type string, action string, "
+    "triggered boolean, n_matches int, masking_applied boolean, "
+    "original_length int, masked_length int"
+)
+
+
+def guardrail_trace_df(
+    df,
+    text_col: str,
+    id_col: str,
+    validation_type: str = "general",
+    block_threshold: int = 3,
+    warn_threshold: int = 1,
+):
+    """Batch trace table: one row per (record, rule), pure column
+    expressions (JVM-side — the distributed twin of
+    ``validate_text_traced``; per-row wall-clock is a driver-side
+    concept and is deliberately absent here)."""
+    n = email_count(F.col(text_col))
+    masked = mask_emails(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.lit("email").alias("rule"),
+        F.lit(validation_type).alias("validation_type"),
+        F.when(n >= block_threshold, F.lit("BLOCK"))
+        .when(n >= warn_threshold, F.lit("WARN"))
+        .otherwise(F.lit("LOG"))
+        .alias("action"),
+        (n > 0).alias("triggered"),
+        n.cast("int").alias("n_matches"),
+        (masked != F.col(text_col)).alias("masking_applied"),
+        F.length(text_col).cast("int").alias("original_length"),
+        F.length(masked).cast("int").alias("masked_length"),
+    )

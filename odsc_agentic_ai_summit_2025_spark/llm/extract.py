@@ -68,6 +68,101 @@ def extract_fhir(
     ).mapInPandas(run, EXTRACTED_FHIR)
 
 
+#: usage columns appended by :func:`extract_fhir_with_usage`
+USAGE_FIELDS = (
+    "n_llm_calls int, prompt_tokens int, completion_tokens int, "
+    "llm_ms double"
+)
+
+
+def extract_fhir_with_usage(
+    notes: DataFrame,
+    client_factory: Callable[[], LLMClient] = default_client_factory,
+) -> DataFrame:
+    """Extraction with per-record token/cost accounting columns.
+
+    The reference meters every BAML call through a Collector and logs
+    prompt/completion tokens + duration per span
+    (src/baml_instrumentation.py:239-270). Distributed, the metrics
+    table can't be a driver-side list — usage is emitted as COLUMNS
+    of the extraction output (still one ``mapInPandas`` pass, no
+    second scan), and ``usage_summary`` aggregates the fleet totals.
+    Token counts come from the client when it reports real usage,
+    else the deterministic estimate (``metering.estimate_tokens``).
+    """
+
+    import pandas as pd
+
+    from ..schemas import EXTRACTED_FHIR
+    from .metering import UsageCollector, MeteredClient
+
+    out_schema = T.StructType(
+        list(EXTRACTED_FHIR.fields)
+        + list(T.StructType.fromDDL(USAGE_FIELDS).fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        collector = UsageCollector()
+        client = MeteredClient(client_factory(), collector)
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for rid, note in zip(pdf["record_id"], pdf["note"]):
+                before = len(collector.records)
+                patient = client.extract_patient(note)
+                imm = client.extract_immunizations(note)
+                prac = client.extract_practitioner(note)
+                recs = collector.records[before:]
+                rows.append(
+                    {
+                        "record_id": int(rid),
+                        **patient,
+                        "immunization": imm,
+                        "practitioner": prac,
+                        "n_llm_calls": len(recs),
+                        "prompt_tokens": sum(r.prompt_tokens for r in recs),
+                        "completion_tokens": sum(
+                            r.completion_tokens for r in recs
+                        ),
+                        "llm_ms": sum(r.duration_ms for r in recs),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    f.name: [r.get(f.name) for r in rows]
+                    for f in out_schema.fields
+                }
+            )
+
+    from ..sources.io import ensure_min_partitions
+
+    return ensure_min_partitions(
+        notes.select("record_id", "note")
+    ).mapInPandas(run, out_schema)
+
+
+def usage_summary(extracted: DataFrame) -> DataFrame:
+    """Fleet-wide usage totals + cost from the usage columns (cost
+    priced like the reference: $PROMPT_PRICE_PER_1K /
+    $COMPLETION_PRICE_PER_1K, baml_instrumentation.py:256-258)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pp = float(os.environ.get("PROMPT_PRICE_PER_1K", "0.0005"))
+    cp = float(os.environ.get("COMPLETION_PRICE_PER_1K", "0.000009"))
+    return extracted.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_llm_calls").cast("bigint").alias("n_llm_calls"),
+        F.sum("prompt_tokens").cast("bigint").alias("prompt_tokens"),
+        F.sum("completion_tokens").cast("bigint").alias("completion_tokens"),
+        F.round(
+            (F.sum("prompt_tokens") / 1000.0) * F.lit(pp)
+            + (F.sum("completion_tokens") / 1000.0) * F.lit(cp),
+            6,
+        ).alias("cost_usd"),
+    )
+
+
 def guarded_extract_fhir(
     notes: DataFrame,
     client_factory: Callable[[], LLMClient] = default_client_factory,

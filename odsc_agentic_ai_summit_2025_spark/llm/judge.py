@@ -99,6 +99,146 @@ def judge_metrics(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Judge-client routing (L10): the reference scores Hallucination /
+# AnswerRelevance / Moderation / Usefulness with LLM-judge *calls*
+# (src/baml_instrumentation.py:125-163, one metric object per type,
+# each backed by its own judge model). The batched path below routes
+# every metric through an injectable JudgeClient, so a real judge
+# swaps in without new code; HeuristicJudge is the deterministic twin
+# of the column proxies (tests assert exact parity).
+# ---------------------------------------------------------------------------
+
+import re as _re
+from collections.abc import Callable
+from typing import Protocol
+
+#: metric names, mirroring baml_instrumentation.py:125-163
+JUDGE_METRICS = (
+    "context_recall",
+    "answer_relevance",
+    "moderation",
+    "answer_similarity",
+)
+
+
+class JudgeClient(Protocol):
+    """One scoring call per metric (0.0-1.0), like the reference's
+    per-metric judge objects."""
+
+    def score(
+        self,
+        metric: str,
+        question: str | None,
+        answer: str | None,
+        context: str | None,
+    ) -> float:
+        ...
+
+
+def _wordset(s: str | None) -> frozenset[str]:
+    return frozenset(_re.findall(r"[a-z0-9]+", (s or "").lower()))
+
+
+class HeuristicJudge:
+    """Deterministic judge: the same formulas as the column proxies,
+    so routed and column-expression scoring agree bit-for-bit."""
+
+    def score(
+        self,
+        metric: str,
+        question: str | None,
+        answer: str | None,
+        context: str | None,
+    ) -> float:
+        aw, qw, cw = _wordset(answer), _wordset(question), _wordset(context)
+        if metric == "context_recall":
+            return len(aw & cw) / len(aw) if aw else 1.0
+        if metric == "answer_relevance":
+            return len(qw & aw) / len(qw) if qw else 0.0
+        if metric == "moderation":
+            from ..functions.guardrails import find_emails
+
+            return 1.0 if find_emails(answer or "") else 0.0
+        if metric == "answer_similarity":
+            denom = max(len(aw), len(cw))
+            return len(aw & cw) / denom if denom else 0.0
+        raise ValueError(f"unknown metric {metric!r}")
+
+
+class HttpJudge:
+    """LLM judge over the same OpenAI-compatible transport as
+    ``HttpLLMClient`` — the live analog of the reference's
+    model-backed metric objects (each scored by a judge model at
+    temperature 0, baml_instrumentation.py:129-163). Opt-in; never
+    used by the correctness suite."""
+
+    def __init__(self, client=None, **client_kwargs) -> None:
+        if client is None:
+            from .http_client import HttpLLMClient
+
+            client = HttpLLMClient(**client_kwargs)
+        self._client = client
+
+    def score(
+        self,
+        metric: str,
+        question: str | None,
+        answer: str | None,
+        context: str | None,
+    ) -> float:
+        out = self._client._chat(
+            f"Judge:{metric}",
+            f"You are an evaluation judge for the metric '{metric}'. "
+            "Score the answer between 0.0 and 1.0. Reply with ONLY the "
+            "number.",
+            f"<question>{question or ''}</question>\n"
+            f"<answer>{answer or ''}</answer>\n"
+            f"<context>{context or ''}</context>",
+        )
+        m = _re.search(r"\d*\.?\d+", out)
+        return min(1.0, max(0.0, float(m.group(0)))) if m else 0.0
+
+
+def judge_metrics_via_client(
+    answers: DataFrame,
+    judge_factory: Callable[[], JudgeClient] = HeuristicJudge,
+    question_col: str = "question",
+    answer_col: str = "answer",
+    context_col: str = "context",
+    sample_rate: float = METRICS_SAMPLE_RATE,
+    seed: int = 42,
+) -> DataFrame:
+    """Score the (sampled) answers table through a JudgeClient.
+
+    Arrow-batched ``mapInPandas``; one judge per partition (judges
+    may hold sockets — never pickled from the driver). Output schema
+    matches :func:`judge_metrics` so the two paths interchange.
+    """
+    df = answers if sample_rate >= 1.0 else answers.sample(sample_rate, seed)
+    fields = ", ".join(f"{m} double" for m in JUDGE_METRICS)
+    out_ddl = ", ".join(
+        f"{name} {dt}" for name, dt in df.dtypes
+    ) + ", " + fields
+
+    def run(batches):
+        import pandas as pd
+
+        judge = judge_factory()
+        for pdf in batches:
+            scores = {m: [] for m in JUDGE_METRICS}
+            for q, a, c in zip(
+                pdf[question_col], pdf[answer_col], pdf[context_col]
+            ):
+                for m in JUDGE_METRICS:
+                    scores[m].append(judge.score(m, q, a, c))
+            yield pd.concat(
+                [pdf.reset_index(drop=True), pd.DataFrame(scores)], axis=1
+            )
+
+    return df.mapInPandas(run, out_ddl)
+
+
 def metrics_summary(scored: DataFrame) -> DataFrame:
     """Mean of every metric column — the report row the reference
     logs per run."""

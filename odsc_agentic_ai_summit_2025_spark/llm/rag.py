@@ -61,10 +61,23 @@ class HybridRag:
         client: LLMClient | None = None,
         top_k: int = 2,  # reference default, rag.py:80
         dim: int = DEFAULT_DIM,
+        collector=None,  # metering.UsageCollector → per-call metrics
+        tracer=None,  # metering.SpanTracer → per-step spans
     ) -> None:
         self.spark = spark
         self.graph = graph
         self.client = client or MockLLMClient()
+        self.guardrail_traces: list = []
+        if collector is not None:
+            from .metering import MeteredClient
+
+            self.client = MeteredClient(self.client, collector)
+        self.collector = collector
+        if tracer is None:
+            from .metering import SpanTracer
+
+            tracer = SpanTracer()
+        self.tracer = tracer
         self.top_k = top_k
         self.dim = dim
         self.schema_xml = fhir_graph_schema_xml(graph)
@@ -110,35 +123,60 @@ class HybridRag:
         ).orderBy("rrf_rank")
 
     def ask(self, question: str) -> HybridRagAnswer:
-        # 1. input guardrail
-        gr = guardrails.validate_text(question)
-        q = gr.masked_text
+        with self.tracer.span("ask"):
+            # 1. input guardrail (traced per rule —
+            # enhanced_guardrail_integration.py:53-147)
+            with self.tracer.span("input_guardrail"):
+                gr, traces = guardrails.validate_text_traced(
+                    question, validation_type="input"
+                )
+                self.guardrail_traces.extend(traces)
+            q = gr.masked_text
 
-        # 2-4. prune schema, extract entities (one LLM call each)
-        pruned = self.client.prune_schema(self.schema_xml, q)
-        entities = self.client.extract_entity_keywords(q, pruned)
+            # 2-4. prune schema, extract entities (one LLM call each)
+            with self.tracer.span("prune_schema"):
+                pruned = self.client.prune_schema(self.schema_xml, q)
+            with self.tracer.span("extract_entities"):
+                entities = self.client.extract_entity_keywords(q, pruned)
 
-        # 5a. graph branch: generated SQL over the registered views
-        sql = self.client.text2sql(q, pruned, entities)
-        graph_rows: list[tuple] = []
-        graph_answer = ""
-        try:
-            graph_rows = [tuple(r) for r in self.spark.sql(sql).collect()]
-            graph_answer = self.client.answer(
-                q, "; ".join(", ".join(str(v) for v in row) for row in graph_rows)
-            )
-        except Exception:  # bad generated SQL ≡ reference's Q10 failure mode
-            graph_answer = ""
+            # 5a. graph branch: generated SQL over the registered views
+            with self.tracer.span("graph_branch"):
+                sql = self.client.text2sql(q, pruned, entities)
+                graph_rows: list[tuple] = []
+                graph_answer = ""
+                try:
+                    graph_rows = [
+                        tuple(r) for r in self.spark.sql(sql).collect()
+                    ]
+                    graph_answer = self.client.answer(
+                        q,
+                        "; ".join(
+                            ", ".join(str(v) for v in row)
+                            for row in graph_rows
+                        ),
+                    )
+                except Exception:
+                    # bad generated SQL ≡ reference's Q10 failure mode
+                    graph_answer = ""
 
-        # 5b. vector branch: hybrid top-k context → answer
-        hits = self._vector_context(entities).collect()
-        context_ids = [int(r["record_id"]) for r in hits]
-        vec_context = "\n\n".join(r["note"] for r in hits)
-        vector_answer = self.client.answer(q, vec_context)
+            # 5b. vector branch: hybrid top-k context → answer
+            with self.tracer.span("vector_branch"):
+                hits = self._vector_context(entities).collect()
+                context_ids = [int(r["record_id"]) for r in hits]
+                vec_context = "\n\n".join(r["note"] for r in hits)
+                vector_answer = self.client.answer(q, vec_context)
 
-        # 6. synthesis + 7. output guardrail
-        final = self.client.synthesize(q, vector_answer, graph_answer)
-        final = guardrails.mask_emails_text(final)
+            # 6. synthesis + 7. output guardrail (traced)
+            with self.tracer.span("synthesize"):
+                final = self.client.synthesize(
+                    q, vector_answer, graph_answer
+                )
+            with self.tracer.span("output_guardrail"):
+                _, out_traces = guardrails.validate_text_traced(
+                    final, validation_type="output"
+                )
+                self.guardrail_traces.extend(out_traces)
+                final = guardrails.mask_emails_text(final)
 
         return HybridRagAnswer(
             question=question,
