@@ -38,10 +38,26 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     """Assemble the full inventory from every plan module."""
-    from . import dedup, extended, extended2, relational, retrieval, textops
+    from . import (
+        dedup,
+        extended,
+        extended2,
+        observability,
+        relational,
+        retrieval,
+        textops,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (relational, textops, dedup, retrieval, extended, extended2):
+    for mod in (
+        relational,
+        textops,
+        dedup,
+        retrieval,
+        extended,
+        extended2,
+        observability,
+    ):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name: {q.name}")
