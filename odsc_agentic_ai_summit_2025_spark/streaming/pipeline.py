@@ -284,6 +284,68 @@ def user_running_totals_stream(
     )
 
 
+def dedup_docs(docs: DataFrame) -> DataFrame:
+    """Batch definition of content dedup over a documents table:
+    one surviving row per distinct text, keyed by sha2 digest, the
+    earliest doc_id winning (same shape as ``operators/dedup.py``
+    exact dedup / q34 — restated here as the batch oracle for the
+    streaming twin). Shuffles 32-byte digests, not documents."""
+    return (
+        docs.withColumn("content_sha", F.sha2(F.col("text"), 256))
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_docs_stream(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming twin: ``dropDuplicates`` on the content digest over a
+    documents file stream — the first arrival of each content survives,
+    later copies are dropped as they arrive (ingest-time dedup, the
+    streaming form of the training-data pipeline's first stage).
+
+    State carries one 32-byte digest per distinct content — bounded by
+    corpus distinct-count, not stream length. For unbounded streams
+    where exact global state can't be kept, use
+    :func:`dedup_events_stream_within_watermark` — the event-time
+    bounded variant."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(docs_path)
+        .withColumn("content_sha", F.sha2(F.col("text"), 256))
+        .dropDuplicates(["content_sha"])
+        .select("content_sha", "doc_id")
+    )
+
+
+def dedup_events_stream_within_watermark(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keeps a key's digest only until the watermark passes its event
+    time, so state size is rate × watermark — the shape that survives
+    an unbounded 100-TB/day stream (exact global dedup state cannot).
+    Duplicates arriving later than the watermark are not caught; that
+    is the documented at-scale tradeoff."""
+    stream = _read_events_stream(spark, events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 def _interval_seconds(interval: str) -> int:
     qty, unit = interval.split()
     mult = {

@@ -210,3 +210,61 @@ def test_stateful_running_totals_parity(spark, sf_dir, events_stream_dir):
         gn, gtot = got[uid]
         assert gn == n, uid
         assert abs(gtot - tot) < 1e-9, (uid, gtot, tot)
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(sf_dir, tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_dedup_docs_stream_parity(spark, sf_dir, docs_stream_dir):
+    """Streaming content dedup keeps exactly one row per distinct
+    text — the same digest set as the batch oracle."""
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        dedup_docs,
+        dedup_docs_stream,
+    )
+
+    batch = dedup_docs(read_table(spark, sf_dir, "documents"))
+    stream = dedup_docs_stream(spark, docs_stream_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dd_stream")
+    b = {r["content_sha"] for r in batch.collect()}
+    s = [r["content_sha"] for r in got.collect()]
+    assert len(s) == len(set(s))  # one survivor per content
+    assert set(s) == b
+
+
+def test_dedup_events_within_watermark(spark, sf_dir, events_stream_dir):
+    """Watermark-bounded dedup: with the whole table inside one
+    micro-batch every duplicate is inside the watermark, so the
+    result must equal the batch distinct on the same keys."""
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        dedup_events_stream_within_watermark,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    n_batch = events.dropDuplicates(["user_id", "event_type", "ts"]).count()
+    stream = dedup_events_stream_within_watermark(spark, events_stream_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("de_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("de_stream").count() == n_batch

@@ -309,32 +309,62 @@ def test_guardrail_trace_df_matches_driver_twin(spark):
         )
 
 
-def test_rag_records_spans_and_guardrail_traces(spark):
-    """The RAG orchestration emits spans + guardrail traces + usage
-    without changing its answers (wired like rag_obs_eval.py)."""
+_NOTES = "/root/reference/data/note.json"
+_EXTRACTED = "/root/reference/data/extracted_fhir.json"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_NOTES),
+    reason="reference data not present",
+)
+def test_rag_emits_spans_usage_and_guardrail_traces(spark):
+    """The FULL RAG path with collector+tracer wired (the
+    rag_obs_eval.py analog): answers unchanged, per-call usage rows,
+    per-step spans, input+output guardrail traces."""
     from odsc_agentic_ai_summit_2025_spark.llm.metering import (
         SpanTracer,
         UsageCollector,
     )
-
-    pytest.importorskip("pandas")
-    # reuse the golden fixture machinery if available; otherwise skip
-    graph_mod = pytest.importorskip(
-        "odsc_agentic_ai_summit_2025_spark.operators.graph"
+    from odsc_agentic_ai_summit_2025_spark.llm.rag import HybridRag
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import build_graph
+    from odsc_agentic_ai_summit_2025_spark.plans.golden import GOLDEN_CASES
+    from odsc_agentic_ai_summit_2025_spark.schemas import (
+        EXTRACTED_FHIR,
+        NOTES,
     )
-    # lightweight: just check the tracer/collector objects work with
-    # MeteredClient over the mock (full RAG is covered by golden QA)
-    col = UsageCollector()
-    tr = SpanTracer()
-    from odsc_agentic_ai_summit_2025_spark.llm.client import MockLLMClient
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_json_records
 
-    client = MockLLMClient()
-    with tr.span("ask"):
-        with tr.span("prune_schema"):
-            from odsc_agentic_ai_summit_2025_spark.llm.metering import (
-                MeteredClient,
-            )
+    notes_df = read_json_records(spark, _NOTES, NOTES)
+    gold_df = read_json_records(spark, _EXTRACTED, EXTRACTED_FHIR)
+    col, tr = UsageCollector(), SpanTracer()
+    rag = HybridRag(
+        spark, build_graph(gold_df), notes_df, collector=col, tracer=tr
+    )
+    case = GOLDEN_CASES[0]
+    ans = rag.ask(case.question)
+    # behavior unchanged by instrumentation
+    for expected in case.expected:
+        assert expected in ans.final_answer
 
-            MeteredClient(client, col).prune_schema("<schema/>", "q")
-    assert col.totals()["n_calls"] == 1
-    assert [s.name for s in tr.spans] == ["prune_schema", "ask"]
+    # usage: ≥5 metered LLM calls (prune, entities, text2sql, ≥1
+    # answer, synthesize), all with tokens and cost
+    fns = [r.function for r in col.records]
+    for fn in ("prune_schema", "extract_entity_keywords", "text2sql",
+               "answer", "synthesize"):
+        assert fn in fns, fns
+    assert all(r.prompt_tokens > 0 and r.cost > 0 for r in col.records)
+    assert col.to_df(spark).count() == len(col.records)
+
+    # spans: every orchestration step, nested under ask
+    names = {s.name: s for s in tr.spans}
+    for step in ("input_guardrail", "prune_schema", "extract_entities",
+                 "graph_branch", "vector_branch", "synthesize",
+                 "output_guardrail", "ask"):
+        assert step in names, tr.spans
+    assert names["graph_branch"].parent == "ask"
+    assert names["ask"].parent is None
+
+    # guardrail traces: one input + one output record per ask()
+    kinds = [t.validation_type for t in rag.guardrail_traces]
+    assert kinds == ["input", "output"]
+    assert all(t.rule == "email" for t in rag.guardrail_traces)
