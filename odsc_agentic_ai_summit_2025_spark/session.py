@@ -48,6 +48,24 @@ def get_spark(
         # reuse=false removes the stall for a ~100 ms/task fork cost,
         # noise for the seconds-long kernel tasks this engine runs).
         .config("spark.python.worker.reuse", "false")
+    )
+    # With reuse=false every task forks a fresh worker; the dominant
+    # fork cost is importing numpy/pandas/pyarrow (~300 ms). Forking
+    # from a daemon that PRELOADED them (copy-on-write) keeps the
+    # fresh-worker semantics at ~10 ms/task. Guarded: only set when
+    # this interpreter can import the module (workers share the
+    # interpreter/path in local mode; on a cluster ship the package).
+    import importlib.util
+
+    if importlib.util.find_spec(
+        "odsc_agentic_ai_summit_2025_spark.daemon_preload"
+    ):
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "odsc_agentic_ai_summit_2025_spark.daemon_preload",
+        )
+    builder = (
+        builder
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
