@@ -211,6 +211,68 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return acc
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Vectorized SimHash: same integer math as :func:`simhash`
+    (property-tested equal), one Arrow kernel instead of ``bits``
+    interpreted array folds per row.
+
+    The expression form evaluates O(bits × tokens) Catalyst lambda
+    steps per document — correct and engine-portable, but the
+    interpreter constant dominates on long documents. Here the JVM
+    side computes only the (portable) token-hash array; the kernel
+    unpacks all bit-planes of the whole batch at once
+    (``(flat[:, None] >> arange(bits)) & 1``) and resolves votes with
+    one ``add.reduceat`` per batch. Map-only/shuffle-free like the
+    expression form; vote > 0 ⇔ 2·ones > n_tokens keeps exact
+    integer semantics, so the DuckDB oracle is unchanged.
+    """
+    from pyspark.sql import types as T
+
+    from ..sources.io import ensure_min_partitions
+
+    hashed = ensure_min_partitions(df).withColumn(
+        "_th", token_hashes(F.col(text_col))
+    )
+    out_schema = T.StructType(
+        [f for f in hashed.schema.fields if f.name != "_th"]
+        + [T.StructField(out_col, T.LongType())]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        shifts = np.arange(bits, dtype=np.int64)
+        weights = (np.int64(1) << shifts).astype(np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cells = [np.asarray(c, dtype=np.int64) for c in pdf["_th"]]
+            lengths = np.fromiter(map(len, cells), dtype=np.int64, count=n)
+            sh = np.zeros(n, dtype=np.int64)
+            nz = lengths > 0
+            if nz.any():
+                flat = np.concatenate([c for c in cells if len(c)])
+                ones = np.add.reduceat(
+                    (flat[:, None] >> shifts) & 1,
+                    np.concatenate(([0], np.cumsum(lengths[nz])[:-1])),
+                    axis=0,
+                )  # (n_nonzero, bits) count of 1-votes per bit
+                votes_pos = 2 * ones > lengths[nz, None]
+                sh[nz] = (votes_pos * weights).sum(axis=1)
+            out = pdf.drop(columns=["_th"])
+            out[out_col] = sh
+            yield out
+
+    return hashed.mapInPandas(kernel, out_schema)
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -96,9 +96,9 @@ GROUP BY 1, 2
 
 
 def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", ops.simhash(F.col("text")).alias("simhash")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ops.simhash_table(docs, "text", "simhash").select(
+        "doc_id", "simhash"
     )
 
 

@@ -121,3 +121,23 @@ def test_lsh_banded_precision_and_recall(spark):
     # in expectation at the defaults; allow a little slack for the
     # fixed seed
     assert len(got) >= 0.97 * len(truth), (len(got), len(truth))
+
+
+def test_simhash_kernel_matches_expression_form(spark, sf_dir):
+    """The Arrow-kernel SimHash is bit-for-bit the expression form
+    (same integer votes), so the DuckDB oracle covers both."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.operators import dedup as ops
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expr = docs.select(
+        "doc_id", ops.simhash(F.col("text")).alias("simhash")
+    )
+    kern = ops.simhash_table(docs, "text", "simhash").select(
+        "doc_id", "simhash"
+    )
+    assert sorted(map(tuple, expr.collect())) == sorted(
+        map(tuple, kern.collect())
+    )
