@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import char_poly_hash, unique_tokens
+from ..sources.io import ensure_min_partitions
 
 # ---------------------------------------------------------------------------
 # MinHash parameters — shared between Spark code and oracle SQL so the
@@ -101,7 +102,10 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     occurrence. At 100 TB the vocab table is orders of magnitude
     smaller than the token stream, and AQE broadcasts it when small.
     """
-    toks = df.select(
+    # fan out before tokenize+explode: an under-split scan (single
+    # row group locally; a straggler file at scale) would otherwise
+    # run the whole token stream on one core
+    toks = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(unique_tokens(F.col(text_col))).alias("tok")
     )
     vocab = toks.select("tok").distinct().withColumn(
@@ -299,7 +303,10 @@ def jaccard_pairs(
     prefix self-join (rare toks only), verify joins (doc id) — every
     key is either a document id or a rare token; no hot-key axis.
     """
-    toks = df.select(
+    # fan out before tokenize+explode: an under-split scan (single
+    # row group locally; a straggler file at scale) would otherwise
+    # run the whole token stream on one core
+    toks = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(unique_tokens(F.col(text_col))).alias("tok")
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
