@@ -150,6 +150,97 @@ GUARDRAIL_TRACE_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Multi-rule PII surface (the reference's manager takes a LIST of
+# guardrails, src/guardrails.py:240-352; email is its only shipped
+# rule — phone/SSN are the natural next rules a training-data
+# pipeline needs, same column-expression shape)
+# ---------------------------------------------------------------------------
+
+# "555-123-4567" | "(555) 123-4567" — the note corpus's phone shapes
+PHONE_PATTERN = r"(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}"
+# SSN with word-ish boundaries; [0-9] on both edge guards so the
+# regex is portable across engines (no \b differences)
+SSN_PATTERN = r"\d{3}-\d{2}-\d{4}"
+
+#: rule name → (detect pattern, mask replacement pattern+target)
+PII_RULES: dict[str, str] = {
+    "email": EMAIL_PATTERN,
+    "phone": PHONE_PATTERN,
+    "ssn": SSN_PATTERN,
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-rule match counts (column expressions, JVM-side)."""
+    return {
+        rule: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for rule, pat in PII_RULES.items()
+    }
+
+
+def mask_pii(col: Column) -> Column:
+    """Mask every rule's matches: emails positionally (see
+    ``mask_emails``), phones/SSNs fully (shape-preserving digit
+    blackout — the usual redaction for numeric identifiers)."""
+    out = mask_emails(col)
+    # ssn before phone: an SSN is not phone-shaped (3-2-4 vs 3-3-4),
+    # but masked digits must not create new matches either way;
+    # 'X' is not a digit so the two replacements cannot interact
+    out = F.regexp_replace(out, SSN_PATTERN, "XXX-XX-XXXX")
+    out = F.regexp_replace(out, PHONE_PATTERN, "XXX-XXX-XXXX")
+    return out
+
+
+def pii_trace_df(
+    df,
+    text_col: str,
+    id_col: str,
+    validation_type: str = "general",
+    block_threshold: int = 3,
+    warn_threshold: int = 1,
+):
+    """Multi-rule batch trace table: one row per (record, rule) —
+    the distributed form of the reference manager's rule loop
+    (enhanced_guardrail_integration.py:79-83 runs every guardrail
+    and appends one result each)."""
+    masked = mask_pii(F.col(text_col))
+    counts = pii_counts(F.col(text_col))
+    per_rule = [
+        F.struct(
+            F.lit(rule).alias("rule"),
+            F.when(n >= block_threshold, F.lit("BLOCK"))
+            .when(n >= warn_threshold, F.lit("WARN"))
+            .otherwise(F.lit("LOG"))
+            .alias("action"),
+            (n > 0).alias("triggered"),
+            n.cast("int").alias("n_matches"),
+        )
+        for rule, n in counts.items()
+    ]
+    return (
+        df.select(
+            F.col(id_col),
+            F.lit(validation_type).alias("validation_type"),
+            F.explode(F.array(*per_rule)).alias("r"),
+            (masked != F.col(text_col)).alias("masking_applied"),
+            F.length(text_col).cast("int").alias("original_length"),
+            F.length(masked).cast("int").alias("masked_length"),
+        )
+        .select(
+            id_col,
+            F.col("r.rule").alias("rule"),
+            "validation_type",
+            F.col("r.action").alias("action"),
+            F.col("r.triggered").alias("triggered"),
+            F.col("r.n_matches").alias("n_matches"),
+            "masking_applied",
+            "original_length",
+            "masked_length",
+        )
+    )
+
+
 def guardrail_trace_df(
     df,
     text_col: str,

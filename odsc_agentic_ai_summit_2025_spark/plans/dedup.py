@@ -55,6 +55,60 @@ WHERE (n_inter * 10000) // (sa.n + sb.n - n_inter) >= 8000
 """
 
 
+def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive dedup clusters + keep/drop
+    decisions (connected components over the q35 pair graph; docs
+    with no near-dup become singleton clusters)."""
+    from ..operators.components import connected_components, dedup_decisions
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ops.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    comp = connected_components(
+        pairs.select("a_id", "b_id"),
+        vertices=docs.select(F.col("doc_id").alias("id")),
+    )
+    return dedup_decisions(comp).select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        "keep",
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
+
+
+Q66_SQL = f"""
+WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, unnest({_UTOKS}) AS tok FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE (n_inter * 10000) // (sa.n + sb.n - n_inter) >= 8000
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT id AS doc_id,
+       cluster_id,
+       id = MIN(id) OVER (PARTITION BY cluster_id) AS keep,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size
+FROM comp
+"""
+
+
 def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.minhash_candidate_pairs(
         read_table(spark, sf_dir, "documents"), "text", "doc_id"
@@ -168,6 +222,8 @@ QUERIES = [
           ("V2",), "SimHash fingerprints"),
     Query("q38_embedding_neardup", q38_embedding_neardup, Q38_SQL,
           ("V2", "O2"), "embedding cosine near-dup pairs"),
+    Query("q66_dedup_clusters", q66_dedup_clusters, Q66_SQL,
+          ("U2", "A2"), "connected-component dedup clusters + keep/drop"),
     Query("q63_neardup_lsh", q63_neardup_lsh, _q63_sql(),
           ("V2", "V1"), "banded-LSH near-dup with exact verification"),
 ]

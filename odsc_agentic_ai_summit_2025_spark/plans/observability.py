@@ -172,6 +172,102 @@ FROM sets
 """
 
 
+# ---------------------------------------------------------------------------
+# q67 — multi-rule PII trace (email + phone + SSN)
+# ---------------------------------------------------------------------------
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """Inject rule-hitting PII keyed by doc_id so every rule fires on
+    a different subset: %3==0 → phone, %4==0 → ssn, %5∈{1,2} → one
+    email, %5∉{0,1,2} → three emails."""
+    m3, m4, m5 = (F.col("doc_id") % k for k in (3, 4, 5))
+    phone = F.when(
+        m3 == 0, F.lit(" Call (555) 123-4567 or 555-987-6543.")
+    ).otherwise(F.lit(""))
+    ssn = F.when(m4 == 0, F.lit(" SSN 123-45-6789.")).otherwise(F.lit(""))
+    email = (
+        F.when(m5 == 0, F.lit(""))
+        .when(
+            m5.isin(1, 2),
+            F.concat(
+                F.lit(" Contact user."),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org."),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" Contact user."),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org admin."),
+                F.col("doc_id").cast("string"),
+                F.lit("@corp.example.com root."),
+                F.col("doc_id").cast("string"),
+                F.lit("@ops.example.net."),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id", F.concat("text", phone, ssn, email).alias("text")
+    )
+
+
+def q67_pii_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.guardrails import pii_trace_df
+
+    docs = _with_pii(read_table(spark, sf_dir, "documents"))
+    return pii_trace_df(docs, "text", "doc_id", validation_type="input")
+
+
+_PII_INJECT_SQL = """
+text
+|| CASE WHEN doc_id % 3 = 0 THEN ' Call (555) 123-4567 or 555-987-6543.' ELSE '' END
+|| CASE WHEN doc_id % 4 = 0 THEN ' SSN 123-45-6789.' ELSE '' END
+|| CASE
+     WHEN doc_id % 5 = 0 THEN ''
+     WHEN doc_id % 5 IN (1, 2) THEN ' Contact user.' || doc_id || '@example.org.'
+     ELSE ' Contact user.' || doc_id || '@example.org admin.' || doc_id
+          || '@corp.example.com root.' || doc_id || '@ops.example.net.'
+   END
+""".strip()
+
+_PHONE_RE_SQL = r"(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}"
+_SSN_RE_SQL = r"\d{3}-\d{2}-\d{4}"
+
+Q67_SQL = rf"""
+WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents),
+scored AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '{_EMAIL_RE_SQL}')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(text, '{_PHONE_RE_SQL}')) AS INT) AS n_phone,
+         CAST(len(regexp_extract_all(text, '{_SSN_RE_SQL}')) AS INT) AS n_ssn,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_MASK_RE_SQL}', '\1***\3@\4', 'g'),
+             '{_SSN_RE_SQL}', 'XXX-XX-XXXX', 'g'),
+           '{_PHONE_RE_SQL}', 'XXX-XXX-XXXX', 'g') AS masked
+  FROM injected),
+rules AS (
+  SELECT doc_id, text, masked, 'email' AS rule, n_email AS n FROM scored
+  UNION ALL
+  SELECT doc_id, text, masked, 'phone', n_phone FROM scored
+  UNION ALL
+  SELECT doc_id, text, masked, 'ssn', n_ssn FROM scored)
+SELECT doc_id,
+       rule,
+       'input' AS validation_type,
+       CASE WHEN n >= 3 THEN 'BLOCK'
+            WHEN n >= 1 THEN 'WARN'
+            ELSE 'LOG' END AS action,
+       n > 0 AS triggered,
+       n AS n_matches,
+       masked <> text AS masking_applied,
+       CAST(length(text) AS INT) AS original_length,
+       CAST(length(masked) AS INT) AS masked_length
+FROM rules
+"""
+
+
 QUERIES: list[Query] = [
     Query(
         "q64_guardrail_trace",
@@ -186,5 +282,12 @@ QUERIES: list[Query] = [
         Q65_SQL,
         covers=("L10", "U2"),
         description="judge metric columns over synthesized answers",
+    ),
+    Query(
+        "q67_pii_trace",
+        q67_pii_trace,
+        Q67_SQL,
+        covers=("L11", "F3", "F4"),
+        description="multi-rule PII trace (email/phone/ssn)",
     ),
 ]
