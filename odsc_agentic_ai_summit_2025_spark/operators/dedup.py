@@ -173,7 +173,11 @@ def minhash_candidate_pairs(
     pairs; this is the standard skew guard in LSH dedup pipelines).
     Output: a_id, b_id, n_shared_bands (all ints → oracle-exact).
     """
-    b = minhash_band_buckets(df, text_col, id_col)
+    # persist the band rows: the plan below consumes them three times
+    # (bucket census + both sides of the self-join) and each reference
+    # would otherwise re-run the whole tokenize→vocab→signature
+    # pipeline. Tiny relative to the corpus: N_BANDS rows per doc.
+    b = minhash_band_buckets(df, text_col, id_col).persist()
     small = (
         b.groupBy("band_id", "bucket_key")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -316,10 +320,13 @@ def jaccard_pairs(
         .withColumn("_pos", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy(id_col)))
     )
+    # persist: both sides of the candidate self-join read the prefix
+    # rows; unpersisted, the census+rank shuffles would run twice.
+    # Small by construction (≈(1-t)·|tokens| rare-token rows).
     prefix = ranked.filter(
         F.col("_pos")
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    )
+    ).persist()
     a = prefix.select(F.col(id_col).alias("a_id"), "tok")
     b = prefix.select(F.col(id_col).alias("b_id"), "tok")
     cand = (
