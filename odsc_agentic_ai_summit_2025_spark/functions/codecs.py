@@ -1,0 +1,140 @@
+"""Real, dependency-free media codecs for the multimodal seam.
+
+``operators/multimodal.py`` keeps payloads opaque to Spark and runs
+decode in Arrow kernels; the container ships no PIL/ffmpeg, so round 1
+stubbed ``decoder='real'``. Two real formats need no codec library at
+all, and implementing them honestly makes the 'real' path a working
+article instead of a seam:
+
+- **BMP** (24-bit uncompressed, BITMAPINFOHEADER): 14-byte file
+  header + 40-byte info header + bottom-up BGR rows padded to 4
+  bytes. Pure ``struct`` + numpy.
+- **WAV** (16-bit PCM): stdlib ``wave`` over ``io.BytesIO``.
+
+Compressed formats (JPEG/PNG/MP4) still belong to a codec library;
+``sniff_format`` routes them to the documented NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit, uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: bytes, width: int, height: int) -> bytes:
+    """RGB8 row-major (top-down) pixel bytes → BMP file bytes."""
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} RGB bytes, got {len(rgb)}"
+        )
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    row_size = (width * 3 + 3) & ~3
+    padded = np.zeros((height, row_size), dtype=np.uint8)
+    padded[:, : width * 3] = bgr.reshape(height, width * 3)
+    data = padded.tobytes()
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835,
+        2835, 0, 0,
+    )
+    return file_header + info_header + data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """BMP file bytes → (width, height, channels, RGB8 top-down
+    bytes). Supports the 24-bit uncompressed layout ``encode_bmp``
+    writes (and any other writer of that common layout)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if header_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_size, offset=data_offset
+    ).reshape(height, row_size)[:, : width * 3]
+    bgr = rows.reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return width, height, 3, bgr[:, :, ::-1].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# WAV (16-bit PCM)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: bytes, sample_rate: int, channels: int = 1
+) -> bytes:
+    """16-bit PCM sample bytes → WAV file bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """WAV file bytes → (n_frames, sample_rate, channels, PCM bytes)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        return (
+            w.getnframes(),
+            w.getframerate(),
+            w.getnchannels(),
+            w.readframes(w.getnframes()),
+        )
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def sniff_format(payload: bytes) -> str:
+    """'bmp' | 'wav' | 'unknown' from magic bytes."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def decode_payload(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a real payload → (width_or_frames, height_or_rate,
+    channels, raw bytes). Raises NotImplementedError for formats that
+    need an external codec (JPEG/PNG/MP4 …) — the documented seam."""
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "wav":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "payload is not BMP/WAV; plug an external codec (PIL/ffmpeg) "
+        "into decode_media(decoder='real') for compressed formats"
+    )

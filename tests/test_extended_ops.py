@@ -37,11 +37,14 @@ def test_decode_shapes_and_determinism(spark, media):
     assert {k: bytes(v["pixels"]) for k, v in rows.items()} == again
 
 
-def test_decode_real_is_a_stub(spark, media):
+def test_decode_real_rejects_non_media_payloads(spark, media):
+    """The synth_media fake payloads are raw text bytes, not a real
+    file format — decoder='real' must refuse them at the seam (BMP/WAV
+    parse fine; see test_decode_media_real_parses_bmp_and_wav)."""
     from odsc_agentic_ai_summit_2025_spark.operators.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
-        decode_media(media, decoder="real")
+    with pytest.raises(Exception, match="external codec"):
+        decode_media(media.limit(2), decoder="real").collect()
 
 
 def test_resize_updates_meta_and_payload(spark, media):
@@ -268,3 +271,67 @@ def test_dedup_events_within_watermark(spark, sf_dir, events_stream_dir):
     )
     q.awaitTermination(120)
     assert spark.table("de_stream").count() == n_batch
+
+
+def test_real_codec_roundtrip():
+    """BMP and WAV encode→decode round-trip exactly (pure stdlib)."""
+    from odsc_agentic_ai_summit_2025_spark.functions.codecs import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        sniff_format,
+    )
+
+    rgb = bytes(range(256)) * 3  # 16x16x3
+    bmp = encode_bmp(rgb, 16, 16)
+    assert sniff_format(bmp) == "bmp"
+    w, h, ch, back = decode_bmp(bmp)
+    assert (w, h, ch) == (16, 16, 3) and back == rgb
+
+    pcm = bytes(range(200))  # 100 16-bit samples
+    wav = encode_wav(pcm, 16000, 1)
+    assert sniff_format(wav) == "wav"
+    n, rate, ch, back = decode_wav(wav)
+    assert (n, rate, ch) == (100, 16000, 1) and back == pcm
+
+
+def test_decode_media_real_parses_bmp_and_wav(spark, sf_dir):
+    """decoder='real' decodes honest file bytes; sizes come from the
+    parsed headers and match the synthesized geometry."""
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        decode_media,
+        synth_real_media,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    img = synth_real_media(docs, kind="image")
+    out = {r["media_id"]: r for r in decode_media(img, "real").collect()}
+    meta = {r["media_id"]: r["meta"] for r in img.collect()}
+    assert len(out) == 20
+    for mid, r in out.items():
+        m = meta[mid]
+        assert r["n_bytes"] == m["width"] * m["height"] * 3
+        assert len(r["pixels"]) == r["n_bytes"]
+
+    wav = synth_real_media(docs.limit(5), kind="audio")
+    wout = decode_media(wav, "real").collect()
+    assert all(r["n_bytes"] == 2 * (16000 // 100) for r in wout)
+
+
+def test_decode_media_real_raises_on_unknown_codec(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff jpeg-ish"), ("image", "jpeg", 4, 4, 3, 0, 1))],
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "channels:int,sample_rate:int,n_frames:int>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="external codec"):
+        decode_media(df, "real").collect()
