@@ -268,6 +268,36 @@ FROM rules
 """
 
 
+# ---------------------------------------------------------------------------
+# q68 — extraction usage accounting (the metering data plane)
+# ---------------------------------------------------------------------------
+
+def q68_extract_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record LLM usage columns from the metered extraction pass
+    (3 protocol calls per record; prompt tokens are the deterministic
+    offline estimate ceil(chars/4) of each call's string args —
+    exactly reproducible in SQL, so the metering path gets a hard
+    oracle; completion tokens depend on the mock's output repr and
+    stay pytest-covered)."""
+    from ..llm.extract import extract_fhir_with_usage
+
+    notes = read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS record_id", "text AS note"
+    )
+    return extract_fhir_with_usage(notes).select(
+        "record_id", "n_llm_calls", "prompt_tokens"
+    )
+
+
+Q68_SQL = """
+SELECT doc_id AS record_id,
+       3 AS n_llm_calls,
+       CAST(3 * CAST(ceil(length(text) / 4.0) AS BIGINT) AS INT)
+         AS prompt_tokens
+FROM documents
+"""
+
+
 QUERIES: list[Query] = [
     Query(
         "q64_guardrail_trace",
@@ -289,5 +319,12 @@ QUERIES: list[Query] = [
         Q67_SQL,
         covers=("L11", "F3", "F4"),
         description="multi-rule PII trace (email/phone/ssn)",
+    ),
+    Query(
+        "q68_extract_usage",
+        q68_extract_usage,
+        Q68_SQL,
+        covers=("L1", "A9"),
+        description="metered extraction usage columns",
     ),
 ]
