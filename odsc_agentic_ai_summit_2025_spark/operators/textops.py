@@ -99,3 +99,71 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), char_poly_hash(F.col(text_col)).alias("fingerprint")
     )
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str,
+    weights: tuple[int, int, int] = (80, 10, 10),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    The standard training-data split at scale: bucket =
+    ``char_poly_hash(id || ':' || salt) mod 100`` — a pure function
+    of the row's identity, so the split is stable across runs,
+    engines, partitionings, and corpus growth (new rows land in
+    splits without reshuffling old ones), and a different ``salt``
+    yields an independent re-split. No RNG: seeded engine RNGs are
+    partition-dependent and not reproducible cross-engine, which is
+    why ``df.randomSplit`` can't be oracle-checked but this can.
+    """
+    w_train, w_val, w_test = weights
+    if w_train + w_val + w_test != 100:
+        raise ValueError("weights must sum to 100")
+    bucket = F.pmod(
+        char_poly_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        ),
+        F.lit(100),
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < w_train, "train")
+        .when(bucket < w_train + w_val, "val")
+        .otherwise("test"),
+    )
+
+
+#: corpus-filter thresholds (C4-style heuristics over the quality
+#: columns; fixed-point ×10⁴ like quality_score)
+FILTER_MIN_TOKENS = 5
+FILTER_MAX_STOP_RATIO_E4 = 5000   # ≤50% stopwords
+FILTER_MIN_AVG_LEN_E4 = 20000     # mean token length ≥2 chars
+FILTER_MAX_AVG_LEN_E4 = 150000    # mean token length ≤15 chars
+
+
+def corpus_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality filtering with per-rule reasons (the C4/Gopher-style
+    cleaning stage): each rule is a boolean column, ``kept`` is their
+    conjunction — so the filter is auditable (per-rule drop counts
+    are one groupBy away) rather than a silent WHERE."""
+    scored = quality_score(df, text_col, id_col)
+    rules = {
+        "len_ok": F.col("n_tokens") >= FILTER_MIN_TOKENS,
+        "stop_ok": F.col("stop_ratio_e4") <= FILTER_MAX_STOP_RATIO_E4,
+        "avg_len_ok": F.col("avg_token_len_e4").between(
+            FILTER_MIN_AVG_LEN_E4, FILTER_MAX_AVG_LEN_E4
+        ),
+    }
+    out = scored
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn(
+        "kept",
+        F.aggregate(
+            F.array(*[F.col(n) for n in rules]),
+            F.lit(True),
+            lambda a, b: a & b,
+        ),
+    )

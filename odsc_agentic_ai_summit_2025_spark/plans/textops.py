@@ -70,6 +70,59 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q33_SQL = f"SELECT doc_id, {char_poly_hash_sql('text')} AS fingerprint FROM documents"
 
 
+def q69_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return ops.train_split(docs, "doc_id").select("doc_id", "split")
+
+
+Q69_SQL = f"""
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             {char_poly_hash_sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS b
+      FROM documents)
+"""
+
+
+def q70_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.corpus_filter(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+Q70_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
+             (a, b) -> a + b) AS sum_len,
+         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         (n_stop * 10000) // n_tokens AS stop_ratio_e4,
+         (sum_len * 10000) // n_tokens AS avg_token_len_e4,
+         ((n_tokens - n_stop) * LEAST(sum_len, n_tokens * 10) * 10000)
+             // (n_tokens * n_tokens * 10) AS quality_e4
+  FROM t
+)
+SELECT doc_id, n_tokens, stop_ratio_e4, avg_token_len_e4, quality_e4,
+       n_tokens >= {ops.FILTER_MIN_TOKENS} AS len_ok,
+       stop_ratio_e4 <= {ops.FILTER_MAX_STOP_RATIO_E4} AS stop_ok,
+       avg_token_len_e4 BETWEEN {ops.FILTER_MIN_AVG_LEN_E4}
+           AND {ops.FILTER_MAX_AVG_LEN_E4} AS avg_len_ok,
+       (n_tokens >= {ops.FILTER_MIN_TOKENS}
+        AND stop_ratio_e4 <= {ops.FILTER_MAX_STOP_RATIO_E4}
+        AND avg_token_len_e4 BETWEEN {ops.FILTER_MIN_AVG_LEN_E4}
+            AND {ops.FILTER_MAX_AVG_LEN_E4}) AS kept
+FROM scored
+"""
+
+
 QUERIES = [
     Query("q30_token_stats", q30_token_stats, Q30_SQL,
           ("A10", "F6"), "per-doc token counting"),
@@ -79,4 +132,8 @@ QUERIES = [
           ("F1", "F2"), "marker-based language ID + confusion"),
     Query("q33_fingerprint", q33_fingerprint, Q33_SQL,
           ("F12",), "rolling-hash document fingerprint"),
+    Query("q69_train_split", q69_train_split, Q69_SQL,
+          ("F12",), "deterministic hash-bucketed train/val/test split"),
+    Query("q70_quality_filter", q70_quality_filter, Q70_SQL,
+          ("F12", "P8"), "C4-style quality filter with per-rule reasons"),
 ]

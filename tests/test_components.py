@@ -102,3 +102,46 @@ def test_pii_trace_multi_rule(spark):
     assert "XXX-XXX-XXXX" in masked[1] and "555" not in masked[1]
     assert "XXX-XX-XXXX" in masked[2] and "a***e@x.com" in masked[2]
     assert masked[3] == "clean text"
+
+
+def test_train_split_stable_and_salted(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        train_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in train_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in train_split(df, "doc_id").collect()}
+    assert a == b  # pure function of id
+    # roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 350 < c["train"] < 450 and c["val"] > 20 and c["test"] > 20
+    # a different salt re-splits independently
+    other = {
+        r["doc_id"]: r["split"]
+        for r in train_split(df, "doc_id", salt="resplit").collect()
+    }
+    assert other != a
+
+
+def test_corpus_filter_rules_discriminate(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        corpus_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "plenty of ordinary words keep this document around fine"),
+            (2, "too short"),                       # len_ok fails
+            (3, "the a the a the a the a the a"),   # stop_ok fails
+            (4, "x " * 20),                         # avg_len_ok fails (1 char)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in corpus_filter(df, "text", "doc_id").collect()}
+    assert rows[1]["kept"]
+    assert not rows[2]["len_ok"] and not rows[2]["kept"]
+    assert not rows[3]["stop_ok"] and not rows[3]["kept"]
+    assert not rows[4]["avg_len_ok"] and not rows[4]["kept"]
