@@ -368,3 +368,33 @@ def test_rag_emits_spans_usage_and_guardrail_traces(spark):
     kinds = [t.validation_type for t in rag.guardrail_traces]
     assert kinds == ["input", "output"]
     assert all(t.rule == "email" for t in rag.guardrail_traces)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_NOTES),
+    reason="reference data not present",
+)
+def test_build_rag_pipeline_end_to_end(spark):
+    """run.sh-equivalent composition: notes → extract → graph → RAG,
+    answering a golden question with usage + span tables populated."""
+    from odsc_agentic_ai_summit_2025_spark.pipeline import (
+        build_rag_pipeline,
+    )
+    from odsc_agentic_ai_summit_2025_spark.plans.golden import GOLDEN_CASES
+    from odsc_agentic_ai_summit_2025_spark.schemas import NOTES
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_json_records
+
+    notes = read_json_records(spark, _NOTES, NOTES).filter(
+        "record_id <= 300"
+    )
+    p = build_rag_pipeline(spark, notes)
+    # graph views are registered and queryable
+    assert spark.sql("SELECT count(*) FROM patient").collect()[0][0] > 0
+    # extraction emitted rows for the slice
+    assert p.extracted.count() == 300
+    case = GOLDEN_CASES[5]  # category-count question, graph-answerable
+    ans = p.rag.ask(case.question)
+    assert ans.final_answer  # non-empty through the full path
+    assert p.usage_df(spark).count() >= 5
+    names = {s.name for s in p.tracer.spans}
+    assert {"extract", "build_graph", "build_rag", "ask"} <= names
