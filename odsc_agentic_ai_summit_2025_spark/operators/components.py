@@ -9,18 +9,19 @@ Spark-first shape: iterative min-label propagation —
 
     label(v) ← min(label(v), min over neighbors' label)
 
-repeated to fixpoint. Each round is one join + one aggregation,
-both keyed by vertex id (no hot axis beyond the graph's own degree
-skew, which the aggregation absorbs as partial min). Convergence in
-O(component diameter) rounds — dup clusters are shallow (near-clique
-chains), so single digits in practice; ``max_iterations`` bounds the
-worst case and the loop stops as soon as a round changes nothing.
-Every round persists its labels and unpersists the previous round,
-so lineage stays O(1) and a failed executor recomputes one round,
-not the whole history. At extreme diameters, the two-phase
-large-star/small-star variant (Kiveris et al., "Connected Components
-in MapReduce and Beyond") halves round count; the per-round plan
-here is the same join shape, so it drops in without changing callers.
+plus POINTER JUMPING (label(v) ← label(label(v)) — labels are node
+ids, so the label table maps its own values), repeated to fixpoint.
+Each round is two joins + one aggregation, all keyed by vertex id
+(no hot axis beyond the graph's own degree skew, which the
+aggregation absorbs as partial min). The jump gives O(log diameter)
+convergence — a path graph of 200 nodes closes in ~8 rounds, a
+1M-chain in ~20 — the same doubling trick as large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond").
+``max_iterations`` bounds the worst case and the loop stops as soon
+as a full round changes nothing. Every round localCheckpoints its
+labels, so the logical plan stays O(1) (labels appear three times
+per round's plan; an uncut tree doubles per iteration and the
+driver OOMs on plan analysis long before data is a problem).
 
 Determinism: labels are ids and every step is a min — the fixpoint
 is the component-minimum id regardless of partitioning or round
@@ -78,6 +79,14 @@ def connected_components(
         "cluster_id", F.col(id_col)
     ).localCheckpoint(eager=True)
 
+    def _label_sum(frame: DataFrame):
+        # labels only ever decrease, so the exact decimal sum is a
+        # strictly-decreasing convergence witness — no compare join
+        return frame.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -87,32 +96,53 @@ def connected_components(
             .agg(F.min("cluster_id").alias("_nmin"))
             .withColumnRenamed("dst", id_col)
         )
-        new_labels = (
+        # checkpointed BEFORE the self-join below, which would
+        # otherwise evaluate the step plan (a shuffle join + agg)
+        # once per side
+        stepped = (
             labels.join(neighbor_min, id_col, "left")
             .select(
                 id_col,
                 F.least(
                     F.col("cluster_id"), F.coalesce("_nmin", "cluster_id")
                 ).alias("cluster_id"),
-                (
-                    F.coalesce("_nmin", "cluster_id")
-                    < F.col("cluster_id")
-                ).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.agg(
-            F.sum(F.col("_chg").cast("long")).alias("n")
-        ).collect()[0]["n"]
-        labels = new_labels
-        if not changed:
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: cluster_id ← label(cluster_id). Labels are
+        # node ids, so the label table maps its own values; one extra
+        # self-join per round turns O(diameter) convergence into
+        # O(log diameter) — a 1M-long chain is ~20 rounds, not 1M.
+        labels = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col(id_col).alias("_jid"),
+                    F.col("cluster_id").alias("_jlab"),
+                ),
+                F.col("a.cluster_id") == F.col("_jid"),
+                "left",
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(id_col),
+                F.least(
+                    F.col("a.cluster_id"),
+                    F.coalesce("_jlab", F.col("a.cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iterations} "
             "rounds — use the large-star/small-star variant for this graph"
         )
     edges.unpersist()
-    return labels.drop("_chg")
+    return labels
 
 
 def dedup_decisions(

@@ -53,19 +53,22 @@ def test_connected_components_matches_union_find(spark, seed):
 
 
 def test_connected_components_chain_converges(spark):
-    """A path graph (worst-case diameter for label propagation)."""
+    """A path graph — worst-case diameter. 200 nodes would need 199
+    rounds under pure neighbor-min propagation (far beyond the
+    25-round cap); pointer jumping must close it in O(log n)."""
     from odsc_agentic_ai_summit_2025_spark.operators.components import (
         connected_components,
         dedup_decisions,
     )
 
-    chain = [(i, i + 1) for i in range(15)]
+    n = 200
+    chain = [(i, i + 1) for i in range(n - 1)]
     pairs = spark.createDataFrame(chain, "a_id long, b_id long")
     comp = connected_components(pairs)
     rows = dedup_decisions(comp).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert sorted(r["id"] for r in rows if r["keep"]) == [0]
-    assert all(r["cluster_size"] == 16 for r in rows)
+    assert all(r["cluster_size"] == n for r in rows)
 
 
 def test_pii_trace_multi_rule(spark):
