@@ -1,0 +1,173 @@
+"""Index lifecycle: persist, load, and incrementally update the FTS
+and IVF indexes.
+
+The reference gets this from its embedded stores — LanceDB persists
+the vector table (generate_note_embeddings.py:30-49) and Kuzu its FTS
+index — and re-ingest is idempotent. Spark-first, an index IS a set
+of DataFrames, so persistence is parquet with a layout chosen for the
+read path:
+
+- **FTS**: postings/doc-lengths/dfreq as parquet plus a one-row stats
+  table. Serving reads only the probed terms' slices; the postings
+  layout is term-major so predicate pushdown prunes row groups.
+- **IVF**: centroids plus the assignment **partitioned by
+  cluster_id** — the on-disk analog of the inverted lists, so a
+  search with ``nprobe`` probes reads exactly ``nprobe`` partitions
+  (partition pruning, no full scan).
+
+Incremental update mirrors the reference's idempotent ingest:
+already-indexed ids are dropped (anti-join on the id), new docs are
+union-merged into the postings/lists. The IVF quantizer is FROZEN on
+update — standard IVF practice (assignments stay consistent;
+retraining is a rebuild, not an update) — so adds are one map-only
+assignment pass over just the new rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fts import FtsIndex, Tokenizer, build_postings, doc_lengths, tokens
+from .ivf import IvfIndex
+
+
+# ---------------------------------------------------------------------------
+# FTS
+# ---------------------------------------------------------------------------
+
+
+def save_fts_index(index: FtsIndex, path: str) -> None:
+    index.postings.write.mode("overwrite").parquet(f"{path}/postings")
+    index.dls.write.mode("overwrite").parquet(f"{path}/dls")
+    index.dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(index.n_docs, float(index.avgdl))], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_fts_index(spark: SparkSession, path: str) -> FtsIndex:
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    return FtsIndex(
+        postings=spark.read.parquet(f"{path}/postings"),
+        dls=spark.read.parquet(f"{path}/dls"),
+        dfreq=spark.read.parquet(f"{path}/dfreq"),
+        n_docs=stats["n_docs"],
+        avgdl=stats["avgdl"],
+    )
+
+
+def fts_add_documents(
+    index: FtsIndex,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    tokenizer: Tokenizer = tokens,
+) -> FtsIndex:
+    """Merge new documents into an FTS index (idempotent: ids already
+    in the index are skipped, like the reference's re-ingest).
+
+    Work is proportional to the NEW docs: their postings/lengths are
+    built fresh; the merge is a union (doc ids are disjoint after the
+    anti-join, so no tf re-aggregation) and dfreq is a union-sum over
+    the new terms only. Use the SAME tokenizer as the build — mixed
+    tokenization would split the term space.
+    """
+    fresh = new_docs.join(
+        index.dls.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )
+    p_new = build_postings(fresh, text_col, id_col, tokenizer)
+    dl_new = doc_lengths(fresh, text_col, id_col, tokenizer)
+    postings = index.postings.unionByName(p_new)
+    dls = index.dls.unionByName(dl_new)
+    df_new = p_new.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        index.dfreq.unionByName(df_new)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    n_new, sum_new = (
+        dl_new.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+        ).collect()[0]
+    )
+    n_docs = index.n_docs + n_new
+    avgdl = (index.avgdl * index.n_docs + sum_new) / max(n_docs, 1)
+    return FtsIndex(postings, dls, dfreq, n_docs, avgdl)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def save_ivf_index(index: IvfIndex, path: str) -> None:
+    index.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # inverted-list layout: one directory per cluster, so an
+    # nprobe-probe search reads exactly nprobe partitions
+    index.assigned.write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(f"{path}/assigned")
+    spark = index.centroids.sparkSession
+    spark.createDataFrame(
+        [(index.vec_col, index.id_col)], "vec_col string, id_col string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return IvfIndex(
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        assigned=spark.read.parquet(f"{path}/assigned"),
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+    )
+
+
+def ivf_add_documents(index: IvfIndex, new_corpus: DataFrame) -> IvfIndex:
+    """Assign new vectors with the FROZEN quantizer and merge them
+    into the inverted lists (idempotent on the id column). One
+    map-only pass over the new rows — no retrain, no full-corpus
+    touch; nprobe=K search remains exact over the merged corpus."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ..sources.io import ensure_min_partitions
+
+    fresh = new_corpus.join(
+        index.assigned.select(index.id_col), index.id_col, "left_anti"
+    )
+    centers = np.stack(
+        [
+            np.asarray(r["centroid"], dtype=np.float64)
+            for r in index.centroids.orderBy("cluster_id").collect()
+        ]
+    )
+    bc = fresh.sparkSession.sparkContext.broadcast(centers)
+    vec_col = index.vec_col
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        cts = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            scores = 2 * (m @ cts.T) - (cts * cts).sum(1)[None, :]
+            out = pdf.copy()
+            out["cluster_id"] = scores.argmax(1).astype("int32")
+            yield out
+
+    out_schema = T.StructType(
+        list(new_corpus.schema.fields)
+        + [T.StructField("cluster_id", T.IntegerType())]
+    )
+    added = ensure_min_partitions(fresh).mapInPandas(assign, out_schema)
+    merged = index.assigned.unionByName(added).persist()
+    return IvfIndex(index.centroids, merged, index.vec_col, index.id_col)

@@ -1,0 +1,140 @@
+"""Index persistence + incremental update (FTS and IVF lifecycle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+
+
+def _bm25(index, terms, k=10):
+    from odsc_agentic_ai_summit_2025_spark.operators.fts import (
+        bm25_topk_indexed,
+    )
+
+    return sorted(
+        map(tuple, bm25_topk_indexed(index, terms, k=k).collect())
+    )
+
+
+def test_fts_incremental_equals_full_build(spark, docs):
+    """build(half1) + add(half2) must serve identical BM25 results to
+    build(full) — postings, df, and corpus stats all merge right."""
+    from odsc_agentic_ai_summit_2025_spark.operators.fts import (
+        build_fts_index,
+    )
+    from odsc_agentic_ai_summit_2025_spark.operators.index_io import (
+        fts_add_documents,
+    )
+
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    full = build_fts_index(docs, "text", "doc_id")
+    merged = fts_add_documents(
+        build_fts_index(half1, "text", "doc_id"), half2, "text", "doc_id"
+    )
+    assert merged.n_docs == full.n_docs
+    assert merged.avgdl == pytest.approx(full.avgdl)
+    terms = ["table", "row", "fast"]
+    assert _bm25(merged, terms) == _bm25(full, terms)
+
+
+def test_fts_add_is_idempotent(spark, docs):
+    """Re-adding already-indexed docs changes nothing (the
+    reference's idempotent re-ingest)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.fts import (
+        build_fts_index,
+    )
+    from odsc_agentic_ai_summit_2025_spark.operators.index_io import (
+        fts_add_documents,
+    )
+
+    idx = build_fts_index(docs, "text", "doc_id")
+    again = fts_add_documents(idx, docs.limit(50), "text", "doc_id")
+    assert again.n_docs == idx.n_docs
+    assert again.postings.count() == idx.postings.count()
+
+
+def test_fts_save_load_roundtrip(spark, docs, tmp_path):
+    from odsc_agentic_ai_summit_2025_spark.operators.fts import (
+        build_fts_index,
+    )
+    from odsc_agentic_ai_summit_2025_spark.operators.index_io import (
+        load_fts_index,
+        save_fts_index,
+    )
+
+    idx = build_fts_index(docs, "text", "doc_id")
+    save_fts_index(idx, str(tmp_path / "fts"))
+    loaded = load_fts_index(spark, str(tmp_path / "fts"))
+    assert loaded.n_docs == idx.n_docs
+    assert loaded.avgdl == pytest.approx(idx.avgdl)
+    terms = ["window", "query"]
+    assert _bm25(loaded, terms) == _bm25(idx, terms)
+
+
+def test_ivf_lifecycle_roundtrip_and_incremental(spark, sf_dir, tmp_path):
+    """Save/load preserves search results; incremental add with the
+    frozen quantizer stays EXACT at nprobe=K over the merged corpus
+    (the same property the q47 oracle relies on)."""
+    from odsc_agentic_ai_summit_2025_spark.functions.embedder import embed
+    from odsc_agentic_ai_summit_2025_spark.operators.index_io import (
+        ivf_add_documents,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from odsc_agentic_ai_summit_2025_spark.operators.ivf import (
+        ivf_build,
+        ivf_search,
+    )
+    from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs = embed(docs, "text", "vector", dim=32).select(
+        "doc_id", "vector"
+    ).cache()
+    half1 = vecs.filter(F.col("doc_id") % 2 == 0)
+    half2 = vecs.filter(F.col("doc_id") % 2 == 1)
+    queries = vecs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), "vector"
+    )
+
+    K = 8
+    idx = ivf_build(half1, "vector", "doc_id", k_clusters=K)
+
+    # save → load → identical search
+    save_ivf_index(idx, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    a = sorted(map(tuple, ivf_search(idx, queries, "qid", k=5, nprobe=K).collect()))
+    b = sorted(map(tuple, ivf_search(loaded, queries, "qid", k=5, nprobe=K).collect()))
+    assert a == b
+
+    # incremental add: nprobe=K over the merged index == exact kNN
+    # (ivf_search always drops n_id == q_id, so compare with
+    # exclude_self=True)
+    merged = ivf_add_documents(idx, half2)
+    assert merged.assigned.count() == vecs.count()
+    got = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_search(merged, queries, "qid", k=5, nprobe=K).collect()
+    }
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in knn_bruteforce(
+            vecs, queries, "vector", "doc_id", "qid", k=5, exclude_self=True
+        ).collect()
+    }
+    assert got == exact
+
+    # idempotent re-add
+    again = ivf_add_documents(merged, half2.limit(20))
+    assert again.assigned.count() == merged.assigned.count()
