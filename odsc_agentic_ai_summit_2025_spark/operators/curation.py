@@ -1,0 +1,239 @@
+"""Corpus-curation operators for the training-data pipeline surface:
+benchmark decontamination, repetition-based quality (Gopher-style
+rules), source-mix reweighting, and embedding outlier detection.
+
+Everything is a pure DataFrame program (no Python UDFs): tokenize /
+n-gram / ratio math stays in whole-stage codegen, the benchmark side
+of decontamination is broadcast (eval sets are small by construction
+— that is the real-world shape at 100 TB too), and the per-label
+centroid aggregation ships only (label, dim) partial sums through the
+shuffle, never the vectors themselves.
+
+Determinism: ratios are integer e4 fixed-point (``x*10000 // y``),
+centroids are exact DECIMAL sums divided once at the end, and
+cosines are sequential per-row folds rounded to 4 decimals — all
+engine-portable, so every operator here carries a DuckDB oracle in
+plans/curation.py.
+
+Reference parity: the reference repo curates its corpus implicitly
+(clinical notes are pre-cleaned, data/synthea/notes per
+src/generate_note_embeddings.py); these operators make that stage
+explicit and scalable, per the task's training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.io import ensure_min_partitions
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams as space-joined strings; empty array when
+    the document has fewer than ``n`` tokens.
+
+    ``sequence(0, size-n)`` is guarded because Spark's ``sequence``
+    steps *downward* for start > stop (it would fabricate bogus
+    indices, not return empty).
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: which corpus docs share ≥
+    ``min_shared`` distinct word ``n``-grams with which benchmark doc.
+
+    Columns out: ``corpus_id, bench_id, n_shared``.
+
+    Scale shape: the benchmark (eval-set) side is orders of magnitude
+    smaller than the corpus, so its exploded distinct n-grams are
+    **broadcast**; the corpus side is then a map-side hash join — the
+    100 TB corpus is never shuffled, and the only exchange is the
+    final (corpus_id, bench_id) count, whose cardinality is bounded
+    by true contamination. This mirrors the standard 13-gram
+    decontamination pass used for LLM training corpora (n is a
+    parameter; tests use a small n because the synthetic docs are
+    short).
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.explode(
+                    F.array_distinct(_word_ngrams(tokens(F.col(text_col)), n))
+                ).alias("gram"),
+            )
+        )
+
+    corpus_grams = grams(ensure_min_partitions(corpus), "corpus_id")
+    bench_grams = grams(benchmark, "bench_id")
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Columns out: ``{id_col}, n_tokens, top_tok_n, top_frac_e4,
+    dup2_frac_e4, repetitive`` where ``top_frac_e4`` is the most
+    frequent token's share of all tokens and ``dup2_frac_e4`` the
+    fraction of word 2-grams that are repeats — both integer e4
+    fixed-point (engine-exact).  ``repetitive`` flags docs past the
+    Gopher-ish gates (top token > 20 % or duplicate 2-grams > 20 %).
+
+    Scale shape: one explode + two-level aggregation. The first
+    groupBy((id, tok)) does map-side partial aggregation, so the
+    shuffle carries per-document distinct-token counts, not the token
+    stream; the 2-gram stats are computed inside the row (array
+    expressions, no explode at all).
+    """
+    toks = tokens(F.col(text_col))
+    g2 = _word_ngrams(toks, 2)
+    per_row = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(g2).alias("_n2"),
+        F.size(F.array_distinct(g2)).alias("_n2d"),
+    )
+    tok_counts = (
+        ensure_min_partitions(per_row)
+        .select(F.col(id_col), F.explode("_toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tok_stats = tok_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_tok_n"),
+    )
+    out = per_row.select(F.col(id_col), "_n2", "_n2d").join(tok_stats, id_col)
+    top_frac = (F.col("top_tok_n") * 10000).cast("long") / F.col("n_tokens")
+    dup2_frac = ((F.col("_n2") - F.col("_n2d")) * 10000).cast("long") / F.greatest(
+        F.col("_n2"), F.lit(1)
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("top_tok_n"),
+        F.floor(top_frac).cast("long").alias("top_frac_e4"),
+        F.floor(dup2_frac).cast("long").alias("dup2_frac_e4"),
+        (
+            (F.floor(top_frac) > 2000) | (F.floor(dup2_frac) > 2000)
+        ).alias("repetitive"),
+    )
+
+
+def source_mix_weights(df: DataFrame, source_col: str) -> DataFrame:
+    """Data-mixing weights: per-source counts and the resampling
+    weight that would equalize the mix across sources.
+
+    Columns out: ``source, n_docs, frac_e4, weight_e4`` — the actual
+    share of each source (e4 fixed-point) and the multiplicative
+    sampling weight ``target_frac / actual_frac`` (e4) for a uniform
+    target mix.
+
+    Scale shape: a count-star groupBy (map-side combined to one row
+    per source per task) then a broadcast of the single-row totals —
+    no single-partition window on the big frame.
+    """
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("_total"), F.count("*").alias("_n_sources")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.floor((F.col("n_docs") * 10000) / F.col("_total"))
+        .cast("long")
+        .alias("frac_e4"),
+        F.floor((F.lit(10000) * F.col("_total")) / (F.col("_n_sources") * F.col("n_docs")))
+        .cast("long")
+        .alias("weight_e4"),
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Flag vectors far from their label centroid (mislabeled /
+    polluted training examples).
+
+    Columns out: ``{id_col}, {label_col}, cos_c (round 4),
+    is_outlier``.
+
+    Determinism: the centroid is an exact DECIMAL(28,10) per-dimension
+    sum divided once by the count (partition-order independent); the
+    per-row cosine is a sequential fold over the row's own 64 dims
+    (fixed order), rounded to 4 decimals — the same contract the other
+    vector oracles use.
+
+    Scale shape: posexplode + groupBy((label, dim)) partial-aggregates
+    map-side, so the shuffle carries ``labels × dims`` partial sums
+    per task, not vectors; centroids (labels × dims rows) collapse to
+    one array per label and broadcast back onto the corpus — the big
+    side never shuffles.
+    """
+    dims = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        label_col,
+        "pos",
+        F.col("val").cast("decimal(28,10)").alias("val"),
+    )
+    cent = (
+        dims.groupBy(label_col, "pos")
+        .agg((F.sum("val") / F.count("*")).cast("double").alias("c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    joined = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).join(F.broadcast(cent), label_col)
+
+    def fold(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold(F.zip_with(F.col("_v"), F.col("centroid"), lambda a, b: a * b))
+    nv = F.sqrt(fold(F.transform(F.col("_v"), lambda a: a * a)))
+    nc = F.sqrt(fold(F.transform(F.col("centroid"), lambda a: a * a)))
+    cos = F.round(dot / (nv * nc), 4)
+    return joined.select(
+        F.col(id_col),
+        F.col(label_col),
+        cos.alias("cos_c"),
+        (cos < F.lit(threshold)).alias("is_outlier"),
+    )

@@ -1,0 +1,175 @@
+"""Corpus-curation query inventory (q71–q74): benchmark
+decontamination, repetition quality, source-mix reweighting, and
+embedding outlier detection — the curation stages of a training-data
+pipeline, all DuckDB-oracle-checked.
+
+The benchmark set for q71 is carved deterministically out of the
+documents table (doc_id % 97 == 0 plays the role of the held-out
+eval set), so the query needs no side input and both engines see the
+identical split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as ops
+from ..sources.io import read_table
+from .registry import Query
+
+_TOKS = "string_split_regex(text, '\\s+')"
+
+# DuckDB twin of operators.curation._word_ngrams (n is inlined).
+def _grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
+    return (
+        f"SELECT id, ts, unnest(generate_series(1, greatest(len(ts) - {n - 1}, 0))) AS i"
+    ), parts
+
+
+# ---------------------------------------------------------------------------
+# q71 — benchmark decontamination (word n-gram overlap vs eval split)
+# ---------------------------------------------------------------------------
+
+def q71_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ops.contamination_pairs(
+        corpus, bench, "text", "doc_id", n=3, min_shared=1
+    )
+
+
+def _q71_sql() -> str:
+    head, parts = _grams_sql(3)
+    return f"""
+WITH bench AS (SELECT doc_id AS id, {_TOKS} AS ts FROM documents WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id AS id, {_TOKS} AS ts FROM documents WHERE doc_id % 97 <> 0),
+bg0 AS ({head} FROM bench),
+bg AS (SELECT DISTINCT id AS bench_id, {parts} AS gram FROM bg0),
+cg0 AS ({head} FROM corpus),
+cg AS (SELECT DISTINCT id AS corpus_id, {parts} AS gram FROM cg0)
+SELECT corpus_id, bench_id, COUNT(*) AS n_shared
+FROM cg JOIN bg USING (gram)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q72 — Gopher-style repetition quality stats
+# ---------------------------------------------------------------------------
+
+def q72_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.repetition_stats(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+Q72_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok_n FROM cnt GROUP BY 1
+),
+g0 AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+       FROM toks),
+g AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram FROM g0),
+gstat AS (
+  SELECT doc_id, COUNT(*) AS n2, COUNT(DISTINCT gram) AS n2d FROM g GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.top_tok_n AS BIGINT) AS top_tok_n,
+       CAST((t.top_tok_n * 10000) // t.n_tokens AS BIGINT) AS top_frac_e4,
+       CAST(((g.n2 - g.n2d) * 10000) // greatest(g.n2, 1) AS BIGINT) AS dup2_frac_e4,
+       ((t.top_tok_n * 10000) // t.n_tokens > 2000
+        OR ((g.n2 - g.n2d) * 10000) // greatest(g.n2, 1) > 2000) AS repetitive
+FROM tstat t JOIN gstat g USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q73 — source-mix reweighting (data mixing)
+# ---------------------------------------------------------------------------
+
+def q73_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.source_mix_weights(
+        read_table(spark, sf_dir, "documents"), "source"
+    )
+
+
+Q73_SQL = """
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM counts)
+SELECT source,
+       n_docs,
+       CAST((n_docs * 10000) // total AS BIGINT) AS frac_e4,
+       CAST((10000 * total) // (n_sources * n_docs) AS BIGINT) AS weight_e4
+FROM counts, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# q74 — embedding outliers vs label centroid
+# ---------------------------------------------------------------------------
+
+def q74_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.embedding_outliers(
+        read_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        "label",
+        threshold=0.0,
+    )
+
+
+Q74_SQL = """
+WITH dims AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+cd AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE) AS c
+  FROM dims GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cd GROUP BY 1
+),
+scored AS (
+  SELECT vec_id, e.label,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])),
+           (a, b) -> a + b) /
+         (sqrt(list_reduce(
+            list_prepend(CAST(0 AS DOUBLE),
+              list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)),
+            (a, b) -> a + b)) *
+          sqrt(list_reduce(
+            list_prepend(CAST(0 AS DOUBLE),
+              list_transform(c.centroid, x -> x * x)),
+            (a, b) -> a + b))) AS cos
+  FROM embeddings e JOIN cent c USING (label)
+)
+SELECT vec_id, label, ROUND(cos, 4) AS cos_c, ROUND(cos, 4) < 0.0 AS is_outlier
+FROM scored
+"""
+
+
+QUERIES = [
+    Query("q71_decontamination", q71_decontamination, _q71_sql(),
+          ("U2", "P4"), "benchmark n-gram decontamination (broadcast eval set)"),
+    Query("q72_repetition_stats", q72_repetition_stats, Q72_SQL,
+          ("A5", "F6"), "Gopher-style repetition quality signals"),
+    Query("q73_source_mix", q73_source_mix, Q73_SQL,
+          ("A3",), "source-mix reweighting for data mixing"),
+    Query("q74_embedding_outliers", q74_embedding_outliers, Q74_SQL,
+          ("V1", "O2"), "per-label centroid cosine outlier flags"),
+]

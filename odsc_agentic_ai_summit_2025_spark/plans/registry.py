@@ -39,6 +39,7 @@ class Query:
 def all_queries() -> dict[str, Query]:
     """Assemble the full inventory from every plan module."""
     from . import (
+        curation,
         dedup,
         extended,
         extended2,
@@ -57,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         extended,
         extended2,
         observability,
+        curation,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -1,0 +1,83 @@
+"""Behavioral tests for the corpus-curation operators (q71–q74):
+planted contamination is found, repetition flags fire on crafted
+repeats, mix weights invert the source shares, and a planted
+far-from-centroid vector is flagged. Oracle parity for the same four
+queries is covered by test_inventory.py's registry sweep."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from odsc_agentic_ai_summit_2025_spark.operators import curation as ops
+
+
+def test_contamination_finds_planted_copy(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+            (11, "totally unrelated content with no overlap whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ops.contamination_pairs(corpus, bench, "text", "doc_id", n=3)
+    rows = {(r.corpus_id, r.bench_id): r.n_shared for r in out.collect()}
+    # the planted copy shares all 4 sliding 3-grams of the bench doc
+    assert rows == {(10, 1): 4}
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    bench = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(2, "a b c d e")], ["doc_id", "text"])
+    plan = ops.contamination_pairs(
+        corpus, bench, "text", "doc_id", n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the corpus side must not shuffle
+
+
+def test_repetition_stats_flags_repeats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),  # one token dominates
+            (2, "all words here are unique tokens"),  # clean
+            (3, "x"),  # single token: no 2-grams, division guarded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in ops.repetition_stats(docs, "text", "doc_id").collect()}
+    assert out[1].top_frac_e4 == 10000 and out[1].repetitive
+    assert out[1].dup2_frac_e4 == 7500  # 4 grams, 1 distinct → 3/4 repeats
+    assert out[2].top_frac_e4 < 2000 and not out[2].repetitive
+    assert out[3].n_tokens == 1 and out[3].dup2_frac_e4 == 0
+
+
+def test_source_mix_weights_inverts_shares(spark):
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 75 else "books") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    out = {r.source: r for r in ops.source_mix_weights(docs, "source").collect()}
+    assert out["web"].frac_e4 == 7500 and out["books"].frac_e4 == 2500
+    # uniform target = 50/50: downweight web (<1), upweight books (>1)
+    assert out["web"].weight_e4 == 6666 and out["books"].weight_e4 == 20000
+
+
+def test_embedding_outliers_flags_planted_vector(spark):
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, [v + 0.01 * i for v in base], 0) for i in range(5)]
+    rows.append((99, [-1.0, 0.0, 0.0, 0.0], 0))  # anti-aligned plant
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    out = {r.vec_id: r for r in
+           ops.embedding_outliers(emb, "embedding", "vec_id", "label").collect()}
+    assert out[99].is_outlier and out[99].cos_c < 0
+    assert all(not out[i].is_outlier for i in range(5))
+    # centroid broadcast join: big side must not exchange
+    plan = ops.embedding_outliers(
+        emb, "embedding", "vec_id", "label"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
