@@ -10,9 +10,11 @@ Determinism notes (registry conventions apply):
   explicit, identically-parenthesized double formula in both engines
   (never the engines' own one-pass corr(), whose accumulation order
   is partition-dependent).
-- q57 (HLL sketch) has no oracle: Spark's HyperLogLog++ and DuckDB's
-  sketch differ by construction; the rows-only gate plus a pytest
-  error-bound against the exact count cover it.
+- q57 (HLL sketch) runs the repo's own engine-portable HLL
+  (operators/sketches.py: md5-derived hash, 32 registers, integer
+  estimator) so the sketch itself is DuckDB-oracle-checked exactly;
+  native ``approx_count_distinct`` is the production alternative at
+  scale, covered by a pytest error-bound against the exact count.
 """
 
 from __future__ import annotations
@@ -104,16 +106,36 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# q57 — HLL approx distinct beside the exact count (rows-only: sketch
-# internals are engine-specific by construction)
+# q57 — portable-HLL approx distinct beside the exact count, fully
+# oracle-checked (operators/sketches.py implements the sketch with
+# engine-portable integer math; the native HLL++ alternative is
+# covered by a pytest error-bound instead)
 # ---------------------------------------------------------------------------
 
 def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_approx_distinct
+
     orders = read_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
+    hll = hll_approx_distinct(
+        orders, ["o_orderpriority"], "o_custkey", out_col="approx_custs"
     )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    return hll.join(exact, "o_orderpriority")
+
+
+def _q57_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    inner = hll_sql("orders", "o_orderpriority", "o_custkey", "approx_custs")
+    return f"""
+WITH hll AS ({inner}),
+ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_custs
+       FROM orders GROUP BY 1)
+SELECT o_orderpriority, approx_custs, exact_custs
+FROM hll JOIN ex USING (o_orderpriority)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -319,8 +341,8 @@ QUERIES = [
           ("A3", "O1"), "7-day rolling revenue via RANGE window"),
     Query("q56_decile_stats", q56_decile_stats, Q56_SQL,
           ("A3", "O2"), "ntile deciles over a total order"),
-    Query("q57_approx_distinct", q57_approx_distinct, None,
-          ("A4",), "HLL approx distinct beside exact (rows-only)"),
+    Query("q57_approx_distinct", q57_approx_distinct, _q57_sql(),
+          ("A4",), "portable-HLL approx distinct beside exact (oracled)"),
     Query("q58_heavy_hitters", q58_heavy_hitters, Q58_SQL,
           ("A10", "F6"), "document-frequency heavy hitters"),
     Query("q59_salted_agg", q59_salted_agg, Q59_SQL,

@@ -117,15 +117,31 @@ def test_window_count_null_and_duplicate_rows(spark):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """HLL at rsd=0.02 must land within 5% of the exact count."""
+    """The portable 32-register HLL (~1.04/√32 ≈ 18 % rsd) must land
+    within 3σ of the exact count; Spark's native HLL++ at rsd=0.02
+    (the production tier, not oracle-able) within 5 %."""
+    from pyspark.sql import functions as F
+
     from odsc_agentic_ai_summit_2025_spark.plans.extended2 import (
         q57_approx_distinct,
     )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
 
     for row in q57_approx_distinct(spark, sf_dir).collect():
         exact = row["exact_custs"]
         approx = row["approx_custs"]
-        assert abs(approx - exact) <= max(1, 0.05 * exact), row
+        assert abs(approx - exact) <= max(2, 3 * 0.184 * exact), row
+
+    native = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+            F.countDistinct("o_custkey").alias("e"),
+        )
+    )
+    for row in native.collect():
+        assert abs(row["a"] - row["e"]) <= max(1, 0.05 * row["e"]), row
 
 
 def test_ensure_min_partitions_noop_when_wide(spark):
