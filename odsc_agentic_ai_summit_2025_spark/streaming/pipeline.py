@@ -346,6 +346,36 @@ def dedup_events_stream_within_watermark(
     )
 
 
+def ingest_gate_stream(
+    spark: SparkSession,
+    docs_path: str,
+    bench_grams: list[str],
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming twin of ``operators/curation.py:ingest_gate``: the
+    per-document admit/reject decision (benchmark decontamination +
+    repetition gates) over a documents file stream.
+
+    Entirely stateless — the gram set rides in as a broadcast literal
+    and every expression is per-row — so the stream plan is a pure
+    map: no watermark, no state store, unbounded-rate safe. Parity
+    with the batch definition is asserted in tests."""
+    from ..operators.curation import ingest_gate
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(docs_path)
+    return ingest_gate(stream, bench_grams, "text", "doc_id", n=n)
+
+
 def _interval_seconds(interval: str) -> int:
     qty, unit = interval.split()
     mult = {

@@ -1,0 +1,78 @@
+"""Streaming ingest gate (decontamination + repetition) — batch/stream
+parity and gate semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+    benchmark_gram_set,
+    ingest_gate,
+)
+from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir2(sf_dir, tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("docs_stream_gate")
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_ingest_gate_semantics(spark):
+    bench = spark.createDataFrame(
+        [(1, "held out eval question text")], ["doc_id", "text"]
+    )
+    grams = benchmark_gram_set(bench, "text")
+    docs = spark.createDataFrame(
+        [
+            (10, "prefix held out eval question text suffix"),  # contaminated
+            (11, "clean sentence with diverse words inside"),  # admitted
+            (12, "loop loop loop loop loop loop loop loop"),  # repetitive
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           ingest_gate(docs, grams, "text", "doc_id").collect()}
+    assert out[10].contaminated and not out[10].admit
+    assert out[11].admit and not out[11].contaminated
+    assert out[12].dup2_frac_e4 > 2000 and not out[12].admit
+
+
+def test_ingest_gate_stream_parity(spark, sf_dir, docs_stream_dir2):
+    """The stream plan is stateless, so draining the corpus through it
+    must reproduce the batch gate row-for-row."""
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        ingest_gate_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench_df = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    grams = benchmark_gram_set(bench_df, "text")
+
+    batch = ingest_gate(corpus, grams, "text", "doc_id")
+    stream = ingest_gate_stream(spark, docs_stream_dir2, grams).filter(
+        F.col("doc_id") % 97 != 0
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("gate_stream")
+
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s
+    # at least one contaminated doc exists (the eval split overlaps
+    # its near-dups in the corpus) and most docs are admitted
+    n_contam = sum(1 for r in b if r[3])
+    assert n_contam >= 1
+    assert sum(1 for r in b if r[4]) > len(b) // 2
