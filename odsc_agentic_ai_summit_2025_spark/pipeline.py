@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -97,4 +98,85 @@ def build_rag_pipeline(
         rag=rag,
         collector=collector,
         tracer=tracer,
+    )
+
+
+@dataclass
+class CurationPipeline:
+    """Handle to each curation stage (all lazy until acted on)."""
+
+    gate: DataFrame  # per-doc ingest verdicts (q71/q72 signals)
+    admitted: DataFrame  # docs passing the stateless gate
+    exact_unique: DataFrame  # after exact content dedup
+    neardup_kept: DataFrame  # after near-dup cluster keep/drop
+    final: DataFrame  # quality-filtered + train/val/test split
+
+    def stage_counts(self) -> dict[str, int]:
+        """Per-stage survivor counts (one action per stage)."""
+        return {
+            "admitted": self.admitted.count(),
+            "exact_unique": self.exact_unique.count(),
+            "neardup_kept": self.neardup_kept.count(),
+            "final": self.final.count(),
+        }
+
+
+def build_curation_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> CurationPipeline:
+    """The 100 TB training-corpus curation sequence as one lazy Spark
+    program: stateless ingest gate (benchmark decontamination +
+    repetition) → exact content dedup → near-dup cluster keep/drop
+    (MinHash-LSH candidates, connected components) → C4-style quality
+    filter → deterministic hash split. Composition only — every stage
+    is an existing operator with its own oracle/test; the stage
+    shapes (broadcast gram set, digest-only shuffles, bucketed pair
+    join, map-only scoring, hash split) are documented at each
+    operator.
+    """
+    from .operators.components import connected_components, dedup_decisions
+    from .operators.curation import benchmark_gram_set, ingest_gate
+    from .operators.dedup import exact_dedup_groups, minhash_candidate_pairs
+    from .operators.textops import corpus_filter, train_split
+
+    grams = benchmark_gram_set(benchmark, text_col, n=ngram_n)
+    gate = ingest_gate(docs, grams, text_col, id_col, n=ngram_n)
+    admitted = docs.join(
+        gate.filter(F.col("admit")).select(id_col), id_col
+    )
+
+    keepers = exact_dedup_groups(admitted, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    exact_unique = admitted.join(keepers, id_col, "left_semi")
+
+    pairs = minhash_candidate_pairs(exact_unique, text_col, id_col)
+    comp = connected_components(
+        pairs.select("a_id", "b_id"),
+        vertices=exact_unique.select(F.col(id_col).alias("id")),
+    )
+    nd_keep = (
+        dedup_decisions(comp)
+        .filter(F.col("keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    neardup_kept = exact_unique.join(nd_keep, id_col, "left_semi")
+
+    quality = corpus_filter(neardup_kept, text_col, id_col)
+    kept = neardup_kept.join(
+        quality.filter(F.col("kept")).select(id_col), id_col, "left_semi"
+    )
+    final = train_split(kept, id_col)
+
+    return CurationPipeline(
+        gate=gate,
+        admitted=admitted,
+        exact_unique=exact_unique,
+        neardup_kept=neardup_kept,
+        final=final,
     )
