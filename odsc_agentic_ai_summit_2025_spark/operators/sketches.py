@@ -91,6 +91,86 @@ def hll_approx_distinct(
     )
 
 
+BLOOM_BITS = 65536  # 1024 int64 words
+BLOOM_WORDS = BLOOM_BITS // 32  # 32 bits per int64 word: 1<<63 overflows DuckDB
+BLOOM_K = 3  # 65536^3 = 2^48 < 2^60, so the md5 hash feeds all 3 slots
+
+
+def _bloom_h(h):  # noqa: ANN001 — Column in, list[Column] out
+    """The K bit positions of a 60-bit hash: its base-2^16 digits,
+    extracted with shifts — ``/`` on longs is double division in
+    Spark and loses bits past 2^53."""
+    return [
+        F.shiftright(h, 16 * i).bitwiseAND(F.lit(BLOOM_BITS - 1))
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_build(items: DataFrame, value_col: str) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``value_col`` as a
+    ``(word_idx, word)`` table of ``BLOOM_WORDS`` int64 rows (32 bits
+    used per word: a 1<<63 mask overflows DuckDB's checked shift).
+
+    Same portable 60-bit md5 hash as the HLL; the three bit positions
+    are its base-65536 digits. The build is one explode + ``bit_or``
+    aggregation — algebraic, map-side combined, and the result is a
+    fixed 8 KiB regardless of input size: the membership structure a
+    100 TB decontamination pass ships to every executor when the
+    benchmark gram set itself is too large to broadcast as strings.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    slots = F.array(*_bloom_h(h))
+    return (
+        items.select(F.explode(slots).alias("_bit"))
+        .select(
+            F.shiftright(F.col("_bit"), 5).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 32 AS INT))").alias(
+                "_mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(_mask)").alias("word"))
+    )
+
+
+def bloom_probe_counts(
+    probes: DataFrame, bloom: DataFrame, value_col: str, id_col: str
+) -> DataFrame:
+    """Count, per ``id_col``, the distinct ``value_col`` items whose
+    K Bloom bits are all set — ``(id, n_suspect)`` for ids with ≥ 1
+    hit. Join-based (no driver collect): the ≤1024-row bitmap
+    broadcasts, each probe item expands to K (word_idx, mask) rows,
+    and an item is a hit when all K joined words contain its bit.
+    Guaranteed no false negatives; false-positive rate is the classic
+    (1-e^(-kn/m))^k. Identical SQL runs in DuckDB (the oracle)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("_v").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    expanded = (
+        probes.select(F.col(id_col), F.col(value_col).alias("_v"))
+        .distinct()
+        .select(id_col, "_v", F.explode(F.array(*_bloom_h(h))).alias("_bit"))
+        .select(
+            id_col,
+            "_v",
+            F.shiftright(F.col("_bit"), 5).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 32 AS INT))").alias(
+                "_mask"
+            ),
+        )
+    )
+    hits = (
+        expanded.join(F.broadcast(bloom), "word_idx")
+        .filter(F.col("word").bitwiseAND(F.col("_mask")) == F.col("_mask"))
+        .groupBy(id_col, "_v")
+        .agg(F.count("*").alias("_nbits"))
+        .filter(F.col("_nbits") == BLOOM_K)
+    )
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_suspect"))
+
+
 def hll_sql(
     table_expr: str, group_col: str, value_col: str, out_col: str = "approx"
 ) -> str:

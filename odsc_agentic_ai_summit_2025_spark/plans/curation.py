@@ -1,7 +1,7 @@
-"""Corpus-curation query inventory (q71–q74): benchmark
-decontamination, repetition quality, source-mix reweighting, and
-embedding outlier detection — the curation stages of a training-data
-pipeline, all DuckDB-oracle-checked.
+"""Corpus-curation query inventory (q71–q75): benchmark
+decontamination (exact and Bloom-sketch tiers), repetition quality,
+source-mix reweighting, and embedding outlier detection — the
+curation stages of a training-data pipeline, all DuckDB-oracle-checked.
 
 The benchmark set for q71 is carved deterministically out of the
 documents table (doc_id % 97 == 0 plays the role of the held-out
@@ -163,6 +163,73 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# q75 — Bloom-filter decontamination gate (sketch-tier q71: fixed-size
+# bitmap instead of the gram-string broadcast; no false negatives)
+# ---------------------------------------------------------------------------
+
+def q75_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_build, bloom_probe_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        from ..functions.text import tokens
+        from ..operators.curation import _word_ngrams
+
+        return df.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(
+                F.array_distinct(_word_ngrams(tokens(F.col("text")), 3))
+            ).alias("gram"),
+        )
+
+    bloom = bloom_build(grams(bench, "bench_id").select("gram").distinct(), "gram")
+    return bloom_probe_counts(grams(corpus, "doc_id"), bloom, "gram", "doc_id")
+
+
+def _q75_sql() -> str:
+    from ..operators.sketches import BLOOM_BITS, BLOOM_K
+
+    head, parts = _grams_sql(3)
+    hexfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5(gram), 1, 15), ''), "
+        "c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48 "
+        "ELSE ascii(c) - 87 END AS BIGINT))), (a, b) -> a * 16 + b)"
+    )
+    slots = ", ".join(
+        f"((h // {BLOOM_BITS**i}) % {BLOOM_BITS})" for i in range(BLOOM_K)
+    )
+    return f"""
+WITH bench AS (SELECT doc_id AS id, {_TOKS} AS ts FROM documents WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id AS id, {_TOKS} AS ts FROM documents WHERE doc_id % 97 <> 0),
+bg0 AS ({head} FROM bench),
+bg AS (SELECT DISTINCT {parts} AS gram FROM bg0),
+bh AS (SELECT unnest([{slots}]) AS bit
+       FROM (SELECT {hexfold} AS h FROM bg)),
+bloom AS (
+  SELECT bit // 32 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS BIGINT) AS word
+  FROM bh GROUP BY 1),
+cg0 AS ({head} FROM corpus),
+cg AS (SELECT DISTINCT id AS doc_id, {parts} AS gram FROM cg0),
+ch AS (SELECT doc_id, gram, unnest([{slots}]) AS bit
+       FROM (SELECT doc_id, gram, {hexfold} AS h FROM cg)),
+hits AS (
+  SELECT doc_id, gram
+  FROM ch
+  JOIN bloom ON bit // 32 = word_idx
+            AND (word & (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)))
+                = (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT))
+  GROUP BY 1, 2
+  HAVING COUNT(*) = {BLOOM_K})
+SELECT doc_id, COUNT(*) AS n_suspect FROM hits GROUP BY 1
+"""
+
+
 QUERIES = [
     Query("q71_decontamination", q71_decontamination, _q71_sql(),
           ("U2", "P4"), "benchmark n-gram decontamination (broadcast eval set)"),
@@ -172,4 +239,6 @@ QUERIES = [
           ("A3",), "source-mix reweighting for data mixing"),
     Query("q74_embedding_outliers", q74_embedding_outliers, Q74_SQL,
           ("V1", "O2"), "per-label centroid cosine outlier flags"),
+    Query("q75_bloom_decontam", q75_bloom_decontam, _q75_sql(),
+          ("A4", "U2"), "Bloom-filter decontamination gate (portable sketch)"),
 ]

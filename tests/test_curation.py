@@ -81,3 +81,24 @@ def test_embedding_outliers_flags_planted_vector(spark):
         emb, "embedding", "vec_id", "label"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_gate_has_no_false_negatives(spark, sf_dir):
+    """Every doc the exact n-gram join flags must also be flagged by
+    the Bloom gate (structural guarantee), and the gate's extras
+    (false positives) must stay a small fraction of the corpus."""
+    from odsc_agentic_ai_summit_2025_spark.plans.curation import (
+        q71_decontamination,
+        q75_bloom_decontam,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    exact = {r.corpus_id for r in q71_decontamination(spark, sf_dir).collect()}
+    bloom = {r.doc_id for r in q75_bloom_decontam(spark, sf_dir).collect()}
+    assert exact <= bloom
+    n_corpus = (
+        read_table(spark, sf_dir, "documents")
+        .filter("doc_id % 97 <> 0")
+        .count()
+    )
+    assert len(bloom - exact) <= max(5, n_corpus // 10)
