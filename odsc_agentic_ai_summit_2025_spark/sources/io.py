@@ -112,6 +112,44 @@ def with_row_index(
     return df.withColumn(name, F.row_number().over(w))
 
 
+def with_row_index_distributed(
+    df: DataFrame, order_cols: list[str], name: str = "record_id"
+) -> DataFrame:
+    """The 100 TB form of :func:`with_row_index`: range-partition on
+    the order columns, rank locally within each partition, then add
+    per-partition offsets — no single-partition window anywhere.
+
+    ``repartitionByRange`` guarantees partition i's keys sort before
+    partition i+1's, so local rank + the cumulative count of earlier
+    partitions IS the global rank. The offset table is one count per
+    partition (a scalar-sized collect) joined back by broadcast.
+    ``order_cols`` must be a total order (e.g. include a unique key):
+    with duplicate keys a row's index is ambiguous in ANY
+    implementation, including the window form.
+    """
+    part = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+        ),
+    )
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in local.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off = df.sparkSession.createDataFrame(offsets, ["_pid", "_off"])
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn(name, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S3: JSON sink (one object per line; coalesce(1) for file parity)."""
     out = df.coalesce(1) if single_file else df

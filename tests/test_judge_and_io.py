@@ -206,3 +206,25 @@ def test_debug_record(spark):
     assert d["extracted"]["name"]["family"] == "Rodríguez"
     assert d["graph"]["patient"][0]["surname"] == "Rodríguez"
     assert any(e for e in d["graph"]["edges"]["experiences"])
+
+
+def test_row_index_distributed_matches_window_form(spark, sf_dir):
+    """The range-partition + offset form must assign exactly the
+    global-window indexes, with no unpartitioned window in its plan."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.sources.io import (
+        read_table,
+        with_row_index,
+        with_row_index_distributed,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = with_row_index(cust, ["c_custkey"]).select("c_custkey", "record_id")
+    b = with_row_index_distributed(cust, ["c_custkey"]).select(
+        "c_custkey", "record_id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    # every window in the distributed form is keyed by partition id
+    assert "partitionBy" not in plan or "_pid" in plan
