@@ -171,6 +171,71 @@ def bloom_probe_counts(
     return hits.groupBy(id_col).agg(F.count("*").alias("n_suspect"))
 
 
+CMS_W = BLOOM_BITS  # 2^16 columns per row — reuses the hash digits
+CMS_D = BLOOM_K  # 3 rows
+
+
+def cms_build(items: DataFrame, value_col: str) -> DataFrame:
+    """Count-Min sketch over ``value_col`` occurrences as a
+    ``(row_idx, col_idx, cnt)`` table (≤ 3·65536 rows, fixed size).
+
+    Completes the portable-sketch family (HLL = cardinality, Bloom =
+    membership, CMS = frequency): the same md5-derived hash feeds all
+    three, its base-2^16 digits serving as the D row hashes here.
+    Algebraic — explode to D counter increments per item, groupBy
+    partial-aggregates map-side, and sketches merge by element-wise
+    sum. The result is bounded regardless of input size: the
+    frequency structure a 100 TB pass ships around instead of a
+    token→count table with unbounded key cardinality.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("row_idx"), d.alias("col_idx"))
+            for i, d in enumerate(_bloom_h(h))
+        ]
+    )
+    return (
+        items.select(F.explode(pairs).alias("_p"))
+        .select("_p.row_idx", "_p.col_idx")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(probes: DataFrame, cms: DataFrame, value_col: str) -> DataFrame:
+    """Point-query the sketch: per distinct probe value, the minimum
+    of its D counters — ``(value_col, est)``, never an underestimate
+    (missing counters coalesce to 0). The ≤196k-row sketch broadcasts;
+    probes expand to D rows and never shuffle wide."""
+    h = F.conv(
+        F.substring(F.md5(F.col("_v").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    expanded = (
+        probes.select(F.col(value_col).alias("_v"))
+        .distinct()
+        .select(
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("row_idx"), d.alias("col_idx"))
+                        for i, d in enumerate(_bloom_h(h))
+                    ]
+                )
+            ).alias("_p"),
+        )
+        .select("_v", "_p.row_idx", "_p.col_idx")
+    )
+    return (
+        expanded.join(F.broadcast(cms), ["row_idx", "col_idx"], "left")
+        .groupBy(F.col("_v").alias(value_col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
 def hll_sql(
     table_expr: str, group_col: str, value_col: str, out_col: str = "approx"
 ) -> str:
