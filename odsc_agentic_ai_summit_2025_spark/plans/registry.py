@@ -49,16 +49,22 @@ def all_queries() -> dict[str, Query]:
         textops,
     )
 
+    # Module order is deliberate: the external correctness gate checks the
+    # FIRST 50 entries in insertion order, so modules whose queries have the
+    # least gate history go first.  Round-3 rotation: extended2, observability,
+    # curation, and the extended tail (q51-q54) had no driver-green rows after
+    # round 2; relational (q01-q25) has two rounds of green history and rotates
+    # to the back (its first 4 entries still land inside the window).
     out: dict[str, Query] = {}
     for mod in (
-        relational,
-        textops,
-        dedup,
-        retrieval,
-        extended,
         extended2,
         observability,
         curation,
+        extended,
+        dedup,
+        retrieval,
+        textops,
+        relational,
     ):
         for q in mod.QUERIES:
             if q.name in out:
