@@ -57,13 +57,95 @@ def _lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _subblock_assignments(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    seed: int,
+    target_block: int,
+) -> DataFrame:
+    """(id, v, sid) with a GUARANTEED-bounded sub-block key.
+
+    Two-level blocking: the LSH sign pattern gives spatially coherent
+    parent buckets, then a census pass (tiny: ≤ 2^p count rows) finds
+    buckets larger than ``target_block`` and splits each into
+    ``ceil(count / target_block)`` salted sub-blocks keyed by
+    ``xxhash64(id) mod split``. Exactness is unaffected — blocking is
+    just a partition of the corpus, and every sub-block later gets its
+    own (centroid, radius) cap from its actual members — but no
+    downstream ``collect_list`` row can materially exceed
+    ``target_block`` vectors, even when the whole corpus is a narrow
+    cone that lands in ONE sign pattern. That skew case is exactly
+    what made the round-2 version an executor-OOM hazard at 100×.
+
+    The bucket projection runs as one numpy GEMM per Arrow batch
+    (same math as the interpreted-fold expression in ``lsh_buckets``,
+    ~10× cheaper per evaluation — this plan is evaluated by census,
+    stats, and payload passes).
+    """
+    import numpy as np
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    spark = df.sparkSession
+    if not first:
+        return spark.createDataFrame([], f"{id_col} long, {vec_col} array<double>, sid long")
+    dim = first[0]["d"]
+    pm = np.array(_lsh_planes(dim, n_planes, seed), dtype=np.float64).T  # (dim, p)
+    bc = spark.sparkContext.broadcast(pm)
+    p = n_planes
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        mat = bc.value
+        pows = (1 << np.arange(p)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (m @ mat) > 0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    vec_col: pdf[vec_col],
+                    "bid": (bits * pows).sum(axis=1),
+                }
+            )
+
+    from ..sources.io import ensure_min_partitions
+
+    assigned = ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<double>, bid long"
+    )
+    census = assigned.groupBy("bid").agg(F.count(F.lit(1)).alias("n")).collect()
+    splits = {
+        int(r["bid"]): -(-int(r["n"]) // target_block)
+        for r in census
+        if r["n"] > target_block
+    }
+    if splits:
+        split_map = F.create_map(
+            *[F.lit(x) for bid, s in sorted(splits.items()) for x in (bid, s)]
+        )
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.coalesce(split_map[F.col("bid")], F.lit(1)))
+    else:
+        salt = F.lit(0)
+    # sid = bid · 2^32 + salt: bid < 2^12, split factors < 2^32 → unique
+    return assigned.select(
+        id_col, vec_col, (F.col("bid") * F.lit(1 << 32) + salt).alias("sid")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 7,
+    target_block: int = 1024,
 ) -> DataFrame:
     """Pairs (a_id < b_id) with cosine ≥ threshold — EXACT, via
     LSH-blocked GEMM with sound block-pair pruning.
@@ -73,14 +155,19 @@ def embedding_neardup_pairs(
     hash(id)-blocked grid still *computes* every pair (O(n²) GEMM),
     which is the 100× scale-killer. The plan here:
 
-    1. Block by LSH bucket (sign pattern under ``n_planes`` seeded
-       hyperplanes) — spatially coherent: a block's members span a
-       small angular cap, not the whole sphere.
-    2. One distributed pass computes per-block (centroid, angular
-       radius); the B summaries are collected (B ≤ 2^n_planes, a few
-       KB) and every unordered block pair is tested against the
-       spherical triangle inequality: the angle between any x∈A, y∈B
-       is ≥ angle(cA, cB) − radius(A) − radius(B), so if
+    1. Block by LSH bucket (sign pattern under seeded hyperplanes;
+       ``n_planes`` defaults to log2(n/target_block) clamped to
+       [6, 12]) — spatially coherent: a block's members span a small
+       angular cap, not the whole sphere. A census pass then SPLITS
+       any bucket above ``target_block`` members into hash-salted
+       sub-blocks (``_subblock_assignments``), so per-block payload
+       rows are bounded by construction — a skewed corpus cannot OOM
+       an executor by packing itself into one sign pattern.
+    2. One distributed pass computes per-sub-block (centroid, angular
+       radius); the B summaries are collected (B ≤ 2^p + n/target,
+       a few KB) and every unordered sub-block pair is tested against
+       the spherical triangle inequality: the angle between any x∈A,
+       y∈B is ≥ angle(cA, cB) − radius(A) − radius(B), so if
        cos(max(0, θ_AB − rA − rB)) < threshold no pair in A×B can
        qualify and the pair is pruned — *provably* nothing is missed
        (small float-safety margins keep the bound conservative).
@@ -97,27 +184,33 @@ def embedding_neardup_pairs(
     Output is ids only: the threshold sits in a measured gap of the
     score distribution, so last-ulp accumulation differences between
     engines can't flip membership; emitting float scores would.
+
+    Driver-side footprint is the B×B feasibility matrix — fine to
+    B ≈ 10^4 sub-blocks (n ≈ 10^7 at the default target). Beyond
+    that, use ``neardup_pairs_lsh`` (fully distributed candidate
+    generation) — the documented 100 TB tier.
     """
+    import numpy as np
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if not first:
+    n = df.count()
+    if n == 0:
         return df.sparkSession.createDataFrame([], "a_id long, b_id long")
-    dim = first[0]["d"]
-    planes = _lsh_planes(dim, n_planes, seed)
-    bucket = _lsh_bucket_expr(vec_col, planes)
+    if n_planes is None:
+        n_planes = min(12, max(6, math.ceil(math.log2(max(n / target_block, 2.0)))))
+    sub = _subblock_assignments(df, vec_col, id_col, n_planes, seed, target_block)
 
     blocks = (
-        df.select(
-            bucket.alias("bid"),
+        sub.select(
+            "sid",
             F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("item"),
         )
-        .groupBy("bid")
+        .groupBy("sid")
         .agg(F.collect_list("item").alias("items"))
     )
 
-    # per-block angular summaries: centroid direction + max member
-    # angle. One grouped pass over (bid, v); the result is ≤ 2^p rows.
+    # per-sub-block angular summaries: centroid direction + max member
+    # angle. Group sizes are census-bounded, so applyInPandas is safe.
     def block_stats(pdf):
         import numpy as np
         import pandas as pd
@@ -130,26 +223,24 @@ def embedding_neardup_pairs(
         if cn < 1e-12:
             # degenerate (members cancel): no useful cap — full radius
             return pd.DataFrame(
-                {"bid": [pdf["bid"].iloc[0]], "radius": [math.pi]}
+                {"sid": [pdf["sid"].iloc[0]], "radius": [math.pi]}
                 | {"centroid": [([1.0] + [0.0] * (m.shape[1] - 1))]}
             )
         c = c / cn
         dots = np.clip(m @ c, -1.0, 1.0)
         radius = float(np.arccos(dots.min())) + 1e-7  # safety margin
         return pd.DataFrame(
-            {"bid": [pdf["bid"].iloc[0]], "radius": [radius], "centroid": [c.tolist()]}
+            {"sid": [pdf["sid"].iloc[0]], "radius": [radius], "centroid": [c.tolist()]}
         )
 
     stats = (
-        df.select(bucket.alias("bid"), F.col(vec_col).alias("v"))
-        .groupBy("bid")
-        .applyInPandas(block_stats, "bid long, radius double, centroid array<double>")
+        sub.select("sid", F.col(vec_col).alias("v"))
+        .groupBy("sid")
+        .applyInPandas(block_stats, "sid long, radius double, centroid array<double>")
         .collect()
     )
 
-    import numpy as np
-
-    bids = [r["bid"] for r in stats]
+    bids = [r["sid"] for r in stats]
     radii = np.array([r["radius"] for r in stats])
     cents = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in stats])
     theta = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
@@ -173,11 +264,11 @@ def embedding_neardup_pairs(
         pair_rows, "bid_a long, bid_b long"
     )
     a = blocks.select(
-        F.col("bid").alias("bid_a"),
+        F.col("sid").alias("bid_a"),
         F.col("items").alias("items_a"),
     )
     b = blocks.select(
-        F.col("bid").alias("bid_b"),
+        F.col("sid").alias("bid_b"),
         F.col("items").alias("items_b"),
     )
     grid = grid_keys.join(a, "bid_a").join(b, "bid_b")

@@ -65,6 +65,41 @@ def test_neardup_block_bound_is_exact(spark, threshold):
     assert got == _brute_pairs(mat, threshold)
 
 
+def test_neardup_subblocks_bounded_on_skewed_cone(spark):
+    """Worst-case skew: the whole corpus is a narrow cone, so every
+    vector lands in ONE LSH sign pattern. The census pass must split
+    that bucket into hash-salted sub-blocks so no collect_list row
+    exceeds ~target_block members (this was the round-2 executor-OOM
+    hazard), and exactness must survive the split."""
+    from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
+        _subblock_assignments,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(29)
+    core = rng.normal(size=48)
+    core /= np.linalg.norm(core)
+    mat = core + 0.05 * rng.normal(size=(600, 48))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))], "vid long, v array<double>"
+    )
+
+    target = 64
+    sub = _subblock_assignments(df, "v", "vid", n_planes=6, seed=7, target_block=target)
+    sizes = [r["n"] for r in sub.groupBy("sid").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) <= 2 * target  # salted split bounds every block
+    assert len(sizes) >= len(mat) // target  # the big bucket really split
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_neardup_pairs(
+            df, "v", "vid", 0.995, target_block=target
+        ).collect()
+    }
+    assert got == _brute_pairs(mat, 0.995)
+
+
 def test_jaccard_prefix_filter_is_exact(spark):
     from odsc_agentic_ai_summit_2025_spark.operators.dedup import jaccard_pairs
 
