@@ -24,28 +24,29 @@ batch DataFrame program.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _US = 1_000_000
 
 
-def _with_row_key(
-    left: DataFrame, left_key: str | None
-) -> tuple[DataFrame, str, bool]:
-    """Row identity for left-preserving variants. Row identity must
-    be a KEY, not the row's values: value-keyed anti-joins/group-bys
-    drop NULL-bearing rows (NULL never equi-matches) and merge
-    duplicate rows. Callers pass their unique key (``left_key``) —
-    free; otherwise a surrogate ``monotonically_increasing_id`` is
-    attached and the keyed frame is cached, because the id is only
-    stable across the plan's two consumers if the input isn't
-    recomputed with a different row→partition placement. At 100 TB
-    pass a real key."""
-    if left_key is not None:
-        return left, left_key, False
-    keyed = left.withColumn("_lid", F.monotonically_increasing_id()).cache()
-    return keyed, "_lid", True
+def _nullsafe_cond(left_alias: str, right_alias: str, cols: list[str]) -> Column:
+    """AND of ``<=>`` over ``cols`` — an EQUI condition (Catalyst's
+    ExtractEquiJoinKeys accepts EqualNullSafe), so the join stays a
+    hash/sort-merge join, never a nested loop. NULL-safe equality is
+    what makes whole-ROW identity sound: plain ``=`` never matches a
+    NULL-bearing row, which would resurrect matched rows in an
+    anti-join."""
+    return functools.reduce(
+        operator.and_,
+        [
+            F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}"))
+            for c in cols
+        ],
+    )
 
 
 def interval_join(
@@ -63,10 +64,16 @@ def interval_join(
     ``[left_ts + lower_s, left_ts + upper_s)`` for each left row.
 
     ``how`` is ``inner`` or ``left`` (unmatched left rows kept with
-    nulls; pass ``left_key`` — a unique left column — so row identity
-    survives NULLs and duplicates). Timestamps are compared at
-    microsecond precision (exact integer arithmetic — no double
-    epoch round-trip).
+    nulls). Row identity for the left-preserving path is either the
+    caller's unique ``left_key`` (the cheap path — narrow anti-join
+    key; use it at 100 TB) or, when no key exists, NULL-safe
+    whole-row semantics: a left row is unmatched iff its full value
+    tuple produced no match, so duplicates rise and fall together
+    (they have identical windows) and NULL-bearing rows neither drop
+    nor double. Both paths are deterministic under recomputation —
+    no surrogate ids, no reliance on cached partitions surviving
+    executor loss. Timestamps are compared at microsecond precision
+    (exact integer arithmetic — no double epoch round-trip).
     """
     lower_us = int(lower_s * _US)
     upper_us = int(upper_s * _US)
@@ -77,13 +84,9 @@ def interval_join(
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
 
-    keyed, lk, added_key = (
-        _with_row_key(left, left_key) if how == "left" else (left, None, False)
-    )
-
     lo = l_us + F.lit(lower_us)
     hi = l_us + F.lit(upper_us) - F.lit(1)
-    lhs = keyed.withColumn("_lo_us", lo).withColumn(
+    lhs = left.withColumn("_lo_us", lo).withColumn(
         "_bucket",
         F.explode(
             F.array_distinct(
@@ -106,18 +109,25 @@ def interval_join(
         return joined.drop("_lo_us", "_bucket", "_r_us")
     if how != "left":
         raise ValueError(f"unsupported how={how!r}")
-    # left join: re-attach unmatched left rows — anti-join on the ROW
-    # KEY (an anti-join on all columns would re-emit matched rows that
-    # contain NULLs and collapse duplicate rows)
+    # left join: re-attach unmatched left rows via anti-join on the
+    # caller's key when given, else NULL-safe anti-join on the full
+    # row tuple (duplicates match or miss together — same window)
     matched = joined.drop("_lo_us", "_bucket", "_r_us")
     right_cols = [c for c in right.columns if c != on]
-    unmatched = keyed.join(
-        matched.select(lk).distinct(), on=lk, how="left_anti"
-    )
+    if left_key is not None:
+        unmatched = left.join(
+            matched.select(left_key).distinct(), on=left_key, how="left_anti"
+        )
+    else:
+        seen = matched.select(*left.columns).distinct()
+        unmatched = left.alias("_ij_l").join(
+            seen.alias("_ij_s"),
+            _nullsafe_cond("_ij_l", "_ij_s", left.columns),
+            how="left_anti",
+        )
     for c in right_cols:
         unmatched = unmatched.withColumn(c, F.lit(None))
-    out = matched.unionByName(unmatched)
-    return out.drop("_lid") if added_key else out
+    return matched.unionByName(unmatched)
 
 
 def window_count(
@@ -133,19 +143,37 @@ def window_count(
 ) -> DataFrame:
     """Per left row: COUNT of right rows inside its window (0 kept).
 
-    Aggregates the inner interval join on the left ROW KEY and joins
-    the counts back by that key, so zero-match rows survive, NULL-
-    bearing rows keep their counts, and duplicate left rows each keep
-    their own count (grouping on the row's values would merge
-    duplicates and fan a doubled count back to both). Pass
-    ``left_key`` (a unique left column) to avoid the surrogate-key
-    cache.
+    With ``left_key`` (a unique left column — use it at 100 TB) the
+    inner interval join is aggregated on that key and the counts join
+    back by it: one narrow-key shuffle. Without a key, row identity is
+    the NULL-safe value tuple: count per DISTINCT left row, then fan
+    the count back with a ``<=>`` equi-join — duplicate left rows have
+    identical windows so each duplicate keeps its own (equal) count,
+    and NULL-bearing rows keep theirs. Both paths are deterministic
+    under partition recomputation (no surrogate ids, no cache).
     """
-    keyed, lk, added_key = _with_row_key(left, left_key)
-    probe = right.select(on, right_ts)
+    if count_col in left.columns:
+        raise ValueError(f"count_col {count_col!r} collides with a left column")
+    probe = right.select(on, F.col(right_ts).alias("_rts"))
+    if left_key is not None:
+        hits = interval_join(
+            left.select(left_key, on, left_ts),
+            probe,
+            on=on,
+            left_ts=left_ts,
+            right_ts="_rts",
+            lower_s=lower_s,
+            upper_s=upper_s,
+            how="inner",
+        )
+        counts = hits.groupBy(left_key).agg(F.count(F.lit(1)).alias(count_col))
+        return left.join(counts, on=left_key, how="left").withColumn(
+            count_col, F.coalesce(F.col(count_col), F.lit(0))
+        )
+    ldist = left.distinct()
     hits = interval_join(
-        keyed.select(lk, on, left_ts),
-        probe.withColumnRenamed(right_ts, "_rts"),
+        ldist,
+        probe,
         on=on,
         left_ts=left_ts,
         right_ts="_rts",
@@ -153,8 +181,15 @@ def window_count(
         upper_s=upper_s,
         how="inner",
     )
-    counts = hits.groupBy(lk).agg(F.count(F.lit(1)).alias(count_col))
-    out = keyed.join(counts, on=lk, how="left").withColumn(
-        count_col, F.coalesce(F.col(count_col), F.lit(0))
+    counts = hits.groupBy(*[F.col(c) for c in left.columns]).agg(
+        F.count(F.lit(1)).alias(count_col)
     )
-    return out.drop("_lid") if added_key else out
+    out = left.alias("_wc_l").join(
+        counts.alias("_wc_c"),
+        _nullsafe_cond("_wc_l", "_wc_c", left.columns),
+        how="left",
+    )
+    return out.select(
+        *[F.col(f"_wc_l.{c}") for c in left.columns],
+        F.coalesce(F.col(f"_wc_c.{count_col}"), F.lit(0)).alias(count_col),
+    )
