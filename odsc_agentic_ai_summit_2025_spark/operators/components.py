@@ -87,61 +87,69 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sum = _label_sum(labels)
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed(id_col, "src"), "src"
+    # try/finally: the persisted edge table must not outlive the loop
+    # even when the fixpoint check raises (or any round fails)
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(
+                    labels.withColumnRenamed(id_col, "src"), "src"
+                )
+                .groupBy("dst")
+                .agg(F.min("cluster_id").alias("_nmin"))
+                .withColumnRenamed("dst", id_col)
             )
-            .groupBy("dst")
-            .agg(F.min("cluster_id").alias("_nmin"))
-            .withColumnRenamed("dst", id_col)
-        )
-        # checkpointed BEFORE the self-join below, which would
-        # otherwise evaluate the step plan (a shuffle join + agg)
-        # once per side
-        stepped = (
-            labels.join(neighbor_min, id_col, "left")
-            .select(
-                id_col,
-                F.least(
-                    F.col("cluster_id"), F.coalesce("_nmin", "cluster_id")
-                ).alias("cluster_id"),
+            # checkpointed BEFORE the self-join below, which would
+            # otherwise evaluate the step plan (a shuffle join + agg)
+            # once per side. This is the round's ONLY eager barrier:
+            stepped = (
+                labels.join(neighbor_min, id_col, "left")
+                .select(
+                    id_col,
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("_nmin", "cluster_id")
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        # pointer jump: cluster_id ← label(cluster_id). Labels are
-        # node ids, so the label table maps its own values; one extra
-        # self-join per round turns O(diameter) convergence into
-        # O(log diameter) — a 1M-long chain is ~20 rounds, not 1M.
-        labels = (
-            stepped.alias("a")
-            .join(
-                stepped.select(
-                    F.col(id_col).alias("_jid"),
-                    F.col("cluster_id").alias("_jlab"),
-                ),
-                F.col("a.cluster_id") == F.col("_jid"),
-                "left",
+            # pointer jump: cluster_id ← label(cluster_id). Labels are
+            # node ids, so the label table maps its own values; one
+            # extra self-join per round turns O(diameter) convergence
+            # into O(log diameter) — a 1M chain is ~20 rounds, not 1M.
+            labels = (
+                stepped.alias("a")
+                .join(
+                    stepped.select(
+                        F.col(id_col).alias("_jid"),
+                        F.col("cluster_id").alias("_jlab"),
+                    ),
+                    F.col("a.cluster_id") == F.col("_jid"),
+                    "left",
+                )
+                .select(
+                    F.col(f"a.{id_col}").alias(id_col),
+                    F.least(
+                        F.col("a.cluster_id"),
+                        F.coalesce("_jlab", F.col("a.cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                # lazy: the convergence-sum collect below doubles as
+                # this checkpoint's materializing action — 2 job
+                # barriers per round, not 3
+                .localCheckpoint(eager=False)
             )
-            .select(
-                F.col(f"a.{id_col}").alias(id_col),
-                F.least(
-                    F.col("a.cluster_id"),
-                    F.coalesce("_jlab", F.col("a.cluster_id")),
-                ).alias("cluster_id"),
+            cur_sum = _label_sum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint after {max_iterations} "
+                "rounds — use the large-star/small-star variant for this "
+                "graph"
             )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint after {max_iterations} "
-            "rounds — use the large-star/small-star variant for this graph"
-        )
-    edges.unpersist()
+    finally:
+        edges.unpersist()
     return labels
 
 

@@ -323,9 +323,16 @@ def jaccard_pairs(
     # persist: both sides of the candidate self-join read the prefix
     # rows; unpersisted, the census+rank shuffles would run twice.
     # Small by construction (≈(1-t)·|tokens| rare-token rows).
+    # Lifetime: consumed by the caller's first action over the
+    # returned plan; callers owning a long-lived session should
+    # spark.catalog.clearCache() after materializing.
+    # ceil(t·n) in integer fixed-point — double arithmetic can
+    # overshoot an exact product (0.07·100 → 7.000…001 → ceil 8)
+    # and silently shorten the lossless ppjoin prefix by one.
+    pfx_e4 = int(threshold * 10000)
+    ceil_tn = F.expr(f"(_n * {pfx_e4} + 9999) div 10000")
     prefix = ranked.filter(
-        F.col("_pos")
-        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        F.col("_pos") <= F.col("_n") - ceil_tn + 1
     ).persist()
     a = prefix.select(F.col(id_col).alias("a_id"), "tok")
     b = prefix.select(F.col(id_col).alias("b_id"), "tok")
@@ -347,7 +354,6 @@ def jaccard_pairs(
     n_inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
     n_a = F.size("_ta").cast("long")
     n_b = F.size("_tb").cast("long")
-    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return (
         cand.join(va, "a_id")
         .join(vb, "b_id")
@@ -355,10 +361,13 @@ def jaccard_pairs(
         .withColumn("n_a", n_a)
         .withColumn("n_b", n_b)
         .withColumn(
-            # exact fixed-point (×1e4, floor) — engine-portable; IEEE
-            # ROUND at half-boundaries is not
+            # exact fixed-point (×1e4, integer div) — engine-portable
+            # and free of the double-division boundary error floor()
+            # over `/` has at exact multiples
             "jaccard_e4",
-            F.floor(F.col("n_inter") * 10000 / union_sz).cast("long"),
+            F.expr(
+                "CAST(n_inter * 10000L div (n_a + n_b - n_inter) AS BIGINT)"
+            ),
         )
         .filter(F.col("jaccard_e4") >= thresh_e4)
         .select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard_e4")

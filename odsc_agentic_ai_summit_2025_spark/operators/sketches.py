@@ -91,7 +91,7 @@ def hll_approx_distinct(
     )
 
 
-BLOOM_BITS = 65536  # 1024 int64 words
+BLOOM_BITS = 65536  # 8 KiB bitmap = 2048 int64 words at 32 used bits/word
 BLOOM_WORDS = BLOOM_BITS // 32  # 32 bits per int64 word: 1<<63 overflows DuckDB
 BLOOM_K = 3  # 65536^3 = 2^48 < 2^60, so the md5 hash feeds all 3 slots
 
@@ -140,7 +140,7 @@ def bloom_probe_counts(
 ) -> DataFrame:
     """Count, per ``id_col``, the distinct ``value_col`` items whose
     K Bloom bits are all set — ``(id, n_suspect)`` for ids with ≥ 1
-    hit. Join-based (no driver collect): the ≤1024-row bitmap
+    hit. Join-based (no driver collect): the ≤2048-row bitmap
     broadcasts, each probe item expands to K (word_idx, mask) rows,
     and an item is a hit when all K joined words contain its bit.
     Guaranteed no false negatives; false-positive rate is the classic

@@ -23,6 +23,32 @@ from pyspark.sql import types as T
 from ..schemas import TESTDATA
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """True iff the events file's ``ts`` column is TIMESTAMP(NANOS).
+
+    Footer-only pyarrow read (no row groups touched); glob-safe for a
+    directory of parts (checks the first file — one writer, one unit).
+    Defaults False on any inspection failure so the normal Spark
+    timestamp path handles it (and fails loudly if truly exotic).
+    """
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return False
+            target = parts[0]
+        t = pq.read_schema(target).field("ts").type
+        return getattr(t, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table with its declared schema.
 
@@ -30,13 +56,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column pruning, but logical types are pinned — a 100 TB scan never
     pays inference and drift fails loudly.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    only reads as a raw long (``spark.sql.legacy.parquet.nanosAsLong``);
-    we convert ns → µs with integer arithmetic (no double round-trip,
-    which would lose precision at 1e18 ns magnitudes).
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across driver data generations, so the unit is
+    DETECTED from the parquet footer (a driver-side metadata read —
+    no data scan) rather than assumed. NANOS is the one unit Spark
+    cannot read as a timestamp: it comes in as a raw long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and is converted
+    ns → µs with integer arithmetic (no double round-trip, which
+    would lose precision at 1e18 ns magnitudes).
     """
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = T.StructType(
             [
@@ -128,11 +158,21 @@ def with_row_index_distributed(
     implementation, including the window form.
     """
     part = df.repartitionByRange(*[F.col(c) for c in order_cols])
-    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-        ),
+    # localCheckpoint: the plan is read twice (offsets collect + the
+    # final join); pinning it guarantees both reads see the SAME
+    # range partitioning even if the input is nondeterministic, and
+    # computes the window once instead of twice
+    local = (
+        part.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(
+                    *[F.col(c) for c in order_cols]
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["_pid"], r["_n"])
@@ -142,7 +182,9 @@ def with_row_index_distributed(
     for pid, n in counts:
         offsets.append((pid, acc))
         acc += n
-    off = df.sparkSession.createDataFrame(offsets, ["_pid", "_off"])
+    # explicit schema: createDataFrame([]) cannot infer one, so the
+    # empty-input case would crash
+    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
     return (
         local.join(F.broadcast(off), "_pid")
         .withColumn(name, (F.col("_off") + F.col("_lrn")).cast("long"))

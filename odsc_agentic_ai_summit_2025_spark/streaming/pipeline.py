@@ -29,10 +29,21 @@ from pyspark.sql import types as T
 
 
 def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """Streaming scan of the events table. The parquet stores
-    TIMESTAMP(NANOS) (see sources/io.py): read ns as long, convert
-    with integer arithmetic — identical to the batch reader, so the
-    parity tests compare like with like."""
+    """Streaming scan of the events table. The ``ts`` unit (ns vs µs)
+    is footer-detected exactly like the batch reader (sources/io.py),
+    so the parity tests compare like with like: NANOS is read as a
+    raw long and converted with integer arithmetic; MICROS streams as
+    a native timestamp."""
+    from ..sources.io import _events_ts_is_nanos
+
+    if not _events_ts_is_nanos(events_path):
+        from ..schemas import TESTDATA
+
+        return (
+            spark.readStream.schema(TESTDATA["events"])
+            .format("parquet")
+            .load(events_path)
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = T.StructType(
         [
