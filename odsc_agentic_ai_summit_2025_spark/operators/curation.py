@@ -172,31 +172,45 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     fixed-point (engine-exact).  ``repetitive`` flags docs past the
     Gopher-ish gates (top token > 20 % or duplicate 2-grams > 20 %).
 
-    Scale shape: one explode + two-level aggregation. The first
-    groupBy((id, tok)) does map-side partial aggregation, so the
-    shuffle carries per-document distinct-token counts, not the token
-    stream; the 2-gram stats are computed inside the row (array
-    expressions, no explode at all).
+    Scale shape: MAP-ONLY. Every signal is a per-row array
+    expression: the top token's count is the longest equal-run in the
+    SORTED token array (one ``aggregate`` fold over ``array_sort``),
+    and the 2-gram stats are in-row size/distinct counts. No explode,
+    no shuffle, no join — the earlier explode → groupBy(id, tok) →
+    groupBy(id) → join form shuffled per-doc distinct-token counts
+    twice for something the row itself can answer.
     """
     toks = tokens(F.col(text_col))
     g2 = _word_ngrams(toks, 2)
-    per_row = df.select(
+
+    # longest equal-run fold: acc = (prev token, current run, best run)
+    def _step(acc, t):  # noqa: ANN001 — Columns
+        run = F.when(
+            acc.getField("prev").eqNullSafe(t), acc.getField("run") + 1
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    top_tok_n = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _step,
+        lambda acc: acc.getField("best"),
+    )
+    out = ensure_min_partitions(df).select(
         F.col(id_col),
-        toks.alias("_toks"),
         F.size(g2).alias("_n2"),
         F.size(F.array_distinct(g2)).alias("_n2d"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        top_tok_n.alias("top_tok_n"),
     )
-    tok_counts = (
-        ensure_min_partitions(per_row)
-        .select(F.col(id_col), F.explode("_toks").alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("c"))
-    )
-    tok_stats = tok_counts.groupBy(id_col).agg(
-        F.sum("c").alias("n_tokens"),
-        F.max("c").alias("top_tok_n"),
-    )
-    out = per_row.select(F.col(id_col), "_n2", "_n2d").join(tok_stats, id_col)
     top_frac = (F.col("top_tok_n") * 10000).cast("long") / F.col("n_tokens")
     dup2_frac = ((F.col("_n2") - F.col("_n2d")) * 10000).cast("long") / F.greatest(
         F.col("_n2"), F.lit(1)

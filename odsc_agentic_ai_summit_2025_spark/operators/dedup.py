@@ -96,26 +96,26 @@ def _sig_from_hashes(hashes: Column) -> Column:
 def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Doc → (band_id, bucket_key) rows for LSH bucketing.
 
-    Token hashes are dictionary-encoded: each distinct token in the
-    corpus is hashed ONCE (vocab-sized work), then joined back —
-    instead of re-folding the polynomial hash per (doc, token)
-    occurrence. At 100 TB the vocab table is orders of magnitude
-    smaller than the token stream, and AQE broadcasts it when small.
+    The pre-signature stage is MAP-ONLY: each doc's distinct tokens
+    are hashed inline (``transform(unique_tokens(text), tok →
+    char_poly_hash(tok))``) in the scan stage itself. The earlier
+    dictionary-encoded form (explode → vocab distinct → join back →
+    collect_list) hashed each corpus-distinct token once, but paid
+    THREE shuffles of the token stream to do it — at 100 TB the
+    shuffle dwarfs re-folding a cheap per-character hash, and locally
+    it was the slowest part of the whole MinHash plan (profiled r3).
+    Dictionary-encode only if the token hash ever becomes expensive
+    (e.g. a learned embedding), not for arithmetic.
     """
-    # fan out before tokenize+explode: an under-split scan (single
-    # row group locally; a straggler file at scale) would otherwise
-    # run the whole token stream on one core
-    toks = ensure_min_partitions(df).select(
-        F.col(id_col), F.explode(unique_tokens(F.col(text_col))).alias("tok")
-    )
-    vocab = toks.select("tok").distinct().withColumn(
-        "h", char_poly_hash(F.col("tok"))
-    )
-    doc_hashes = (
-        toks.join(vocab, "tok")
-        .groupBy(id_col)
-        .agg(F.collect_list("h").alias("hs"))
-    )
+    # fan out before the hash+signature work: an under-split scan
+    # (single row group locally; a straggler file at scale) would
+    # otherwise run the whole kernel stage on one core
+    doc_hashes = ensure_min_partitions(df).select(
+        F.col(id_col),
+        F.transform(
+            unique_tokens(F.col(text_col)), lambda t: char_poly_hash(t)
+        ).alias("hs"),
+    ).filter(F.col("hs").isNotNull() & (F.size("hs") > 0))
 
     # signatures + banding in one vectorized Arrow pass: the (N_HASH ×
     # tokens) permute-min is a numpy matrix min — identical int64
