@@ -1,0 +1,60 @@
+"""Produce LOCAL_CORRECTNESS_r{N}.json — the driver-equivalent local
+gate over the FULL query inventory (the driver's own window caps at
+50 entries; this file is the evidence for the tail).
+
+Usage: python scripts/local_correctness.py [round_number] [sf_dir]
+
+Fresh PLAIN SparkSession (no engine configs — same contract as the
+driver's smoke check) + DuckDB views over the same parquet, compared
+with plans/oracle.py's driver-equivalent compare.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    from odsc_agentic_ai_summit_2025_spark.plans.oracle import run_inventory
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    results = run_inventory(spark, sf_dir)
+    out = {
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "gate": (
+            "fresh plain SparkSession + DuckDB, driver-equivalent "
+            "compare (plans/oracle.py)"
+        ),
+        "n_queries": len(results),
+        "results": {
+            name: {
+                "status": "match" if ok else "MISMATCH",
+                "detail": None if ok else detail,
+            }
+            for name, (ok, detail) in results.items()
+        },
+    }
+    path = f"LOCAL_CORRECTNESS_r{rnd}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    n_bad = sum(1 for r in out["results"].values() if r["status"] != "match")
+    print(f"{path}: {len(results) - n_bad}/{len(results)} match")
+    if n_bad:
+        for name, r in out["results"].items():
+            if r["status"] != "match":
+                print(f"  {name}: {r['detail']}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
