@@ -169,5 +169,8 @@ def ivf_add_documents(index: IvfIndex, new_corpus: DataFrame) -> IvfIndex:
         + [T.StructField("cluster_id", T.IntegerType())]
     )
     added = ensure_min_partitions(fresh).mapInPandas(assign, out_schema)
+    # persisted like ivf_build's assignment: an index is a long-lived
+    # artifact whose cache the CALLER owns — unpersist the old index's
+    # `assigned` when replacing it, or clearCache between builds
     merged = index.assigned.unionByName(added).persist()
     return IvfIndex(index.centroids, merged, index.vec_col, index.id_col)

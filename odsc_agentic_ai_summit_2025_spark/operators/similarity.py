@@ -367,6 +367,10 @@ def neardup_pairs_lsh(
     The input is persisted (MEMORY_AND_DISK): the operator consumes
     it three times (mean pass, bucketize pass, verify joins) and an
     embedding plan upstream would otherwise be recomputed for each.
+    Lifetime: the cache backs the RETURNED lazy plan, so it cannot be
+    released here — callers owning a long-lived session should
+    ``spark.catalog.clearCache()`` (or unpersist the input handle)
+    after materializing the result.
     """
     import numpy as np
     import pandas as pd  # noqa: F401

@@ -12,7 +12,10 @@ with plans/oracle.py's driver-equivalent compare.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
