@@ -1,0 +1,89 @@
+"""Physical-plan shape regression tests.
+
+The scale contract (SCALING.md) is enforced here, not just documented:
+every inventory query's physical plan is swept for the operators that
+do not survive 100 TB — CartesianProduct and BroadcastNestedLoopJoin
+replicate a full side per partition — and the flagship plans are
+checked for the properties that make them fast (parquet filter
+pushdown, broadcast dimension joins, column pruning).
+
+Planning only (queryExecution().executedPlan()) — no query runs;
+operators that collect during plan CONSTRUCTION (kNN query sets,
+LSH census passes) execute those driver-side steps at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from odsc_agentic_ai_summit_2025_spark.plans.registry import all_queries
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side
+# is provably bounded: a no-grouping scalar aggregate (1 row of
+# totals) or the K-row centroid table. Each entry documents why.
+BNLJ_ALLOWED = {
+    "q47_ivf_knn": "queries × K centroids — both sides bounded, probe selection",
+    "q58_heavy_hitters": "1-row scalar total broadcast against term counts",
+    "q73_source_mix": "1-row scalar totals broadcast against per-source counts",
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_quadratic_join_operators(name, spark, sf_dir):
+    q = all_queries()[name]
+    df = q.spark(spark, sf_dir)
+    plan = _physical_plan(df)
+    for op in FORBIDDEN:
+        if op == "BroadcastNestedLoopJoin" and name in BNLJ_ALLOWED:
+            # still must be a BROADCAST nested loop, never a shuffled
+            # one — the bounded side has to be the broadcast side
+            assert "BroadcastExchange" in plan
+            continue
+        assert op not in plan, (
+            f"{name}: {op} in physical plan — this replicates a full "
+            f"side per partition and does not survive scale:\n{plan[:2000]}"
+        )
+
+
+def test_q01_scan_prunes_and_pushes(spark, sf_dir):
+    """TPC-H Q1 shape: the lineitem scan must push the shipdate filter
+    and read only the referenced columns."""
+    q = all_queries()["q01_pricing_summary"]
+    plan = _physical_plan(q.spark(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema  # widest column stays unread
+
+
+def test_q09_multihop_broadcasts_dimensions(spark, sf_dir):
+    """The 5-table pattern join should broadcast every dimension —
+    no shuffle exchange for region/nation/customer/supplier."""
+    q = all_queries()["q09_multihop_revenue"]
+    plan = _physical_plan(q.spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q02_filter_pushdown(spark, sf_dir):
+    q = all_queries()["q02_filter_project"]
+    plan = _physical_plan(q.spark(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+
+
+def test_exact_dedup_shuffles_digests_not_documents(spark, sf_dir):
+    """q34's exchange must carry the sha2 digest, not the text body."""
+    q = all_queries()["q34_dedup_exact"]
+    plan = _optimized_plan(q.spark(spark, sf_dir))
+    # the aggregate keys on the digest expression
+    assert "sha2" in plan
