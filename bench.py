@@ -24,16 +24,20 @@ def main() -> None:
 
     queries = all_queries()
     timings: dict[str, float] = {}
-    total = 0.0
     # min of N runs per query: this host shows hypervisor steal-time
     # spikes (single-shot timings varied 1.8s..39s for the SAME query,
     # r3), and the minimum is the standard robust estimator for
     # best-achievable wall time; it also keeps one-time codegen JIT
     # out of the plan-quality signal.
+    # Full PASSES are interleaved (pass 1 over all queries, then pass
+    # 2, min per query) rather than per-query back-to-back repeats:
+    # the steal bursts last tens of seconds, so adjacent repeats of
+    # one query land in the SAME burst and min() can't reject it
+    # (observed: both q75 repeats measured 21.6 s during one burst,
+    # isolated baseline 2 s). Minutes apart, the bursts decorrelate.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    for name, q in sorted(queries.items()):
-        best = float("nan")
-        for _ in range(n_runs):
+    for _ in range(n_runs):
+        for name, q in sorted(queries.items()):
             t0 = time.perf_counter()
             try:
                 df = q.spark(spark, sf_dir)
@@ -53,8 +57,9 @@ def main() -> None:
             except Exception as e:  # keep benching even if one breaks
                 print(f"bench error {name}: {e}", file=sys.stderr)
                 dt = float("nan")
-            if dt == dt and not best <= dt:
-                best = dt
+            prev = timings.get(name, float("nan"))
+            if dt == dt and not prev <= dt:
+                timings[name] = round(dt, 4)
             # release intermediates an operator persisted for its own
             # multi-consumer plan (FTS/IVF indexes, LSH inputs):
             # without this, 60 queries of leftovers accumulate in
@@ -74,23 +79,40 @@ def main() -> None:
             jrdds = spark.sparkContext._jsc.getPersistentRDDs()
             for jrdd in list(jrdds.values()):
                 jrdd.unpersist()
-        timings[name] = round(best, 4)
-        if best == best:
-            total += best
+    total = sum(v for v in timings.values() if v == v)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_total_runtime",
-                "value": round(total, 4),
-                "unit": "sec",
-                "runs_per_query": n_runs,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only the LAST 2000 chars of output and
+    # parses the final JSON line from it; round 2's full-name 71-query
+    # line was ~2.1 KB and lost its front to the buffer (BENCH_r02:
+    # parsed=null). Emit short `qNN` keys (the driver's own contract
+    # example uses "q1") so the line always fits, and write the
+    # full-name detail to BENCH_LOCAL.json in the repo.
+    short = {name.split("_", 1)[0]: v for name, v in timings.items()}
+    line = {
+        "metric": "inventory_total_runtime",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in sorted(short.items())},
+        "sf": sf_val,
+    }
+    detail = {
+        "metric": "inventory_total_runtime",
+        "value": round(total, 4),
+        "unit": "sec",
+        "runs_per_query": n_runs,
+        "queries": timings,
+        "sf": sf_val,
+    }
+    try:
+        import pathlib
+
+        out = pathlib.Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+        out.write_text(json.dumps(detail, indent=1))
+    except OSError:
+        pass  # read-only checkout: stdout line is the contract
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":
