@@ -131,21 +131,40 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         import pandas as pd
 
         for pdf in batches:
-            ids, bands, keys = [], [], []
-            for did, hs in zip(pdf[id_col], pdf["hs"]):
-                h = np.asarray(hs, dtype=np.int64)
-                sig = (
-                    (a_vec[:, None] * h[None, :] + b_vec[:, None]) % MINHASH_P
-                ).min(axis=1)
-                for band in range(N_BANDS):
-                    lo = band * ROWS_PER_BAND
-                    ids.append(did)
-                    bands.append(band)
-                    keys.append(
-                        "_".join(str(v) for v in sig[lo: lo + ROWS_PER_BAND])
+            n = len(pdf)
+            if n == 0:
+                continue
+            cells = [np.asarray(hs, dtype=np.int64) for hs in pdf["hs"]]
+            lengths = np.fromiter(map(len, cells), dtype=np.int64, count=n)
+            flat = np.concatenate(cells)
+            # (N_HASH, total_tokens) permuted hashes, then per-doc min
+            # via reduceat over the doc boundaries — one BLAS-free
+            # vectorized pass per batch instead of a Python loop per
+            # doc (the loop dominated at 300k docs, scale smoke r3)
+            prod = (
+                a_vec[:, None] * flat[None, :] + b_vec[:, None]
+            ) % MINHASH_P
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            sig = np.minimum.reduceat(prod, starts, axis=1)  # (H, n)
+            key_cols = []
+            for band in range(N_BANDS):
+                lo = band * ROWS_PER_BAND
+                k = sig[lo].astype("U10")
+                for j in range(1, ROWS_PER_BAND):
+                    k = np.char.add(
+                        np.char.add(k, "_"), sig[lo + j].astype("U10")
                     )
+                key_cols.append(k)
             yield pd.DataFrame(
-                {id_col: ids, "band_id": bands, "bucket_key": keys}
+                {
+                    id_col: np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), N_BANDS
+                    ),
+                    "band_id": np.tile(
+                        np.arange(N_BANDS, dtype=np.int32), n
+                    ),
+                    "bucket_key": np.stack(key_cols, axis=1).reshape(-1),
+                }
             )
 
     return doc_hashes.mapInPandas(

@@ -1,0 +1,122 @@
+"""Scale smoke: run the dedup/curation tier on a synthetic corpus
+10-60x the sf0.1 gate data, generated in-memory (spark.range +
+expressions — no files), to demonstrate the plans hold beyond the
+test scale: linear-ish runtime, bounded executor memory, no
+collect()-driven driver blowup.
+
+Usage: python scripts/scale_smoke.py [n_docs]   (default 300_000;
+sf0.1 has 5_000 docs). Prints one JSON line per stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_docs(spark, n: int):
+    """Deterministic word-soup docs: ~40 tokens from a 2k-word vocab,
+    with planted exact duplicates (every 97th doc repeats doc i-1's
+    text) and heavy-tail token skew (low word ids appear often —
+    stresses the LSH/minhash skew guards the way stopwords do)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    # skewed vocab: xxhash mixes, pmod squares the tail
+                    F.pmod(
+                        F.pmod(F.xxhash64(F.col("id") * 41 + i), 2000)
+                        * F.pmod(F.xxhash64(F.col("id") * 43 + i), 47),
+                        2000,
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    dup_src = base.withColumn("doc_id", F.col("doc_id") + 1).filter(
+        F.pmod(F.col("doc_id"), 97) == 0
+    )
+    return (
+        base.filter(F.pmod(F.col("doc_id"), 97) != 0)
+        .unionByName(dup_src)
+        .withColumn("source", F.pmod(F.col("doc_id"), 5).cast("string"))
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.session import get_spark
+    from odsc_agentic_ai_summit_2025_spark.operators import dedup as dd
+    from odsc_agentic_ai_summit_2025_spark.operators import curation as cu
+    from odsc_agentic_ai_summit_2025_spark.operators import textops as tx
+
+    spark = get_spark(app_name="scale_smoke")
+    docs = synth_docs(spark, n).localCheckpoint(eager=True)  # fix the corpus
+    n_docs = docs.count()
+    # the corpus checkpoint's blocks must survive inter-stage cleanup:
+    # a localCheckpoint has NO lineage to recompute from, so
+    # unpersisting it kills every later stage (learned the hard way)
+    keep = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    def stage(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        print(
+            json.dumps(
+                {"stage": name, "n_docs": n_docs, "result": out,
+                 "sec": round(time.perf_counter() - t0, 2)}
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in keep:
+                jmap.get(rid).unpersist()
+
+    stage(
+        "exact_dedup",
+        lambda: dd.exact_dedup_groups(docs, "text", "doc_id")
+        .agg(F.count("*").alias("n")).collect()[0]["n"],
+    )
+    stage(
+        "minhash_candidates",
+        lambda: dd.minhash_candidate_pairs(docs, "text", "doc_id").count(),
+    )
+    stage(
+        "simhash",
+        lambda: dd.simhash_table(docs, "text").count(),
+    )
+    stage(
+        "repetition_stats",
+        lambda: cu.repetition_stats(docs, "text", "doc_id")
+        .filter(F.col("repetitive")).count(),
+    )
+    stage(
+        "source_mix",
+        lambda: cu.source_mix_weights(docs, "source").count(),
+    )
+    stage(
+        "train_split",
+        lambda: tx.train_split(docs, "doc_id")
+        .groupBy("split").count().count(),
+    )
+
+
+if __name__ == "__main__":
+    main()
