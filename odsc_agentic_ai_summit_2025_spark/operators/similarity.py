@@ -322,7 +322,7 @@ def neardup_pairs_lsh(
     id_col: str,
     threshold: float,
     n_tables: int = 16,
-    planes_per_table: int = 8,
+    planes_per_table: int | None = None,
     seed: int = 101,
     max_bucket: int = 4096,
 ) -> DataFrame:
@@ -382,15 +382,6 @@ def neardup_pairs_lsh(
     if not first:
         return df.sparkSession.createDataFrame([], "a_id long, b_id long")
     dim = first[0]["d"]
-    all_planes = np.array(
-        [
-            _lsh_planes(dim, planes_per_table, seed + 7919 * t)
-            for t in range(n_tables)
-        ],
-        dtype=np.float64,
-    )  # (b, r, dim)
-    proj_mat = all_planes.reshape(n_tables * planes_per_table, dim).T
-    nt, rp = n_tables, planes_per_table
 
     # corpus mean direction of the normalized vectors: one map-only
     # pass emitting per-batch partial sums (a few rows per partition)
@@ -416,6 +407,26 @@ def neardup_pairs_lsh(
         if parts
         else np.zeros(dim)
     )
+    if planes_per_table is None:
+        # size the sign pattern to the corpus (count comes free from
+        # the mean pass — no extra job): expected bucket ≈ n/2^r, so
+        # r = log2(n/32) targets ~32-member buckets. At r=8 fixed, a
+        # 100k isotropic corpus left ~390-member buckets whose
+        # C(n,2)-per-bucket candidates cost 618 s in the r3 scale
+        # smoke; adaptive r=12 cuts expected false candidates 16×
+        # per doubling of r. Recall per table falls as p^r — callers
+        # needing deterministic full recall pin r (and raise
+        # n_tables) explicitly, as the q63 gate plan does.
+        planes_per_table = max(8, min(16, math.ceil(math.log2(max(total / 32, 2)))))
+    all_planes = np.array(
+        [
+            _lsh_planes(dim, planes_per_table, seed + 7919 * t)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (b, r, dim)
+    proj_mat = all_planes.reshape(n_tables * planes_per_table, dim).T
+    nt, rp = n_tables, planes_per_table
     bc = df.sparkSession.sparkContext.broadcast((proj_mat, mean_vec))
 
     def bucketize(batches):

@@ -117,6 +117,42 @@ def main() -> None:
         .groupBy("split").count().count(),
     )
 
+    # vector tier: synthetic unit-ish embeddings, planted exact dups
+    # (every 61st vector equals its neighbor's → cosine 1 pairs)
+    from odsc_agentic_ai_summit_2025_spark.operators import similarity as sim
+
+    nv = max(n // 3, 10_000)
+    src = F.when(F.pmod(F.col("id"), 61) == 0, F.col("id") + 1).otherwise(
+        F.col("id")
+    )
+    base_v = spark.range(nv).select(
+        F.col("id").alias("vid"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.pmod(F.xxhash64(src * 31 + i), 1000) / F.lit(500.0)
+            - F.lit(1.0),
+        ).alias("vector"),
+    )
+    vecs = base_v.localCheckpoint(eager=True)
+    keep.update(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    stage(
+        "neardup_lsh_vectors",
+        lambda: sim.neardup_pairs_lsh(
+            vecs, "vector", "vid", threshold=0.95
+        ).count(),
+    )
+    stage(
+        "knn_100q",
+        lambda: sim.knn_bruteforce(
+            vecs,
+            vecs.filter(F.col("vid") < 100).withColumnRenamed("vid", "qid"),
+            "vector",
+            "vid",
+            "qid",
+            k=10,
+        ).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
