@@ -153,6 +153,15 @@ def main() -> None:
         ).count(),
     )
 
+    def ivf_stage():
+        from odsc_agentic_ai_summit_2025_spark.operators import ivf
+
+        index = ivf.ivf_build(vecs, "vector", "vid", k_clusters=64)
+        qs = vecs.filter(F.col("vid") < 100).withColumnRenamed("vid", "qid")
+        return ivf.ivf_search(index, qs, "qid", k=10, nprobe=8).count()
+
+    stage("ivf_build_and_search", ivf_stage)
+
 
 if __name__ == "__main__":
     main()
