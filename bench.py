@@ -79,6 +79,10 @@ def main() -> None:
             jrdds = spark.sparkContext._jsc.getPersistentRDDs()
             for jrdd in list(jrdds.values()):
                 jrdd.unpersist()
+    for name in queries:
+        # a query that errored on every pass still appears (as null)
+        # instead of silently vanishing from the report
+        timings.setdefault(name, float("nan"))
     total = sum(v for v in timings.values() if v == v)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -94,7 +98,12 @@ def main() -> None:
         "metric": "inventory_total_runtime",
         "value": round(total, 2),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in sorted(short.items())},
+        # null (not NaN) for never-succeeded queries: NaN is invalid
+        # strict JSON and would break a conforming parser
+        "queries": {
+            k: round(v, 2) if v == v else None
+            for k, v in sorted(short.items())
+        },
         "sf": sf_val,
     }
     detail = {
@@ -102,7 +111,7 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "runs_per_query": n_runs,
-        "queries": timings,
+        "queries": {k: v if v == v else None for k, v in timings.items()},
         "sf": sf_val,
     }
     try:
