@@ -66,16 +66,24 @@ def ivf_build(
 
     n = corpus.count()
     frac = min(1.0, train_sample / max(n, 1))
-    sample = (
-        corpus.select(vec_col).sample(frac, seed).collect()
+    sampled = (
+        corpus.select(vec_col).sample(frac, seed)
         if frac < 1.0
-        else corpus.select(vec_col).collect()
+        else corpus.select(vec_col)
     )
-    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    # Arrow transfer (toPandas), not row collect: 50k array<double>
+    # rows through py4j deserialize one cell at a time
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sampled.toPandas()[vec_col]]
+    )
     rng = np.random.RandomState(seed)
     centers = x[rng.choice(len(x), size=min(k_clusters, len(x)), replace=False)]
     for _ in range(max_iter):
-        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        # argmin ||x-c||² = argmin (||c||² - 2x·c): one (n,k) GEMM.
+        # The broadcasted (n,k,dim) difference tensor this replaces
+        # materialized 1.6 GB PER ITERATION at the 50k sample cap and
+        # dominated index build time (38.7 s → ~1 s, r3 profile).
+        d2 = (centers * centers).sum(1)[None, :] - 2.0 * (x @ centers.T)
         lab = d2.argmin(1)
         for j in range(len(centers)):
             pts = x[lab == j]
