@@ -176,3 +176,37 @@ def test_simhash_kernel_matches_expression_form(spark, sf_dir):
     assert sorted(map(tuple, expr.collect())) == sorted(
         map(tuple, kern.collect())
     )
+
+
+def test_minhash_kernel_matches_expression_form(spark, sf_dir):
+    """The vectorized reduceat signature kernel produces the SAME
+    band bucket keys as the pure-expression minhash_signature form
+    (identical int64 arithmetic), so the oracle covers both."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.operators import dedup as ops
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kern = {
+        (r["doc_id"], r["band_id"], r["bucket_key"])
+        for r in ops.minhash_band_buckets(docs, "text", "doc_id").collect()
+    }
+    expr_rows = docs.select(
+        "doc_id", ops.minhash_signature(F.col("text")).alias("sig")
+    ).collect()
+    expr = {
+        (
+            r["doc_id"],
+            band,
+            "_".join(
+                str(v)
+                for v in r["sig"][
+                    band * ops.ROWS_PER_BAND: (band + 1) * ops.ROWS_PER_BAND
+                ]
+            ),
+        )
+        for r in expr_rows
+        for band in range(ops.N_BANDS)
+    }
+    assert kern == expr
