@@ -128,13 +128,38 @@ def sniff_format(payload: bytes) -> str:
 def decode_payload(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a real payload → (width_or_frames, height_or_rate,
     channels, raw bytes). Raises NotImplementedError for formats that
-    need an external codec (JPEG/PNG/MP4 …) — the documented seam."""
+    need an external codec (JPEG/PNG/MP4 …) — the documented seam;
+    ``decode_payload_pil`` is the import-guarded crossing of it."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "wav":
         return decode_wav(payload)
     raise NotImplementedError(
-        "payload is not BMP/WAV; plug an external codec (PIL/ffmpeg) "
-        "into decode_media(decoder='real') for compressed formats"
+        "payload is not BMP/WAV; it needs an external codec — use "
+        "decode_media(decoder='pil') (PIL-gated) for raster images, "
+        "or plug ffmpeg in for video formats"
     )
+
+
+def pil_available() -> bool:
+    """True when Pillow is importable (this container ships without
+    it; production images install it and get JPEG/PNG for free)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_payload_pil(payload: bytes) -> tuple[int, int, int, bytes]:
+    """PIL-backed decode: every raster format Pillow reads
+    (JPEG/PNG/BMP/…) → (width, height, 3, RGB8 top-down bytes) —
+    the same contract as :func:`decode_bmp`, asserted equal on BMP
+    in tests. WAV still routes to the stdlib codec (PIL is
+    image-only). Raises ImportError when Pillow is absent — the
+    external-codec seam, now crossable instead of closed."""
+    if sniff_format(payload) == "wav":
+        return decode_wav(payload)
+    from PIL import Image  # import-guarded seam: ImportError if absent
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return img.width, img.height, 3, img.tobytes()

@@ -5,23 +5,32 @@ near-dup) emit EDGES; deduplication needs the transitive CLUSTERS —
 "keep one document per component". This is the step between "found
 339 near-dup pairs" and an actual keep/drop decision list.
 
-Spark-first shape: iterative min-label propagation —
+Two algorithms, one contract ([id, cluster_id] with cluster_id = the
+minimum id reachable from id):
 
-    label(v) ← min(label(v), min over neighbors' label)
+- **min-label propagation + pointer jumping** (default): each round
+  is two joins + one aggregation keyed by vertex id; the jump
+  (label ← label(label)) gives O(log diameter) convergence. Right
+  for dedup-cluster topology (many small components). Its weakness:
+  a GIANT component makes the pointer-jump join hot on the
+  component-minimum label — every member probes the same key.
+- **large-star/small-star** (Kiveris et al., "Connected Components
+  in MapReduce and Beyond"): alternating rounds that re-point edges
+  at per-NODE minima — every shuffle key is a vertex id with the
+  graph's own degree distribution, never a component label, so a
+  giant component has no hot key beyond its (AQE-splittable) hub
+  degrees. O(log² n) rounds worst case; the scale fallback.
 
-plus POINTER JUMPING (label(v) ← label(label(v)) — labels are node
-ids, so the label table maps its own values), repeated to fixpoint.
-Each round is two joins + one aggregation, all keyed by vertex id
-(no hot axis beyond the graph's own degree skew, which the
-aggregation absorbs as partial min). The jump gives O(log diameter)
-convergence — a path graph of 200 nodes closes in ~8 rounds, a
-1M-chain in ~20 — the same doubling trick as large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce and Beyond").
-``max_iterations`` bounds the worst case and the loop stops as soon
-as a full round changes nothing. Every round localCheckpoints its
-labels, so the logical plan stays O(1) (labels appear three times
-per round's plan; an uncut tree doubles per iteration and the
-driver OOMs on plan analysis long before data is a problem).
+``algorithm="auto"`` runs min-label and falls back to star when the
+iteration budget is exhausted instead of raising — the budget being
+exceeded IS the signal that the topology wants the star variant.
+
+Every round localCheckpoints its frame (lineage truncation — an
+uncut plan tree doubles per iteration and the driver OOMs on plan
+analysis long before data is a problem) and RELEASES the previous
+round's blocks once the new round is materialized, so a session
+running many clusterings holds at most two rounds of label storage
+at any time (round-4; closes the r3 residue item).
 
 Determinism: labels are ids and every step is a min — the fixpoint
 is the component-minimum id regardless of partitioning or round
@@ -34,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import own, release_frame
+
 
 def connected_components(
     pairs: DataFrame,
@@ -42,16 +53,22 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iterations: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """[a, b] edge pairs → [id, cluster_id] with cluster_id = the
     minimum id reachable from ``id``.
 
     ``vertices`` (optional, one ``id_col`` column) adds isolated
-    nodes — they come back as their own singleton clusters. Raises
-    if the propagation hasn't converged after ``max_iterations``
-    (never legitimate for dedup clusters; a graph with that diameter
-    needs the large-star variant documented above).
+    nodes — they come back as their own singleton clusters.
+    ``algorithm``: ``"minlabel"`` (raises if not converged within
+    ``max_iterations``), ``"star"`` (large-star/small-star from the
+    start), or ``"auto"`` (min-label, star fallback on budget
+    exhaustion). The returned frame carries its backing checkpoint
+    via :mod:`..cache` — call ``cache.release(result)`` after the
+    consuming action in long-lived sessions.
     """
+    if algorithm not in ("auto", "minlabel", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = (
         pairs.select(
             F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -68,13 +85,9 @@ def connected_components(
         nodes = nodes.unionByName(
             vertices.select(F.col(id_col))
         ).distinct()
+    if algorithm == "star":
+        return _star_components(edges, nodes, id_col, max_iterations)
     edges = edges.persist()
-    # each round's frame is localCheckpoint'ed: lineage TRUNCATION,
-    # not just caching — labels appears twice in every round's plan
-    # (join probe + label compare), so an uncut plan tree doubles per
-    # round and the driver OOMs analyzing it long before data is a
-    # problem. On a cluster, swap for checkpoint() on a reliable dir
-    # if executor loss during the loop must be recoverable.
     labels = nodes.withColumn(
         "cluster_id", F.col(id_col)
     ).localCheckpoint(eager=True)
@@ -87,6 +100,7 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sum = _label_sum(labels)
+    converged = False
     # try/finally: the persisted edge table must not outlive the loop
     # even when the fixpoint check raises (or any round fails)
     try:
@@ -112,6 +126,9 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
+            # stepped is materialized → the previous round's label
+            # blocks back nothing live; release them now
+            release_frame(labels)
             # pointer jump: cluster_id ← label(cluster_id). Labels are
             # node ids, so the label table maps its own values; one
             # extra self-join per round turns O(diameter) convergence
@@ -139,18 +156,115 @@ def connected_components(
                 .localCheckpoint(eager=False)
             )
             cur_sum = _label_sum(labels)
+            # labels materialized → stepped's blocks are dead weight
+            release_frame(stepped)
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
-        else:
-            raise RuntimeError(
-                f"connected_components: no fixpoint after {max_iterations} "
-                "rounds — use the large-star/small-star variant for this "
-                "graph"
-            )
+        if not converged:
+            if algorithm == "minlabel":
+                raise RuntimeError(
+                    f"connected_components: no fixpoint after "
+                    f"{max_iterations} rounds — use algorithm='star' "
+                    "(large-star/small-star) for this graph"
+                )
+            # auto: the budget being exhausted is the signal that the
+            # topology wants the star variant — hand over wholesale
+            release_frame(labels)
+            return _star_components(edges, nodes, id_col, max_iterations)
     finally:
         edges.unpersist()
-    return labels
+    return own(labels, labels)
+
+
+def _star_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014).
+
+    State is an oriented edge set (child > parent). Each round:
+
+    - **large-star**: group the UNDIRECTED neighborhoods by node u,
+      m = min(N(u) ∪ {u}); re-point every strictly larger neighbor
+      at m: emit (v, m) for v ∈ N(u), v > u.
+    - **small-star**: orient edges (hi → lo), group by hi,
+      m = min(N); re-point hi and all its smaller neighbors at m:
+      emit (hi, m) and (v, m) for v ∈ N \\ {m}.
+
+    Both emit strictly (child > parent) pairs, shrink the potential
+    Σ parent monotonically, and shuffle only on VERTEX ids — a giant
+    component never concentrates a reduce key the way a shared
+    cluster label does (its hub degrees are ordinary join skew,
+    which AQE splits). Fixpoint = the edge set is unchanged; the
+    state is then a star per component rooted at its minimum.
+    """
+    # star rounds double the iteration budget: each (large, small)
+    # pair is one logical round and convergence is O(log² n) worst
+    # case vs min-label's O(log d) typical
+    state = (
+        edges.where(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("c"), F.col("dst").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = state.count()
+    for _ in range(max(2 * max_iterations, 8)):
+        # ---- large-star ----
+        nbr = state.select("c", "p").unionAll(
+            state.select(F.col("p").alias("c"), F.col("c").alias("p"))
+        )  # (u=c, v=p) both directions; per-node neighborhoods
+        mins = nbr.groupBy("c").agg(F.min("p").alias("_mn"))
+        big = (
+            nbr.join(mins, "c")
+            .where(F.col("p") > F.col("c"))
+            .select(
+                F.col("p").alias("c"),
+                F.least(F.col("_mn"), F.col("c")).alias("p"),
+            )
+        )
+        # ---- small-star (on the large-star output) ----
+        oriented = big.where(F.col("c") != F.col("p")).distinct()
+        smins = oriented.groupBy("c").agg(F.min("p").alias("_m"))
+        joined = oriented.join(smins, "c")
+        new_state = (
+            joined.where(F.col("p") != F.col("_m"))
+            .select(F.col("p").alias("c"), F.col("_m").alias("p"))
+            .unionAll(smins.select("c", F.col("_m").alias("p")))
+            .where(F.col("c") != F.col("p"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = new_state.count()
+        # exact set-equality fixpoint: equal cardinality + one-sided
+        # containment (left_anti empty) ⇒ identical edge sets
+        if n == prev_n and new_state.join(
+            state, ["c", "p"], "left_anti"
+        ).isEmpty():
+            release_frame(state)
+            state = new_state
+            break
+        release_frame(state)
+        state = new_state
+        prev_n = n
+    # at fixpoint the state is a star per component: child → root.
+    # Defensive min-agg in case the loop exhausted its budget one
+    # round short of a perfect star (parents only ever decrease, so
+    # min is still the best-known root).
+    parent = state.groupBy("c").agg(F.min("p").alias("_root"))
+    out = (
+        nodes.join(parent.withColumnRenamed("c", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_root", F.col(id_col)).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    release_frame(state)
+    return own(out, out)
 
 
 def dedup_decisions(
@@ -161,9 +275,12 @@ def dedup_decisions(
     from pyspark.sql import Window as W
 
     w = W.partitionBy("cluster_id")
-    return components.select(
-        id_col,
-        "cluster_id",
-        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    return own(
+        components.select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        ),
+        components,
     )

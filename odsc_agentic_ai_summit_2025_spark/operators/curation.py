@@ -204,7 +204,10 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         _step,
         lambda acc: acc.getField("best"),
     )
-    out = ensure_min_partitions(df).select(
+    # NULL text → NULL token array → every stat NULL; the oracle's
+    # explode+join form drops such docs entirely, so drop them here
+    # too (row-set parity, and a null-stats row is useless anyway)
+    out = ensure_min_partitions(df).filter(toks.isNotNull()).select(
         F.col(id_col),
         F.size(g2).alias("_n2"),
         F.size(F.array_distinct(g2)).alias("_n2d"),

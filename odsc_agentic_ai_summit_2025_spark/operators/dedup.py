@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import own
 from ..functions.text import char_poly_hash, unique_tokens
 from ..sources.io import ensure_min_partitions
 
@@ -196,22 +197,25 @@ def minhash_candidate_pairs(
     # (bucket census + both sides of the self-join) and each reference
     # would otherwise re-run the whole tokenize→vocab→signature
     # pipeline. Tiny relative to the corpus: N_BANDS rows per doc.
-    b = minhash_band_buckets(df, text_col, id_col).persist()
+    # Lifetime: attached to the result (cache.own) — callers release
+    # with cache.release(result) after materializing.
+    bands = minhash_band_buckets(df, text_col, id_col).persist()
     small = (
-        b.groupBy("band_id", "bucket_key")
+        bands.groupBy("band_id", "bucket_key")
         .agg(F.count(F.lit(1)).alias("bsz"))
         .filter(F.col("bsz") <= max_bucket)
         .select("band_id", "bucket_key")
     )
-    b = b.join(small, ["band_id", "bucket_key"])
+    b = bands.join(small, ["band_id", "bucket_key"])
     left = b.select(F.col(id_col).alias("a_id"), "band_id", "bucket_key")
     right = b.select(F.col(id_col).alias("b_id"), "band_id", "bucket_key")
-    return (
+    return own(
         left.join(right, ["band_id", "bucket_key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        .filter(F.col("n_shared_bands") >= min_shared_bands)
+        .filter(F.col("n_shared_bands") >= min_shared_bands),
+        bands,
     )
 
 
@@ -342,9 +346,8 @@ def jaccard_pairs(
     # persist: both sides of the candidate self-join read the prefix
     # rows; unpersisted, the census+rank shuffles would run twice.
     # Small by construction (≈(1-t)·|tokens| rare-token rows).
-    # Lifetime: consumed by the caller's first action over the
-    # returned plan; callers owning a long-lived session should
-    # spark.catalog.clearCache() after materializing.
+    # Lifetime: attached to the result (cache.own) — callers release
+    # with cache.release(result) after materializing.
     # ceil(t·n) in integer fixed-point — double arithmetic can
     # overshoot an exact product (0.07·100 → 7.000…001 → ceil 8)
     # and silently shorten the lossless ppjoin prefix by one.
@@ -373,7 +376,7 @@ def jaccard_pairs(
     n_inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
     n_a = F.size("_ta").cast("long")
     n_b = F.size("_tb").cast("long")
-    return (
+    return own(
         cand.join(va, "a_id")
         .join(vb, "b_id")
         .withColumn("n_inter", n_inter)
@@ -389,5 +392,6 @@ def jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard_e4") >= thresh_e4)
-        .select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard_e4")
+        .select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard_e4"),
+        prefix,
     )

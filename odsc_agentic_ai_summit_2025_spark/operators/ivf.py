@@ -39,6 +39,16 @@ class IvfIndex:
     vec_col: str
     id_col: str
 
+    def release(self) -> None:
+        """Drop the persisted assignment (the in-memory index
+        storage). The handle stays usable — the assignment plan just
+        recomputes on next use. Long-lived sessions call this when
+        the index is retired (the materialized-artifact analog is
+        deleting the parquet)."""
+        from ..cache import release_frame
+
+        release_frame(self.assigned)
+
 
 TRAIN_SAMPLE_CAP = 50_000
 

@@ -23,6 +23,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import own
 from ..functions.vectors import cosine
 
 
@@ -116,8 +117,14 @@ def _subblock_assignments(
 
     from ..sources.io import ensure_min_partitions
 
-    assigned = ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
-        assign, f"{id_col} long, {vec_col} array<double>, bid long"
+    # persist: the assignment kernel's output is consumed three times
+    # (census here, payload grouping, block stats) — unpersisted, the
+    # GEMM pass re-runs for each. Handle attached to the returned
+    # frame (cache.own); the caller releases after materializing.
+    assigned = (
+        ensure_min_partitions(df.select(id_col, vec_col))
+        .mapInPandas(assign, f"{id_col} long, {vec_col} array<double>, bid long")
+        .persist()
     )
     census = assigned.groupBy("bid").agg(F.count(F.lit(1)).alias("n")).collect()
     splits = {
@@ -133,8 +140,11 @@ def _subblock_assignments(
     else:
         salt = F.lit(0)
     # sid = bid · 2^32 + salt: bid < 2^12, split factors < 2^32 → unique
-    return assigned.select(
-        id_col, vec_col, (F.col("bid") * F.lit(1 << 32) + salt).alias("sid")
+    return own(
+        assigned.select(
+            id_col, vec_col, (F.col("bid") * F.lit(1 << 32) + salt).alias("sid")
+        ),
+        assigned,
     )
 
 
@@ -255,6 +265,9 @@ def embedding_neardup_pairs(
         if feasible[i, j]
     ]
     if not pair_rows:
+        from ..cache import release
+
+        release(sub)  # nothing backs the empty result
         return df.sparkSession.createDataFrame([], "a_id long, b_id long")
     # unordered block-pair grid as an EQUI join (a non-equi
     # bid_a <= bid_b join plans as BroadcastNestedLoopJoin, which
@@ -281,15 +294,23 @@ def embedding_neardup_pairs(
 
         for pdf in batches:
             out_a, out_b = [], []
-            for _, row in pdf.iterrows():
-                ia = np.array([it["id"] for it in row["items_a"]])
-                ib = np.array([it["id"] for it in row["items_b"]])
-                ma = np.stack([np.asarray(it["v"], dtype=np.float64) for it in row["items_a"]])
-                mb = np.stack([np.asarray(it["v"], dtype=np.float64) for it in row["items_b"]])
+            # rows here are block PAIRS (few per batch, a GEMM each):
+            # iterate raw column arrays, not pdf.iterrows() — the
+            # per-row Series construction costs more than the math
+            for items_a, items_b, bid_a, bid_b in zip(
+                pdf["items_a"].to_numpy(),
+                pdf["items_b"].to_numpy(),
+                pdf["bid_a"].to_numpy(),
+                pdf["bid_b"].to_numpy(),
+            ):
+                ia = np.array([it["id"] for it in items_a])
+                ib = np.array([it["id"] for it in items_b])
+                ma = np.stack([np.asarray(it["v"], dtype=np.float64) for it in items_a])
+                mb = np.stack([np.asarray(it["v"], dtype=np.float64) for it in items_b])
                 ma /= np.linalg.norm(ma, axis=1, keepdims=True)
                 mb /= np.linalg.norm(mb, axis=1, keepdims=True)
                 sim_mat = ma @ mb.T
-                if row["bid_a"] == row["bid_b"]:
+                if bid_a == bid_b:
                     # self-block: identical item sets on both sides —
                     # keep the strict upper triangle or every pair
                     # (and every self-pair) appears twice
@@ -313,7 +334,7 @@ def embedding_neardup_pairs(
 
     # a pair lands in exactly one unordered block pair (each id has
     # exactly one bucket) → genuinely distinct-free, no dedupe shuffle
-    return grid.mapInPandas(score_blocks, "a_id long, b_id long")
+    return own(grid.mapInPandas(score_blocks, "a_id long, b_id long"), sub)
 
 
 def neardup_pairs_lsh(
@@ -368,9 +389,9 @@ def neardup_pairs_lsh(
     it three times (mean pass, bucketize pass, verify joins) and an
     embedding plan upstream would otherwise be recomputed for each.
     Lifetime: the cache backs the RETURNED lazy plan, so it cannot be
-    released here — callers owning a long-lived session should
-    ``spark.catalog.clearCache()`` (or unpersist the input handle)
-    after materializing the result.
+    released here — it is attached to the result via ``cache.own``;
+    callers release with ``cache.release(result)`` after
+    materializing.
     """
     import numpy as np
     import pandas as pd  # noqa: F401
@@ -380,6 +401,7 @@ def neardup_pairs_lsh(
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not first:
+        df.unpersist()  # nothing backs the empty result
         return df.sparkSession.createDataFrame([], "a_id long, b_id long")
     dim = first[0]["d"]
 
@@ -492,7 +514,7 @@ def neardup_pairs_lsh(
             cos = (A * B).sum(axis=1)
             yield pdf.loc[cos >= thr, ["a_id", "b_id"]]
 
-    return pairs.mapInPandas(verify, "a_id long, b_id long")
+    return own(pairs.mapInPandas(verify, "a_id long, b_id long"), df)
 
 
 def knn_bruteforce(

@@ -110,6 +110,10 @@ class CurationPipeline:
     exact_unique: DataFrame  # after exact content dedup
     neardup_kept: DataFrame  # after near-dup cluster keep/drop
     final: DataFrame  # quality-filtered + train/val/test split
+    # operator-owned persists/checkpoints (MinHash band rows,
+    # component label checkpoints) backing the lazy stages above —
+    # call release() once the stages are materialized
+    cache_sources: tuple = ()
 
     def stage_counts(self) -> dict[str, int]:
         """Per-stage survivor counts (one action per stage)."""
@@ -119,6 +123,20 @@ class CurationPipeline:
             "neardup_kept": self.neardup_kept.count(),
             "final": self.final.count(),
         }
+
+    def release(self) -> None:
+        """Release every operator-internal cache this pipeline's
+        stages own. Call once the stages are fully consumed (e.g.
+        after ``stage_counts()`` / writing ``final``): persist-backed
+        stages recompute on later actions, but the component labels
+        are checkpoint-backed (lineage-truncated), so stages from
+        ``neardup_kept`` down are NOT re-runnable afterwards — build
+        a fresh pipeline instead. A session building pipelines in a
+        loop MUST call this or executor memory accumulates (r3
+        verdict item, closed r4)."""
+        from .cache import release
+
+        release(*self.cache_sources)
 
 
 def build_curation_pipeline(
@@ -160,10 +178,9 @@ def build_curation_pipeline(
         pairs.select("a_id", "b_id"),
         vertices=exact_unique.select(F.col(id_col).alias("id")),
     )
-    nd_keep = (
-        dedup_decisions(comp)
-        .filter(F.col("keep"))
-        .select(F.col("id").alias(id_col))
+    decisions = dedup_decisions(comp)
+    nd_keep = decisions.filter(F.col("keep")).select(
+        F.col("id").alias(id_col)
     )
     neardup_kept = exact_unique.join(nd_keep, id_col, "left_semi")
 
@@ -179,4 +196,8 @@ def build_curation_pipeline(
         exact_unique=exact_unique,
         neardup_kept=neardup_kept,
         final=final,
+        # cache handles live on the DataFrames the OPERATORS returned
+        # (.filter/.select wrappers shed them), so capture at the
+        # operator boundary
+        cache_sources=(pairs, decisions),
     )

@@ -199,8 +199,15 @@ def q63_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     vecs = embed(docs, "text", "vector", dim=64).select("doc_id", "vector")
+    # planes_per_table pinned: the operator's adaptive default grows r
+    # with corpus size (r = ceil(log2(n/32))), which trades recall for
+    # candidate count — right for the approximate tier, wrong for this
+    # gate plan, whose full-recall probe (32 tables × 8 planes) must
+    # hold at ANY corpus size, not just the SFs where the formula
+    # happens to yield 8.
     return sim.neardup_pairs_lsh(
-        vecs, "vector", "doc_id", threshold=0.95, n_tables=32
+        vecs, "vector", "doc_id", threshold=0.95, n_tables=32,
+        planes_per_table=8,
     )
 
 

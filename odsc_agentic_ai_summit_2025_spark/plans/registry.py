@@ -51,20 +51,20 @@ def all_queries() -> dict[str, Query]:
 
     # Module order is deliberate: the external correctness gate checks the
     # FIRST 50 entries in insertion order, so modules whose queries have the
-    # least gate history go first.  Round-3 rotation: extended2, observability,
-    # curation, and the extended tail (q51-q54) had no driver-green rows after
-    # round 2; relational (q01-q25) has two rounds of green history and rotates
-    # to the back (its first 4 entries still land inside the window).
+    # least gate history go first.  Round-4 rotation: q05-q25's last driver
+    # rows are from round 2 (they rotated out of the r3 window), so
+    # relational leads; the modules that got fresh r3 rows (extended2,
+    # observability, curation) rotate to the back.
     out: dict[str, Query] = {}
     for mod in (
-        extended2,
-        observability,
-        curation,
-        extended,
+        relational,
         dedup,
         retrieval,
         textops,
-        relational,
+        extended,
+        curation,
+        observability,
+        extended2,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -156,6 +156,14 @@ def with_row_index_distributed(
     ``order_cols`` must be a total order (e.g. include a unique key):
     with duplicate keys a row's index is ambiguous in ANY
     implementation, including the window form.
+
+    Lifetime: the eager ``localCheckpoint`` blocks BACK the returned
+    lazy plan, so they cannot be released here. Like the operators
+    that ``persist()``, the caches are attached to the result via
+    :mod:`..cache` — long-lived sessions should call
+    ``cache.release(result)`` (or ``spark.catalog.clearCache()`` +
+    RDD unpersist) after materializing; otherwise every call
+    accumulates block-manager memory for the session's life.
     """
     part = df.repartitionByRange(*[F.col(c) for c in order_cols])
     # localCheckpoint: the plan is read twice (offsets collect + the
@@ -185,10 +193,13 @@ def with_row_index_distributed(
     # explicit schema: createDataFrame([]) cannot infer one, so the
     # empty-input case would crash
     off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
-    return (
+    from ..cache import own
+
+    return own(
         local.join(F.broadcast(off), "_pid")
         .withColumn(name, (F.col("_off") + F.col("_lrn")).cast("long"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_pid", "_lrn", "_off"),
+        local,
     )
 
 

@@ -1,0 +1,69 @@
+"""Isolated quiet-window profiling for single inventory queries.
+
+The interleaved bench (bench.py) is the contract signal; this script
+is the diagnostic: run ONE query N times back-to-back in a fresh
+session with nothing else in the block manager, so a regression can
+be attributed to the plan instead of to hypervisor steal bursts.
+
+    python scripts/profile_query.py q63_neardup_lsh q68_extract_usage \
+        [--sf /root/testdata/sf0.1] [--runs 5]
+
+Prints per-run wall times + min/median per query as JSON lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import statistics
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+
+    from odsc_agentic_ai_summit_2025_spark.plans.registry import all_queries
+    from odsc_agentic_ai_summit_2025_spark.session import get_spark
+
+    spark = get_spark(app_name="profile")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+    registry = all_queries()
+    from pyspark.sql import functions as F
+
+    for name in args.queries:
+        q = registry[name]
+        runs = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            df = q.spark(spark, args.sf)
+            df.select(
+                F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+            ).agg(F.expr("bit_xor(_h)")).collect()
+            runs.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            df = None
+            gc.collect()
+            for jrdd in list(
+                dict(spark.sparkContext._jsc.getPersistentRDDs()).values()
+            ):
+                jrdd.unpersist()
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "runs": runs,
+                    "min": min(runs),
+                    "median": round(statistics.median(runs), 3),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

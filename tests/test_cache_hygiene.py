@@ -1,0 +1,146 @@
+"""Operator-internal cache lifetimes are caller-releasable.
+
+Round-3 verdict item: operators that persist()/localCheckpoint()
+intermediates backing their returned plan (jaccard prefixes, MinHash
+band rows, LSH inputs, component label checkpoints, row-index
+partition pins) used to rely on the caller sweeping the whole block
+manager. Round 4 attaches the handles to the result (cache.own);
+these tests assert that a composed pipeline run + release leaves the
+block manager exactly where it started — twice in one session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odsc_agentic_ai_summit_2025_spark import cache
+
+
+def _n_blocks(spark) -> int:
+    return len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+
+
+def _clean_baseline(spark) -> int:
+    """Sweep residue from OTHER tests sharing the session fixture
+    (unreleased frames whose blocks the ContextCleaner would
+    otherwise drop mid-test and corrupt the baseline)."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    for jrdd in list(
+        dict(spark.sparkContext._jsc.getPersistentRDDs()).values()
+    ):
+        jrdd.unpersist()
+    return _n_blocks(spark)
+
+
+def _docs(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_curation_pipeline_releases_all_storage(spark, sf_dir):
+    """Run the composed curation pipeline TWICE in one session; after
+    each release() the persistent-RDD census must be back to the
+    pre-run baseline (no growth run over run)."""
+    from odsc_agentic_ai_summit_2025_spark.pipeline import (
+        build_curation_pipeline,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    baseline = _clean_baseline(spark)
+    counts_first = None
+    for run in range(2):
+        pipe = build_curation_pipeline(corpus, bench)
+        counts = pipe.stage_counts()
+        if counts_first is None:
+            counts_first = counts
+        else:
+            assert counts == counts_first  # release didn't corrupt plans
+        assert counts["final"] > 0
+        pipe.release()
+        assert _n_blocks(spark) == baseline, f"run {run} leaked storage"
+
+
+def test_jaccard_pairs_release(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    baseline = _clean_baseline(spark)
+    out = jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    n = out.count()
+    assert _n_blocks(spark) > baseline  # the prefix persist is live
+    cache.release(out)
+    assert _n_blocks(spark) == baseline
+    assert out.count() == n  # plan recomputes fine after release
+
+
+def test_neardup_lsh_release(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.functions.embedder import embed
+    from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
+        neardup_pairs_lsh,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    vecs = embed(docs, "text", "vector", dim=64).select("doc_id", "vector")
+    baseline = _clean_baseline(spark)
+    out = neardup_pairs_lsh(
+        vecs, "vector", "doc_id", threshold=0.95, n_tables=8,
+        planes_per_table=8,
+    )
+    out.count()
+    cache.release(out)
+    assert _n_blocks(spark) == baseline
+
+
+def test_connected_components_releases_rounds(spark):
+    """The label-propagation loop must hold at most two rounds of
+    checkpoint blocks while running and exactly the final labels
+    after returning; release() drops those too."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(chain, "a_id long, b_id long")
+    baseline = _clean_baseline(spark)
+    comp = connected_components(pairs)
+    comp.count()
+    leftover = _n_blocks(spark) - baseline
+    assert leftover <= 1, f"loop left {leftover} round checkpoints behind"
+    cache.release(comp)
+    assert _n_blocks(spark) == baseline
+
+
+def test_row_index_distributed_release(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import (
+        with_row_index_distributed,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    baseline = _clean_baseline(spark)
+    out = with_row_index_distributed(docs, ["doc_id"])
+    out.count()
+    assert _n_blocks(spark) > baseline
+    cache.release(out)
+    assert _n_blocks(spark) == baseline
+
+
+def test_ivf_index_release(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.operators.ivf import ivf_build
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    baseline = _clean_baseline(spark)
+    idx = ivf_build(emb, "embedding", "vec_id", k_clusters=4)
+    idx.assigned.count()
+    assert _n_blocks(spark) > baseline
+    idx.release()
+    assert _n_blocks(spark) == baseline

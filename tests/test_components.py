@@ -71,6 +71,64 @@ def test_connected_components_chain_converges(spark):
     assert all(r["cluster_size"] == n for r in rows)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_star_components_matches_union_find(spark, seed):
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(seed)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find_components(n, edges)
+
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, vertices=verts, algorithm="star"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_star_components_giant_component_skew(spark):
+    """The topology min-label propagation is skew-hot on: ONE giant
+    component — a hub star fused with a long chain, so every node
+    funnels to label 0 (hot key) and the diameter stresses rounds.
+    The star variant must solve it, both directly and as the
+    ``auto`` fallback when the min-label budget is exhausted."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    hub = [(0, i) for i in range(1, 400)]          # giant star at 0
+    chain = [(399 + i, 400 + i) for i in range(200)]  # chain off one leaf
+    pairs = spark.createDataFrame(hub + chain, "a_id long, b_id long")
+
+    for algo in ("star", "auto"):
+        rows = connected_components(
+            pairs, algorithm=algo, max_iterations=3 if algo == "auto" else 25
+        ).collect()
+        assert {r["cluster_id"] for r in rows} == {0}, algo
+        assert len(rows) == 600, algo
+
+
+def test_minlabel_raises_without_fallback(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(chain, "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="star"):
+        connected_components(
+            pairs, algorithm="minlabel", max_iterations=2
+        ).collect()
+
+
 def test_pii_trace_multi_rule(spark):
     from odsc_agentic_ai_summit_2025_spark.functions.guardrails import (
         mask_pii,

@@ -320,6 +320,72 @@ def test_decode_media_real_parses_bmp_and_wav(spark, sf_dir):
     assert all(r["n_bytes"] == 2 * (16000 // 100) for r in wout)
 
 
+def test_decode_payload_pil_wav_routes_without_pil():
+    """The PIL decoder's WAV branch is stdlib — it must work (and be
+    byte-identical to the built-in codec) whether or not Pillow is
+    installed, because the audio leg never touches PIL."""
+    from odsc_agentic_ai_summit_2025_spark.functions.codecs import (
+        decode_payload,
+        decode_payload_pil,
+        encode_wav,
+    )
+
+    wav = encode_wav(bytes(range(200)), 16000, 1)
+    assert decode_payload_pil(wav) == decode_payload(wav)
+
+
+def test_decode_media_pil_matches_builtin_on_bmp(spark, sf_dir):
+    """decoder='pil' must produce byte-identical output to the
+    dependency-free BMP codec — the contract that makes the PIL path
+    a drop-in widening (JPEG/PNG) rather than a behavior change."""
+    import pytest as _pytest
+
+    from odsc_agentic_ai_summit_2025_spark.functions.codecs import (
+        pil_available,
+    )
+
+    if not pil_available():
+        _pytest.skip("Pillow not installed (the documented seam)")
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        decode_media,
+        synth_real_media,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    img = synth_real_media(docs, kind="image")
+    via_pil = {
+        r["media_id"]: bytes(r["pixels"])
+        for r in decode_media(img, "pil").collect()
+    }
+    via_builtin = {
+        r["media_id"]: bytes(r["pixels"])
+        for r in decode_media(img, "real").collect()
+    }
+    assert via_pil == via_builtin
+
+
+def test_decode_media_pil_raises_importerror_when_absent(spark, sf_dir):
+    import pytest as _pytest
+
+    from odsc_agentic_ai_summit_2025_spark.functions.codecs import (
+        pil_available,
+    )
+
+    if pil_available():
+        _pytest.skip("Pillow installed; absence path not reachable")
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        decode_media,
+        synth_real_media,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(2)
+    img = synth_real_media(docs, kind="image")
+    with _pytest.raises(Exception, match="PIL"):
+        decode_media(img, "pil").collect()
+
+
 def test_decode_media_real_raises_on_unknown_codec(spark):
     from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
         decode_media,

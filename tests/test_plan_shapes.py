@@ -29,6 +29,14 @@ def _optimized_plan(df) -> str:
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
+
+def _find_all(haystack: str, needle: str) -> list[int]:
+    out, i = [], haystack.find(needle)
+    while i != -1:
+        out.append(i)
+        i = haystack.find(needle, i + 1)
+    return out
+
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side
 # is provably bounded: a no-grouping scalar aggregate (1 row of
 # totals) or the K-row centroid table. Each entry documents why.
@@ -47,8 +55,20 @@ def test_no_quadratic_join_operators(name, spark, sf_dir):
     for op in FORBIDDEN:
         if op == "BroadcastNestedLoopJoin" and name in BNLJ_ALLOWED:
             # still must be a BROADCAST nested loop, never a shuffled
-            # one — the bounded side has to be the broadcast side
-            assert "BroadcastExchange" in plan
+            # one: inspect each BNLJ node itself — it must declare a
+            # build side and have a BroadcastExchange in its subtree
+            # (a whole-plan "BroadcastExchange in plan" would be
+            # satisfied by any unrelated broadcast hash join)
+            for idx in _find_all(plan, "BroadcastNestedLoopJoin"):
+                node = plan[idx : idx + 120]
+                assert "BuildLeft" in node or "BuildRight" in node, (
+                    f"{name}: BNLJ node missing build side:\n{node}"
+                )
+                subtree = plan[idx : idx + 2000]
+                assert "BroadcastExchange" in subtree, (
+                    f"{name}: BNLJ without a BroadcastExchange child — "
+                    f"a shuffle-replicated nested loop:\n{subtree[:600]}"
+                )
             continue
         assert op not in plan, (
             f"{name}: {op} in physical plan — this replicates a full "
