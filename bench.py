@@ -21,6 +21,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # JVM/codegen warmup outside any query's timing: one tiny job
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ...and one tiny ARROW job: the python worker daemon (and its
+    # numpy/pandas preload) starts on the session's FIRST Python
+    # stage — ~4 s measured (r4) — which otherwise lands inside
+    # whichever query happens to hit Python first
+    spark.range(64).mapInPandas(
+        lambda it: it, "id long"
+    ).selectExpr("sum(id)").collect()
 
     queries = all_queries()
     passes: dict[str, list[float]] = {}

@@ -39,7 +39,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_MOD, char_poly_hash
+from .text import HASH_MOD, char_poly_hash  # noqa: F401 — re-exported; the
+# expression form stays the documented reference semantics (the Arrow
+# kernel below is its property-tested vectorized twin)
 
 DEFAULT_DIM = 64
 TOKEN_PATTERN = r"[a-z0-9]+"
@@ -83,25 +85,15 @@ def embed(
     # added after it, so ordering here decides where the work lands)
     df = ensure_min_partitions(df)
 
-    # hash once per token, then derive (bucket, sign) from the hash
-    # array — two cheap array traversals instead of two char folds
-    hashes = F.transform(tokens(F.col(text_col)), lambda t: char_poly_hash(t))
-    # (h - h%dim)/dim is an exact integer ≤ HASH_MOD/dim, so the
-    # double division below is exact (IEEE: exact when the true
-    # quotient is representable); DuckDB twin is plain `h // dim`
-    buckets = F.transform(hashes, lambda h: F.pmod(h, F.lit(dim)).cast("int"))
-    signs = F.transform(
-        hashes,
-        lambda h: (
-            F.pmod(
-                ((h - F.pmod(h, F.lit(dim))) / F.lit(dim)).cast("long"),
-                F.lit(2),
-            )
-            * 2
-            - 1
-        ).cast("double"),
-    )
-    with_contrib = df.withColumn("_b", buckets).withColumn("_s", signs)
+    # JVM side stops at tokenization (codegen'd regexp): the rolling
+    # char hash moves into the Arrow kernel as a vectorized
+    # fixed-width fold (functions/text.py:char_poly_hash_np,
+    # value-identical to the char_poly_hash expression by property
+    # test). The expression form spent one interpreted Catalyst
+    # lambda step PER CHARACTER — 4.7 s of q63's 5.6 s at sf0.1
+    # (r4 profile); the kernel form is one numpy pass per
+    # max-token-length position over the whole batch.
+    with_contrib = df.withColumn("_t", tokens(F.col(text_col)))
 
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -112,17 +104,24 @@ def embed(
         import numpy as np
         import pandas as pd  # noqa: F401
 
+        from ..functions.text import char_poly_hash_np
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            cells_b = [np.asarray(c, dtype=np.int64) for c in pdf["_b"]]
-            lengths = np.fromiter(map(len, cells_b), dtype=np.int64, count=n)
+            cells = [
+                [] if c is None else list(c) for c in pdf["_t"]
+            ]
+            lengths = np.fromiter(map(len, cells), dtype=np.int64, count=n)
             if lengths.sum():
-                flat_b = np.concatenate(cells_b)
-                flat_s = np.concatenate(
-                    [np.asarray(c, dtype=np.float64) for c in pdf["_s"]]
+                flat_h = char_poly_hash_np(
+                    [t for cell in cells for t in cell]
                 )
+                flat_b = flat_h % dim
+                # (h - h%dim)/dim is an exact integer; parity of it
+                # picks the sign — same math as the oracle CTE
+                flat_s = ((flat_h // dim) % 2) * 2.0 - 1.0
                 row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
                 v = np.bincount(
                     row_idx * dim + flat_b, weights=flat_s, minlength=n * dim
@@ -131,7 +130,7 @@ def embed(
                 v = np.zeros((n, dim))
             nrm = np.sqrt((v * v).sum(axis=1, keepdims=True))
             np.divide(v, nrm, out=v, where=nrm > 0)
-            out = pdf.drop(columns=["_b", "_s"])
+            out = pdf.drop(columns=["_t"])
             out[out_col] = list(v)
             yield out
 

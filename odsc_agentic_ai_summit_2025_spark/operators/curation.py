@@ -131,6 +131,7 @@ def ingest_gate(
     id_col: str,
     *,
     n: int = 3,
+    keep_input: bool = False,
 ) -> DataFrame:
     """Stateless per-document ingest gate: benchmark-contamination
     flag plus in-row repetition signals, with an ``admit`` verdict.
@@ -153,13 +154,50 @@ def ingest_gate(
         / F.greatest(F.size(g2), F.lit(1))
     ).cast("long")
     contaminated = F.arrays_overlap(g, bench)
-    return docs.select(
-        F.col(id_col),
+    signals = [
         F.size(toks).alias("n_tokens"),
         dup2.alias("dup2_frac_e4"),
         contaminated.alias("contaminated"),
         (~contaminated & (dup2 <= 2000)).alias("admit"),
+    ]
+    if keep_input:
+        # full input row + verdicts: lets a downstream stateless stage
+        # (quality filter) consume the admitted TEXT without the
+        # gate→docs join the batch pipeline uses — a join a stream
+        # cannot express statelessly
+        return docs.select("*", *signals)
+    return docs.select(F.col(id_col), *signals)
+
+
+def curation_prefix(
+    docs: DataFrame,
+    bench_grams: list[str],
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """The curation pipeline's STATELESS PREFIX as one per-row plan:
+    ingest gate (benchmark decontamination + repetition) composed
+    with the C4-style quality filter. No join, no aggregation, no
+    state anywhere — the gate keeps its input columns
+    (``keep_input=True``) instead of re-joining text the way the
+    batch pipeline's semi-join does — so the IDENTICAL plan runs
+    over ``readStream`` (``streaming/pipeline.py:
+    curation_prefix_stream``) and over batch, parity-tested
+    row-for-row. Everything after this prefix (exact/near dedup)
+    needs cross-document state and stays batch (or watermarked
+    streaming dedup, which has its own twins).
+    """
+    from .textops import corpus_filter
+
+    gated = ingest_gate(
+        docs, bench_grams, text_col, id_col, n=n, keep_input=True
     )
+    admitted = gated.filter(F.col("admit")).drop(
+        "n_tokens", "dup2_frac_e4", "contaminated", "admit"
+    )
+    return corpus_filter(admitted, text_col, id_col).filter(F.col("kept"))
 
 
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -387,6 +387,39 @@ def ingest_gate_stream(
     return ingest_gate(stream, bench_grams, "text", "doc_id", n=n)
 
 
+def curation_prefix_stream(
+    spark: SparkSession,
+    docs_path: str,
+    bench_grams: list[str],
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming twin of the curation pipeline's stateless prefix
+    (``operators/curation.py:curation_prefix``): ingest gate + C4
+    quality filter composed over a documents file stream.
+
+    Still a pure per-row map — the gate carries its input columns
+    forward instead of the batch pipeline's gate→docs semi-join, so
+    the composition introduces no state store and the plan admits
+    unbounded rates. Row-for-row parity with the batch prefix is
+    asserted in tests; the stages after this prefix (exact/near
+    dedup) need cross-document state and have their own watermarked
+    twins."""
+    from ..operators.curation import curation_prefix
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(docs_path)
+    return curation_prefix(stream, bench_grams, "text", "doc_id", n=n)
+
+
 def _interval_seconds(interval: str) -> int:
     qty, unit = interval.split()
     mult = {

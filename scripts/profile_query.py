@@ -16,8 +16,12 @@ from __future__ import annotations
 import argparse
 import gc
 import json
+import os
 import statistics
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -32,6 +36,11 @@ def main() -> None:
 
     spark = get_spark(app_name="profile")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+    # Arrow warmup: the python worker daemon starts on the first
+    # Python stage (~4 s) — keep it out of run 1's timing
+    spark.range(64).mapInPandas(lambda it: it, "id long").selectExpr(
+        "sum(id)"
+    ).collect()
     registry = all_queries()
     from pyspark.sql import functions as F
 

@@ -4,8 +4,17 @@ expressions — no files), to demonstrate the plans hold beyond the
 test scale: linear-ish runtime, bounded executor memory, no
 collect()-driven driver blowup.
 
-Usage: python scripts/scale_smoke.py [n_docs]   (default 300_000;
-sf0.1 has 5_000 docs). Prints one JSON line per stage.
+Usage: python scripts/scale_smoke.py [n_docs] [round]  (defaults
+300_000 — sf0.1 has 5_000 docs — and $SPARK_GRAFT_ROUND or none).
+Prints one JSON line per stage.
+
+Round-4 addition (r3 verdict item 7): when a round is given, the
+stage matrix persists to SCALE_SMOKE_r{round}.json and is compared
+against the most recent prior round's artifact — any stage slower
+than 1.5x its prior time is flagged (exit code 3) so a scale
+regression fails loudly instead of hiding in SCALING.md prose.
+This host shows hypervisor steal bursts, so treat a flag as "re-run
+in a quiet window", not as proof by itself.
 """
 
 from __future__ import annotations
@@ -55,6 +64,11 @@ def synth_docs(spark, n: int):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    rnd = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.environ.get("SPARK_GRAFT_ROUND", "")
+    )
     from pyspark.sql import functions as F
 
     from odsc_agentic_ai_summit_2025_spark.session import get_spark
@@ -70,16 +84,15 @@ def main() -> None:
     # unpersisting it kills every later stage (learned the hard way)
     keep = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
 
+    matrix: dict[str, dict] = {}
+
     def stage(name, fn):
         t0 = time.perf_counter()
         out = fn()
-        print(
-            json.dumps(
-                {"stage": name, "n_docs": n_docs, "result": out,
-                 "sec": round(time.perf_counter() - t0, 2)}
-            ),
-            flush=True,
-        )
+        rec = {"stage": name, "n_docs": n_docs, "result": out,
+               "sec": round(time.perf_counter() - t0, 2)}
+        matrix[name] = {"result": out, "sec": rec["sec"]}
+        print(json.dumps(rec), flush=True)
         spark.catalog.clearCache()
         import gc
 
@@ -161,6 +174,34 @@ def main() -> None:
         return ivf.ivf_search(index, qs, "qid", k=10, nprobe=8).count()
 
     stage("ivf_build_and_search", ivf_stage)
+
+    if rnd:
+        import glob
+        import pathlib
+
+        repo = pathlib.Path(__file__).resolve().parent.parent
+        artifact = repo / f"SCALE_SMOKE_r{rnd}.json"
+        artifact.write_text(
+            json.dumps({"n_docs": n_docs, "stages": matrix}, indent=1)
+        )
+        prior = sorted(
+            p for p in glob.glob(str(repo / "SCALE_SMOKE_r*.json"))
+            if p != str(artifact)
+        )
+        flagged = []
+        if prior:
+            prev = json.loads(open(prior[-1]).read())
+            for name, rec in matrix.items():
+                old = prev.get("stages", {}).get(name)
+                if old and old["sec"] > 0 and rec["sec"] > 1.5 * old["sec"]:
+                    flagged.append(
+                        {"stage": name, "prev_sec": old["sec"],
+                         "sec": rec["sec"], "baseline": prior[-1]}
+                    )
+        print(json.dumps({"artifact": str(artifact), "flagged": flagged}),
+              flush=True)
+        if flagged:
+            sys.exit(3)
 
 
 if __name__ == "__main__":

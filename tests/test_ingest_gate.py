@@ -76,3 +76,63 @@ def test_ingest_gate_stream_parity(spark, sf_dir, docs_stream_dir2):
     n_contam = sum(1 for r in b if r[3])
     assert n_contam >= 1
     assert sum(1 for r in b if r[4]) > len(b) // 2
+
+
+def test_curation_prefix_stream_parity(spark, sf_dir, docs_stream_dir2):
+    """Gate + quality filter COMPOSED over readStream must reproduce
+    the batch pipeline's stateless prefix row-for-row (both stages
+    are per-row maps, so composition stays stateless)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        curation_prefix,
+    )
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        curation_prefix_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench_df = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    grams = benchmark_gram_set(bench_df, "text")
+
+    batch = curation_prefix(corpus, grams, "text", "doc_id")
+    stream = curation_prefix_stream(spark, docs_stream_dir2, grams).filter(
+        F.col("doc_id") % 97 != 0
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("curation_prefix_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("curation_prefix_stream")
+
+    assert got.columns == batch.columns
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s
+    assert len(b) > 0  # the prefix admits a real survivor set
+
+    # the prefix also matches the batch PIPELINE's own composition
+    # (gate semi-join + corpus_filter) on the surviving id set — the
+    # two formulations differ only in how text is carried
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        ingest_gate,
+    )
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        corpus_filter,
+    )
+
+    gate = ingest_gate(corpus, grams, "text", "doc_id")
+    admitted = corpus.join(
+        gate.filter(F.col("admit")).select("doc_id"), "doc_id"
+    )
+    pipe_ids = {
+        r["doc_id"]
+        for r in corpus_filter(admitted, "text", "doc_id")
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .collect()
+    }
+    assert {t[0] for t in b} == pipe_ids

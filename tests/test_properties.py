@@ -112,3 +112,71 @@ def test_rrf_matches_formula(spark, a, b):
         if doc in b:
             s += 1.0 / (60 + b.index(doc) + 1)
         assert abs(got[doc] - s) < 1e-12
+
+
+token_strategy = st.lists(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+        min_size=1,
+        max_size=24,
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(toks=token_strategy)
+def test_char_poly_hash_np_matches_expression(spark, toks):
+    """The vectorized Arrow-kernel hash (UCS4-view fold) must equal
+    the Catalyst expression fold value-for-value — this is what lets
+    the embedder hash tokens kernel-side without changing any
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.functions.text import (
+        char_poly_hash,
+        char_poly_hash_np,
+    )
+
+    got = list(char_poly_hash_np(toks)) if toks else []
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    want = [
+        r["h"] for r in
+        df.select("tok", char_poly_hash(F.col("tok")).alias("h"))
+        .orderBy("tok").collect()
+    ]
+    got_sorted = [h for _, h in sorted(zip(toks, got))]
+    assert got_sorted == want
+
+
+@settings(**SETTINGS)
+@given(toks=token_strategy)
+def test_embed_kernel_matches_oracle_math(spark, toks):
+    """End-to-end embed() on a synthetic doc must equal the plain
+    Python reconstruction of the documented math (hash → bucket/sign
+    → scatter-add → L2) — guards the kernel rewrite of the
+    tokenize→hash→densify pipeline."""
+    import math
+
+    from odsc_agentic_ai_summit_2025_spark.functions.embedder import embed
+    from odsc_agentic_ai_summit_2025_spark.functions.text import (
+        HASH_MOD,
+        HASH_MULT,
+    )
+
+    dim = 8
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [row] = embed(df, "text", "vector", dim=dim).collect()
+    got = list(row["vector"])
+
+    v = [0.0] * dim
+    for t in toks:
+        h = 0
+        for c in t:
+            h = (h * HASH_MULT + ord(c)) % HASH_MOD
+        v[h % dim] += ((h // dim) % 2) * 2.0 - 1.0
+    nrm = math.sqrt(sum(x * x for x in v))
+    want = [x / nrm if nrm > 0 else 0.0 for x in v]
+    assert got == want
