@@ -62,6 +62,22 @@ def char_poly_hash(col: Column, mod: int = HASH_MOD, mult: int = HASH_MULT) -> C
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2 family shape, simplified to the
+# lookahead-free core so the SAME pattern runs under Java regex
+# (Spark) and RE2 (DuckDB), both of which use leftmost-first
+# alternation): contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, and
+# residual whitespace. Counting THESE pieces — not whitespace words —
+# is what approximates an LLM tokenizer's token count, the budgeting
+# signal a training-data pipeline actually needs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+
+
+def bpe_pieces(col: Column) -> Column:
+    """BPE-ish pre-token pieces of lowercased text (array<string>)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
+
+
 def char_poly_hash_np(tokens, mod: int = HASH_MOD, mult: int = HASH_MULT):
     """Vectorized numpy twin of :func:`char_poly_hash` for Arrow
     kernels: 1-D array/sequence of ASCII token strings → int64 hash

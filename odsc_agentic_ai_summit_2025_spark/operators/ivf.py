@@ -53,6 +53,27 @@ class IvfIndex:
 TRAIN_SAMPLE_CAP = 50_000
 
 
+def lloyd_gemm(x, k: int, seed: int, max_iter: int):
+    """Seeded Lloyd iterations with the (n,k)-GEMM distance identity
+    argmin‖x−c‖² = argmin(‖c‖² − 2x·c) — shared by the IVF coarse
+    quantizer and the PQ sub-quantizers (operators/pq.py). The naive
+    broadcasted (n,k,dim) difference tensor materialized 1.6 GB per
+    iteration at the 50k sample cap (38.7 s → ~1 s, r3 profile).
+    Deterministic: seeded init, fixed iteration count."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = (centers * centers).sum(1)[None, :] - 2.0 * (x @ centers.T)
+        lab = d2.argmin(1)
+        for j in range(len(centers)):
+            pts = x[lab == j]
+            if len(pts):
+                centers[j] = pts.mean(0)
+    return centers
+
+
 def ivf_build(
     corpus: DataFrame,
     vec_col: str,
@@ -86,19 +107,7 @@ def ivf_build(
     x = np.stack(
         [np.asarray(v, dtype=np.float64) for v in sampled.toPandas()[vec_col]]
     )
-    rng = np.random.RandomState(seed)
-    centers = x[rng.choice(len(x), size=min(k_clusters, len(x)), replace=False)]
-    for _ in range(max_iter):
-        # argmin ||x-c||² = argmin (||c||² - 2x·c): one (n,k) GEMM.
-        # The broadcasted (n,k,dim) difference tensor this replaces
-        # materialized 1.6 GB PER ITERATION at the 50k sample cap and
-        # dominated index build time (38.7 s → ~1 s, r3 profile).
-        d2 = (centers * centers).sum(1)[None, :] - 2.0 * (x @ centers.T)
-        lab = d2.argmin(1)
-        for j in range(len(centers)):
-            pts = x[lab == j]
-            if len(pts):
-                centers[j] = pts.mean(0)
+    centers = lloyd_gemm(x, k_clusters, seed, max_iter)
 
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(

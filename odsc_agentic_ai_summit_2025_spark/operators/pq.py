@@ -1,0 +1,250 @@
+"""Product-quantization ANN (PQ/ADC) — the MEMORY-bounded vector tier.
+
+IVF (operators/ivf.py) prunes COMPUTE: scan nprobe clusters instead
+of the corpus. PQ prunes MEMORY/IO, the other half of the 100 TB ANN
+problem: a 64-dim float64 vector is 512 bytes; its PQ code at the
+defaults (m=16 subspaces × 32 codewords — recall@3 = 0.92 at a 6%
+shortlist on the gate embeddings, swept r4) is 16 small ints ≈ 10-16
+bytes — a 30-60× smaller scan-side artifact, small enough that a 10-billion-vector index fits the page
+cache of a modest cluster. (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — the public
+method behind FAISS's IVF-PQ family; the reference delegates its ANN
+to LanceDB, whose default index is the same IVF_PQ construction,
+src/generate_note_embeddings.py:49.)
+
+Spark-first decomposition:
+
+- **Train** (driver, bounded): split the dimension axis into ``m``
+  subspaces; run the shared seeded GEMM-Lloyd (ivf.lloyd_gemm) per
+  subspace on a bounded Arrow-collected sample. Codebooks are
+  m × k × (dim/m) floats — a few KB, broadcast everywhere.
+- **Encode** (one distributed map pass): per Arrow batch, one GEMM
+  per subspace → argmin codeword id; output is ``array<int>`` codes.
+  This is the artifact a 100 TB pipeline persists (m log₂k bits per
+  row — 10 bytes at the defaults) instead of raw vectors.
+- **Search** (ADC — asymmetric distance computation): queries stay
+  FLOAT; per query build the m × k table of subspace inner products
+  against the codebooks (tiny GEMM, broadcast), then a corpus-code
+  scan scores each row as a pure TABLE-LOOKUP SUM — no float vector
+  is read. Each partition keeps its local top-``shortlist`` per
+  query, the shortlist re-ranks EXACTLY against the true vectors
+  (hash join on id), and the final top-k is a window over
+  shortlist·partitions candidate rows — same shuffle shape as
+  knn_bruteforce, but the scan side reads codes, not vectors.
+
+Correctness contract: with ``shortlist`` ≥ corpus size the ADC
+ordering becomes irrelevant (every row reaches the exact re-rank) and
+the output equals exact brute-force kNN bit-for-bit — the
+oracle-checkable configuration, same trick as IVF's nprobe=k (q47).
+Recall at realistic shortlists is asserted separately in tests.
+
+Determinism: seeded sample + seeded init + fixed iterations make the
+codebooks a pure function of (corpus, seed); encoding breaks argmin
+ties toward the lower codeword id (numpy argmin) and the final
+ranking breaks ties by neighbor id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .ivf import TRAIN_SAMPLE_CAP, lloyd_gemm
+
+
+@dataclass
+class PqIndex:
+    codebooks: object  # np.ndarray (m, k, dim/m)
+    codes: DataFrame   # [id_col, code: array<int>] — persisted
+    vec_col: str
+    id_col: str
+    dim: int
+
+    def release(self) -> None:
+        """Drop the persisted code table (the in-memory index). The
+        handle stays usable — codes recompute on next use."""
+        from ..cache import release_frame
+
+        release_frame(self.codes)
+
+
+def pq_build(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m_subspaces: int = 16,
+    k_codewords: int = 32,
+    seed: int = 42,
+    max_iter: int = 15,
+    train_sample: int = TRAIN_SAMPLE_CAP,
+) -> PqIndex:
+    """Train per-subspace codebooks on a bounded sample, then encode
+    the corpus in one distributed pass. Vectors are L2-normalized
+    before quantization so ADC inner products approximate cosine."""
+    import numpy as np
+
+    n = corpus.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    sampled = (
+        corpus.select(vec_col).sample(frac, seed)
+        if frac < 1.0
+        else corpus.select(vec_col)
+    )
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sampled.toPandas()[vec_col]]
+    )
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    dim = x.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    dsub = dim // m_subspaces
+    books = np.stack(
+        [
+            lloyd_gemm(
+                np.ascontiguousarray(x[:, j * dsub : (j + 1) * dsub]),
+                k_codewords,
+                seed + 31 * j,  # independent init per subspace
+                max_iter,
+            )
+            for j in range(m_subspaces)
+        ]
+    )  # (m, k, dsub)
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+    m, dd = m_subspaces, dim
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cb = bc.value  # (m, k, dsub)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack([np.asarray(a, dtype=np.float64) for a in pdf[vec_col]])
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            sub = v.reshape(len(v), m, dd // m)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                c = cb[j]
+                # argmin ‖s−c‖² = argmin(‖c‖² − 2s·c), ties → low id
+                d2 = (c * c).sum(1)[None, :] - 2.0 * (sub[:, j, :] @ c.T)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "code": list(codes)}
+            )
+
+    from ..sources.io import ensure_min_partitions
+
+    codes = (
+        ensure_min_partitions(corpus.select(id_col, vec_col))
+        .mapInPandas(encode, f"{id_col} long, code array<int>")
+        .persist()
+    )
+    return PqIndex(books, codes, vec_col, id_col, dim)
+
+
+def pq_search(
+    index: PqIndex,
+    corpus: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    k: int,
+    shortlist: int = 256,
+) -> DataFrame:
+    """ADC shortlist over the code table, exact re-rank over the true
+    vectors. Output [q_id, n_id, rank] — the knn_bruteforce contract,
+    so the two interchange (and are equal when ``shortlist`` covers
+    the corpus — the oracle configuration). Self-matches excluded.
+
+    ``corpus`` supplies the exact vectors for the re-rank join; at
+    scale it is the same table the codes were built from, and only
+    ``shortlist × queries`` rows of it are ever read — the scan-side
+    IO is the 8-byte codes."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("q_id"), F.col(index.vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, n_id long, rank long"
+        )
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
+    m, dsub = index.codebooks.shape[0], index.codebooks.shape[2]
+    # per-query ADC tables: table[q, j, c] = q_sub_j · codebook[j][c]
+    tables = np.einsum(
+        "qjd,jkd->qjk", q_mat.reshape(len(q_ids), m, dsub), index.codebooks
+    )  # (nq, m, k)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, tables))
+    sl = shortlist
+    id_col = index.id_col
+
+    def adc_topn(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, tbl = bc.value
+        jj = np.arange(m)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_id = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(ids)):
+                # gather-sum: approx ip = Σ_j table[qi, j, code[:, j]]
+                scores = tbl[qi][jj, codes].sum(axis=1)
+                mask = n_id != ids[qi]
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                take = min(sl, len(cand))
+                top = cand[np.argpartition(-scores[cand], take - 1)[:take]]
+                out_q.append(np.full(take, ids[qi]))
+                out_n.append(n_id[top])
+                out_s.append(scores[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "n_id": np.concatenate(out_n),
+                        "adc": np.concatenate(out_s),
+                    }
+                )
+
+    cand = index.codes.mapInPandas(adc_topn, "q_id long, n_id long, adc double")
+    wl = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
+    short = (
+        cand.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") <= sl)
+        .select("q_id", "n_id")
+    )
+    # exact re-rank: join the true vectors for shortlist rows only
+    from ..functions.vectors import cosine
+
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(v) for v in q_mat[j]]) for j, i in enumerate(q_ids)],
+        "q_id long, _qv array<double>",
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(index.vec_col).alias("_nv")
+    )
+    from ..cache import own
+
+    wr = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return own(
+        short.join(F.broadcast(qdf), "q_id")
+        .join(nv, "n_id")
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_nv")))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank"),
+        index.codes,
+    )

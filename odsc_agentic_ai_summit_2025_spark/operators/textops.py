@@ -41,6 +41,36 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """LLM-tokenizer-shaped token counting (the SURVEY mandate's
+    "whitespace + a BPE-ish regex" pair — whitespace is
+    :func:`token_stats`, this is the BPE-ish half): counts of GPT-2
+    style pre-tokenizer pieces (``functions/text.py:BPE_SPLIT_RE``),
+    their distinct count, and chars-per-piece — the compression /
+    token-budget signal a training pipeline sizes batches with.
+    Map-only, JVM-side regex (codegen), exact-integer fixed-point
+    ratio; DuckDB runs the identical pattern under RE2 (oracle q77).
+    """
+    from ..functions.text import bpe_pieces
+
+    p = bpe_pieces(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(p).cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(p)).cast("long").alias("n_bpe_unique"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+    )
+    return base.select(
+        id_col,
+        "n_bpe",
+        "n_bpe_unique",
+        # integer fixed-point (div, not floor-of-/): engine-exact
+        F.expr(
+            "CAST(_nc * 10000L div greatest(n_bpe, 1L) AS BIGINT)"
+        ).alias("chars_per_piece_e4"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic quality features: stopword ratio, mean token length,
     and a composite score. Mirrors the reference's eval-style ratio

@@ -176,9 +176,40 @@ SELECT doc_id, CAST(rrf_rank AS BIGINT) AS rrf_rank FROM (
 """
 
 
+def q76_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train per-subspace
+    codebooks, encode the corpus to 16-int codes, ADC-shortlist, exact
+    re-rank. Registered in its oracle-checkable configuration — the
+    shortlist covers the corpus, so the output equals exact kNN
+    bit-for-bit (the same degrade-to-exact trick as q47's nprobe=k);
+    recall at realistic shortlists is asserted in tests/test_pq.py."""
+    from ..operators.pq import pq_build, pq_search
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = pq_build(emb, "embedding", "vec_id", m_subspaces=16, k_codewords=32)
+    return pq_search(idx, emb, queries, "vec_id", k=5, shortlist=1_000_000)
+
+
+Q76_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS cos
+      FROM c, q WHERE n_id != q_id)
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
 QUERIES = [
     Query("q39_knn_bruteforce", q39_knn_bruteforce, Q39_SQL,
           ("V2", "O2"), "exact cosine top-k neighbors"),
+    Query("q76_pq_knn", q76_pq_knn, Q76_SQL,
+          ("V2", "O2"), "product-quantization ANN with exact re-rank"),
     Query("q40_bm25_topk", q40_bm25_topk, _bm25_sql(QUERY_TERMS, 10),
           ("V3", "A10", "O2"), "BM25 top-k retrieval"),
     Query("q41_fts_postings", q41_fts_postings, Q41_SQL,

@@ -123,9 +123,32 @@ FROM scored
 """
 
 
+def q77_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.bpe_token_stats(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _q77_sql() -> str:
+    from ..functions.text import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")  # SQL string-literal quoting
+    pieces = f"regexp_extract_all(lower(text), '{pat}')"
+    return f"""
+SELECT doc_id,
+       CAST(len({pieces}) AS BIGINT) AS n_bpe,
+       CAST(len(list_distinct({pieces})) AS BIGINT) AS n_bpe_unique,
+       CAST((length(text) * 10000) // greatest(len({pieces}), 1) AS BIGINT)
+         AS chars_per_piece_e4
+FROM documents
+"""
+
+
 QUERIES = [
     Query("q30_token_stats", q30_token_stats, Q30_SQL,
           ("A10", "F6"), "per-doc token counting"),
+    Query("q77_bpe_tokens", q77_bpe_tokens, _q77_sql(),
+          ("A10", "F6"), "BPE-ish pre-tokenizer piece counting"),
     Query("q31_quality_score", q31_quality_score, Q31_SQL,
           ("F12",), "heuristic quality features"),
     Query("q32_lang_id", q32_lang_id, Q32_SQL,

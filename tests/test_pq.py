@@ -1,0 +1,96 @@
+"""Product-quantization ANN (operators/pq.py): exactness in the
+oracle configuration, recall at realistic shortlists, deterministic
+encoding, and cache hygiene."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odsc_agentic_ai_summit_2025_spark.operators.pq import pq_build, pq_search
+from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
+    knn_bruteforce,
+)
+from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_pq_full_shortlist_equals_bruteforce(spark, sf_dir):
+    """shortlist ≥ corpus ⇒ every row reaches the exact re-rank, so
+    the ADC ordering is irrelevant and the output must equal exact
+    kNN bit-for-bit — the contract that makes q76 oracle-checkable."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx = pq_build(emb, "embedding", "vec_id", m_subspaces=16, k_codewords=32)
+    got = sorted(
+        map(
+            tuple,
+            pq_search(
+                idx, emb, queries, "vec_id", k=4, shortlist=10**9
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            knn_bruteforce(
+                emb, queries, "embedding", "vec_id", "vec_id", k=4
+            ).collect(),
+        )
+    )
+    idx.release()
+    assert got == want
+
+
+def test_pq_recall_at_realistic_shortlist(spark, sf_dir):
+    """With a shortlist ~6% of the corpus the ADC ordering carries
+    the result: recall@3 against exact kNN must stay high (the 16-
+    codeword/8-subspace codebook on 64-dim hash embeddings is a
+    coarse quantizer, so demand 'clearly working', not perfection)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    idx = pq_build(emb, "embedding", "vec_id", m_subspaces=16, k_codewords=32)
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in pq_search(
+            idx, emb, queries, "vec_id", k=3, shortlist=32
+        ).collect()
+    }
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in knn_bruteforce(
+            emb, queries, "embedding", "vec_id", "vec_id", k=3
+        ).collect()
+    }
+    idx.release()
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"recall@3 = {recall:.2f}"
+
+
+def test_pq_codes_deterministic_and_bounded(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = pq_build(emb, "embedding", "vec_id", m_subspaces=16, k_codewords=32)
+    b = pq_build(emb, "embedding", "vec_id", m_subspaces=16, k_codewords=32)
+    ra = {r["vec_id"]: list(r["code"]) for r in a.codes.collect()}
+    rb = {r["vec_id"]: list(r["code"]) for r in b.codes.collect()}
+    a.release()
+    b.release()
+    assert ra == rb
+    assert all(len(c) == 16 for c in ra.values())
+    assert all(0 <= x < 32 for c in ra.values() for x in c)
+
+
+def test_pq_release_hygiene(spark, sf_dir):
+    from tests.test_cache_hygiene import _clean_baseline, _n_blocks
+
+    emb = _emb(spark, sf_dir)
+    baseline = _clean_baseline(spark)
+    idx = pq_build(emb, "embedding", "vec_id", m_subspaces=16, k_codewords=32)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_search(idx, emb, queries, "vec_id", k=3, shortlist=16)
+    out.count()
+    assert _n_blocks(spark) > baseline
+    idx.release()
+    assert _n_blocks(spark) == baseline
