@@ -220,24 +220,38 @@ def pq_search(
                 )
 
     cand = index.codes.mapInPandas(adc_topn, "q_id long, n_id long, adc double")
+    return _shortlist_and_rerank(
+        cand, corpus, q_ids, q_mat, index, shortlist, k
+    )
+
+
+def _shortlist_and_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    q_ids,
+    q_mat,
+    index: PqIndex,
+    shortlist: int,
+    k: int,
+) -> DataFrame:
+    """Global ADC shortlist window + exact cosine re-rank against the
+    true vectors — shared by flat PQ and IVF-PQ search."""
+    from ..cache import own
+    from ..functions.vectors import cosine
+
     wl = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
     short = (
         cand.withColumn("_r", F.row_number().over(wl))
-        .filter(F.col("_r") <= sl)
+        .filter(F.col("_r") <= shortlist)
         .select("q_id", "n_id")
     )
-    # exact re-rank: join the true vectors for shortlist rows only
-    from ..functions.vectors import cosine
-
     qdf = corpus.sparkSession.createDataFrame(
         [(int(i), [float(v) for v in q_mat[j]]) for j, i in enumerate(q_ids)],
         "q_id long, _qv array<double>",
     )
     nv = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(index.vec_col).alias("_nv")
+        F.col(index.id_col).alias("n_id"), F.col(index.vec_col).alias("_nv")
     )
-    from ..cache import own
-
     wr = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return own(
         short.join(F.broadcast(qdf), "q_id")
@@ -247,4 +261,106 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank"),
         index.codes,
+    )
+
+
+def ivfpq_search(
+    ivf_index,
+    pq_index: PqIndex,
+    corpus: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    k: int,
+    nprobe: int,
+    shortlist: int = 256,
+) -> DataFrame:
+    """IVF-PQ: coarse cluster pruning THEN code-level ADC — the
+    composed index the reference actually delegates to (LanceDB's
+    default vector index is IVF_PQ,
+    /root/reference/src/generate_note_embeddings.py:49). IVF cuts the
+    scanned fraction to ~nprobe/K; PQ cuts the bytes per scanned row
+    to the code width; the exact re-rank restores true-cosine
+    ordering over the shortlist.
+
+    Plan shape: probe routing is the q47 stage (queries × broadcast
+    K-row centroid table); the code table joins its cluster id once
+    (id-keyed hash join — at scale the codes are WRITTEN partitioned
+    by cluster, making this free partition pruning); the tiny
+    (queries × nprobe) probe list broadcasts against it; ADC scores
+    stream per Arrow batch; shortlist + re-rank as in flat PQ.
+
+    Oracle configuration (q79): nprobe = K and shortlist ≥ corpus ⇒
+    every row reaches the exact re-rank ⇒ output equals exact kNN —
+    both approximations degrade away, independently testable.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from ..functions.vectors import cosine
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("q_id"), F.col(pq_index.vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, n_id long, rank long"
+        )
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
+    m, dsub = pq_index.codebooks.shape[0], pq_index.codebooks.shape[2]
+    tables = np.einsum(
+        "qjd,jkd->qjk", q_mat.reshape(len(q_ids), m, dsub), pq_index.codebooks
+    )
+    qpos = {int(i): j for j, i in enumerate(q_ids)}
+    bc = corpus.sparkSession.sparkContext.broadcast((qpos, tables))
+
+    # stage 1 — probe routing (same shape as ivf_search stage 1)
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(v) for v in q_mat[j]]) for j, i in enumerate(q_ids)],
+        "q_id long, _qv array<double>",
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cluster_id"))
+    probes = (
+        qdf.crossJoin(F.broadcast(ivf_index.centroids))
+        .withColumn("c_cos", cosine(F.col("_qv"), F.col("centroid")))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= nprobe)
+        .select("q_id", "cluster_id")
+    )
+    # stage 2 — cluster-tagged codes, pruned to probed clusters
+    id_col = pq_index.id_col
+    tagged = pq_index.codes.join(
+        ivf_index.assigned.select(F.col(ivf_index.id_col).alias(id_col), "cluster_id"),
+        id_col,
+    )
+    scan = (
+        tagged.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("n_id"), "code")
+    )
+
+    def adc_score(batches):
+        import numpy as np
+        import pandas as pd
+
+        pos, tbl = bc.value
+        jj = np.arange(m)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qi = np.array([pos[int(q)] for q in pdf["q_id"]], dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            scores = tbl[qi[:, None], jj, codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
+                    "n_id": pdf["n_id"].to_numpy(dtype=np.int64),
+                    "adc": scores,
+                }
+            )
+
+    cand = scan.mapInPandas(adc_score, "q_id long, n_id long, adc double")
+    return _shortlist_and_rerank(
+        cand, corpus, q_ids, q_mat, pq_index, shortlist, k
     )

@@ -171,6 +171,26 @@ SELECT doc_id, {total} AS simhash FROM toks
 """
 
 
+def q78_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs via lossless pigeonhole
+    banding (operators/dedup.py:simhash_near_pairs) — the pair
+    generator the q37 fingerprints exist for. The oracle is the
+    brute-force all-pairs popcount program; the banded plan must
+    reproduce it exactly."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ops.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def _q78_sql() -> str:
+    return f"""
+WITH s AS ({_simhash_sql()})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return sim.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.45)
@@ -233,6 +253,8 @@ QUERIES = [
           ("V2",), "MinHash+LSH candidate pairs"),
     Query("q37_simhash", q37_simhash, _simhash_sql(),
           ("V2",), "SimHash fingerprints"),
+    Query("q78_simhash_pairs", q78_simhash_pairs, _q78_sql(),
+          ("V2", "U2"), "SimHash Hamming-near pairs (pigeonhole banding)"),
     Query("q38_embedding_neardup", q38_embedding_neardup, Q38_SQL,
           ("V2", "O2"), "embedding cosine near-dup pairs"),
     Query("q66_dedup_clusters", q66_dedup_clusters, Q66_SQL,

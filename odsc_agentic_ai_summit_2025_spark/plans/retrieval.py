@@ -205,11 +205,33 @@ SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def q79_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (the reference's LanceDB default) in the
+    oracle configuration: nprobe = K and shortlist ≥ corpus, so both
+    approximations degrade away and the output equals exact kNN.
+    Recall at realistic (nprobe, shortlist) is tested in
+    tests/test_pq.py."""
+    from ..cache import own
+    from ..operators.ivf import ivf_build
+    from ..operators.pq import ivfpq_search, pq_build
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_build(emb, "embedding", "vec_id", k_clusters=8)
+    pq = pq_build(emb, "embedding", "vec_id")
+    out = ivfpq_search(
+        ivf, pq, emb, queries, "vec_id", k=5, nprobe=8, shortlist=1_000_000
+    )
+    return own(out, ivf.assigned)
+
+
 QUERIES = [
     Query("q39_knn_bruteforce", q39_knn_bruteforce, Q39_SQL,
           ("V2", "O2"), "exact cosine top-k neighbors"),
     Query("q76_pq_knn", q76_pq_knn, Q76_SQL,
           ("V2", "O2"), "product-quantization ANN with exact re-rank"),
+    Query("q79_ivfpq_knn", q79_ivfpq_knn, Q76_SQL,
+          ("V2", "O2"), "IVF-PQ composed index (coarse prune + code scan)"),
     Query("q40_bm25_topk", q40_bm25_topk, _bm25_sql(QUERY_TERMS, 10),
           ("V3", "A10", "O2"), "BM25 top-k retrieval"),
     Query("q41_fts_postings", q41_fts_postings, Q41_SQL,

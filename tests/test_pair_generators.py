@@ -210,3 +210,43 @@ def test_minhash_kernel_matches_expression_form(spark, sf_dir):
         for band in range(ops.N_BANDS)
     }
     assert kern == expr
+
+
+def test_simhash_near_pairs_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole banding is LOSSLESS: the banded plan must emit
+    exactly the pairs the all-pairs popcount program emits — at
+    every Hamming budget, not just the registered one."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_table,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    fps = {
+        r["doc_id"]: r["s"]
+        for r in simhash_table(docs, "text", "s").select("doc_id", "s").collect()
+    }
+    ids = sorted(fps)
+    for d in (0, 1, 3):
+        want = sorted(
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(fps[a] ^ fps[b]).count("1") <= d
+        )
+        got = sorted(
+            map(
+                tuple,
+                simhash_near_pairs(
+                    docs, "text", "doc_id", max_hamming=d
+                ).collect(),
+            )
+        )
+        assert got == want, f"d={d}"

@@ -42,6 +42,7 @@ def _find_all(haystack: str, needle: str) -> list[int]:
 # totals) or the K-row centroid table. Each entry documents why.
 BNLJ_ALLOWED = {
     "q47_ivf_knn": "queries × K centroids — both sides bounded, probe selection",
+    "q79_ivfpq_knn": "queries × K centroids — both sides bounded, probe selection",
     "q58_heavy_hitters": "1-row scalar total broadcast against term counts",
     "q73_source_mix": "1-row scalar totals broadcast against per-source counts",
 }

@@ -94,3 +94,64 @@ def test_pq_release_hygiene(spark, sf_dir):
     assert _n_blocks(spark) > baseline
     idx.release()
     assert _n_blocks(spark) == baseline
+
+
+def test_ivfpq_oracle_config_equals_bruteforce(spark, sf_dir):
+    """nprobe=K and shortlist ≥ corpus ⇒ both approximation knobs
+    degrade away ⇒ exact kNN, bit-for-bit (the q79 oracle contract)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.ivf import ivf_build
+    from odsc_agentic_ai_summit_2025_spark.operators.pq import ivfpq_search
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    ivf = ivf_build(emb, "embedding", "vec_id", k_clusters=8)
+    pq = pq_build(emb, "embedding", "vec_id")
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                ivf, pq, emb, queries, "vec_id", k=4, nprobe=8,
+                shortlist=10**9,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            knn_bruteforce(
+                emb, queries, "embedding", "vec_id", "vec_id", k=4
+            ).collect(),
+        )
+    )
+    ivf.release()
+    pq.release()
+    assert got == want
+
+
+def test_ivfpq_recall_at_realistic_knobs(spark, sf_dir):
+    """Half the clusters probed, 13% shortlist: the composed pruning
+    must still find most true neighbors (both error sources stack,
+    so the bound is looser than flat PQ's)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.ivf import ivf_build
+    from odsc_agentic_ai_summit_2025_spark.operators.pq import ivfpq_search
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    ivf = ivf_build(emb, "embedding", "vec_id", k_clusters=8)
+    pq = pq_build(emb, "embedding", "vec_id")
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in ivfpq_search(
+            ivf, pq, emb, queries, "vec_id", k=3, nprobe=4, shortlist=64
+        ).collect()
+    }
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in knn_bruteforce(
+            emb, queries, "embedding", "vec_id", "vec_id", k=3
+        ).collect()
+    }
+    ivf.release()
+    pq.release()
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"ivfpq recall@3 = {recall:.2f}"
