@@ -133,6 +133,12 @@ def connected_components(
             # node ids, so the label table maps its own values; one
             # extra self-join per round turns O(diameter) convergence
             # into O(log diameter) — a 1M chain is ~20 rounds, not 1M.
+            # (A second same-plan jump was tried in r4 and REVERTED:
+            # composing the un-checkpointed jumped frame with itself
+            # trips Catalyst's self-join disambiguation — the outer
+            # join resolves against the inner alias, convergence
+            # stalls, and planning time grows ~5× per round. One jump
+            # between checkpoints is the stable form.)
             labels = (
                 stepped.alias("a")
                 .join(
