@@ -174,3 +174,77 @@ def ivf_add_documents(index: IvfIndex, new_corpus: DataFrame) -> IvfIndex:
     # `assigned` when replacing it, or clearCache between builds
     merged = index.assigned.unionByName(added).persist()
     return IvfIndex(index.centroids, merged, index.vec_col, index.id_col)
+
+
+# ---------------------------------------------------------------------------
+# PQ
+# ---------------------------------------------------------------------------
+
+
+def save_pq_index(index, path: str) -> None:
+    """Persist a PQ index: codes as parquet (THE artifact — ~10 bytes
+    a row where the raw vectors were 512), codebooks as a tiny
+    (subspace, codeword, center) table, and a meta row. Same layout
+    philosophy as the IVF inverted lists: what the search scans is
+    what the files contain."""
+    import numpy as np  # noqa: F401
+
+    spark = index.codes.sparkSession
+    m, k, _ = index.codebooks.shape
+    rows = [
+        (j, c, [float(v) for v in index.codebooks[j][c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, codeword int, center array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(index.vec_col, index.id_col, index.dim)],
+        "vec_col string, id_col string, dim int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_pq_index(spark: SparkSession, path: str):
+    import numpy as np
+
+    from .pq import PqIndex
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    k = 1 + max(r["codeword"] for r in cb_rows)
+    dsub = len(cb_rows[0]["center"])
+    books = np.zeros((m, k, dsub))
+    for r in cb_rows:
+        books[r["subspace"], r["codeword"]] = np.asarray(r["center"])
+    return PqIndex(
+        codebooks=books,
+        codes=spark.read.parquet(f"{path}/codes"),
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+        dim=meta["dim"],
+    )
+
+
+def pq_add_documents(index, new_corpus: DataFrame):
+    """Encode new vectors under the FROZEN codebooks and merge
+    (idempotent on the id column) — same update contract as IVF:
+    quantizer retraining is a rebuild, not an update, so adds are one
+    map-only pass over just the new rows, and the merged code table
+    is provably identical to re-encoding the merged corpus
+    (pq_encode is a pure per-row function of the codebooks)."""
+    from .pq import PqIndex, pq_encode
+
+    fresh = new_corpus.join(
+        index.codes.select(index.id_col), index.id_col, "left_anti"
+    )
+    added = pq_encode(fresh, index.codebooks, index.vec_col, index.id_col)
+    # persisted like pq_build's codes: the CALLER owns the index
+    # lifetime (PqIndex.release) — release the old index when
+    # replacing it
+    merged = index.codes.unionByName(added).persist()
+    return PqIndex(
+        index.codebooks, merged, index.vec_col, index.id_col, index.dim
+    )

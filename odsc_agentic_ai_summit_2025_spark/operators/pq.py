@@ -112,9 +112,23 @@ def pq_build(
         ]
     )  # (m, k, dsub)
 
-    spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(books)
-    m, dd = m_subspaces, dim
+    codes = pq_encode(corpus, books, vec_col, id_col).persist()
+    return PqIndex(books, codes, vec_col, id_col, dim)
+
+
+def pq_encode(
+    corpus: DataFrame, codebooks, vec_col: str, id_col: str
+) -> DataFrame:
+    """Encode vectors to PQ codes under FROZEN codebooks — one
+    distributed map pass, one GEMM per subspace per Arrow batch.
+    Pure function of (rows, codebooks): incremental index adds use it
+    on just the new rows and are provably identical to a re-encode
+    (test_pq.py)."""
+    import numpy as np
+
+    m = int(codebooks.shape[0])
+    dd = int(codebooks.shape[0] * codebooks.shape[2])
+    bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
 
     def encode(batches):
         import numpy as np
@@ -139,12 +153,9 @@ def pq_build(
 
     from ..sources.io import ensure_min_partitions
 
-    codes = (
-        ensure_min_partitions(corpus.select(id_col, vec_col))
-        .mapInPandas(encode, f"{id_col} long, code array<int>")
-        .persist()
+    return ensure_min_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        encode, f"{id_col} long, code array<int>"
     )
-    return PqIndex(books, codes, vec_col, id_col, dim)
 
 
 def pq_search(

@@ -155,3 +155,56 @@ def test_ivfpq_recall_at_realistic_knobs(spark, sf_dir):
     pq.release()
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.6, f"ivfpq recall@3 = {recall:.2f}"
+
+
+def test_pq_index_roundtrip_and_incremental(spark, sf_dir, tmp_path):
+    """save→load preserves search results exactly; incremental add
+    under frozen codebooks equals a full re-encode of the merged
+    corpus (pq_encode is a pure per-row function)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.index_io import (
+        load_pq_index,
+        pq_add_documents,
+        save_pq_index,
+    )
+    from odsc_agentic_ai_summit_2025_spark.operators.pq import pq_encode
+
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    idx = pq_build(old, "embedding", "vec_id")
+    path = str(tmp_path / "pq_index")
+    save_pq_index(idx, path)
+    loaded = load_pq_index(spark, path)
+    assert (loaded.codebooks == idx.codebooks).all()
+    want = sorted(
+        map(
+            tuple,
+            pq_search(idx, old, queries, "vec_id", k=3, shortlist=32).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            pq_search(
+                loaded, old, queries, "vec_id", k=3, shortlist=32
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # incremental: add the held-out rows (idempotently: old rows in
+    # the add batch must be dropped) and compare against re-encoding
+    # the full corpus under the same codebooks
+    merged = pq_add_documents(idx, emb)  # emb includes already-known ids
+    got_codes = {
+        r["vec_id"]: list(r["code"]) for r in merged.codes.collect()
+    }
+    want_codes = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_encode(emb, idx.codebooks, "embedding", "vec_id").collect()
+    }
+    assert got_codes == want_codes
+    merged.release()
+    idx.release()
