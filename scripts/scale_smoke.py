@@ -175,6 +175,19 @@ def main() -> None:
 
     stage("ivf_build_and_search", ivf_stage)
 
+    def pq_stage():
+        from odsc_agentic_ai_summit_2025_spark.operators import pq as pqm
+
+        index = pqm.pq_build(vecs, "vector", "vid")
+        qs = vecs.filter(F.col("vid") < 100).withColumnRenamed("vid", "qid")
+        n = pqm.pq_search(
+            index, vecs, qs, "qid", k=10, shortlist=256
+        ).count()
+        index.release()
+        return n
+
+    stage("pq_build_and_search", pq_stage)
+
     if rnd:
         import glob
         import pathlib
