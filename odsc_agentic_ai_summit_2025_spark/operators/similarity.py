@@ -24,7 +24,6 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..cache import own
-from ..functions.vectors import cosine
 
 
 def _lsh_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
