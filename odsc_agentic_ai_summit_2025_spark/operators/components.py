@@ -277,16 +277,26 @@ def dedup_decisions(
     components: DataFrame, id_col: str = "id"
 ) -> DataFrame:
     """[id, cluster_id] → add ``keep`` (true for the cluster minimum —
-    the deterministic survivor) and ``cluster_size``."""
-    from pyspark.sql import Window as W
+    the deterministic survivor) and ``cluster_size``.
 
-    w = W.partitionBy("cluster_id")
+    Shape: groupBy-aggregate + join back, NOT a window over
+    ``cluster_id`` — a window packs every row of a cluster into ONE
+    task, so a giant dedup cluster (the exact topology the star
+    fallback exists for) serializes on a single core. The aggregate
+    partial-combines map-side regardless of skew, the per-cluster
+    stats table is tiny (one row per cluster), and AQE can split the
+    skewed probe side of the join — none of which a window partition
+    allows (r4; same hot-key reasoning as the star variant)."""
+    stats = components.groupBy("cluster_id").agg(
+        F.min(id_col).alias("_min_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
     return own(
-        components.select(
+        components.join(stats, "cluster_id").select(
             id_col,
             "cluster_id",
-            (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
-            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (F.col(id_col) == F.col("_min_id")).alias("keep"),
+            "cluster_size",
         ),
         components,
     )
