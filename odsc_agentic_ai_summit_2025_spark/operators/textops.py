@@ -197,3 +197,80 @@ def corpus_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             lambda a, b: a & b,
         ),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a
+    curated corpus into fixed-length training sequences (GPT-style:
+    conceptually concatenate every document's tokens in ``id_col``
+    order, then cut into ``seq_len`` blocks; documents straddle block
+    boundaries). Output per doc: ``n_tokens``, its global
+    ``tok_offset``, and the ``first_chunk``/``last_chunk``/``n_chunks``
+    it lands in — enough to materialize any chunk by reading only the
+    docs that overlap it.
+
+    Scale shape: the global token offset is a DISTRIBUTED prefix sum,
+    not a single-partition window — range-partition on the id, local
+    cumulative sums per partition, one scalar-sized collect of
+    per-partition totals, broadcast the partition offsets back (the
+    same construction as ``sources/io.py:with_row_index_distributed``).
+    Deterministic: offsets are a pure function of the id order and
+    exact integer token counts, so the DuckDB oracle (a plain window
+    cumsum) reproduces them bit-for-bit. The partition pin is
+    checkpoint-backed and attached to the result (``cache.own``).
+    """
+    from pyspark.sql import Window
+
+    from ..cache import own
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    part = base.repartitionByRange(F.col(id_col))
+    local = (
+        part.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lsum",
+            F.sum("n_tokens").over(
+                Window.partitionBy("_pid")
+                .orderBy(id_col)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["_pid"], r["_t"])
+        for r in local.groupBy("_pid").agg(F.max("_lsum").alias("_t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in counts:
+        offsets.append((pid, acc))
+        acc += t
+    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    offset = F.col("_off") + F.col("_lsum") - F.col("n_tokens")
+    # whitespace split yields ≥1 token for any non-null text, so
+    # (offset + n - 1) is always ≥ offset and the chunk span is
+    # well-defined
+    first = F.expr(f"tok_offset div {seq_len}")
+    last = F.expr(f"(tok_offset + n_tokens - 1) div {seq_len}")
+    return own(
+        local.join(F.broadcast(off), "_pid")
+        .withColumn("tok_offset", offset.cast("long"))
+        .withColumn("first_chunk", first.cast("long"))
+        .withColumn("last_chunk", last.cast("long"))
+        .withColumn(
+            "n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1).cast("long")
+        )
+        .select(
+            id_col, "n_tokens", "tok_offset", "first_chunk",
+            "last_chunk", "n_chunks",
+        ),
+        local,
+    )

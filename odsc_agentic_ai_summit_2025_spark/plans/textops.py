@@ -144,11 +144,44 @@ FROM documents
 """
 
 
+def q80_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at seq_len=512 — per doc its
+    global token offset and the training-chunk span it lands in. The
+    Spark side computes the offset as a distributed prefix sum
+    (range partition + per-partition totals); the oracle is the
+    single-window cumsum, which must agree bit-for-bit."""
+    return ops.pack_sequences(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", seq_len=512
+    )
+
+
+Q80_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 512 AS first_chunk,
+       (tok_offset + n_tokens - 1) // 512 AS last_chunk,
+       (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1 AS n_chunks
+FROM c
+"""
+
+
 QUERIES = [
     Query("q30_token_stats", q30_token_stats, Q30_SQL,
           ("A10", "F6"), "per-doc token counting"),
     Query("q77_bpe_tokens", q77_bpe_tokens, _q77_sql(),
           ("A10", "F6"), "BPE-ish pre-tokenizer piece counting"),
+    Query("q80_pack_sequences", q80_pack_sequences, Q80_SQL,
+          ("A10", "O1"), "concat-and-chunk sequence packing (training batches)"),
     Query("q31_quality_score", q31_quality_score, Q31_SQL,
           ("F12",), "heuristic quality features"),
     Query("q32_lang_id", q32_lang_id, Q32_SQL,

@@ -401,3 +401,45 @@ def test_decode_media_real_raises_on_unknown_codec(spark):
 
     with _pytest.raises(Exception, match="external codec"):
         decode_media(df, "real").collect()
+
+
+def test_pack_sequences_prefix_sum_invariants(spark, sf_dir):
+    """The distributed prefix sum must equal the single-window cumsum
+    (offsets contiguous in id order, first doc at 0, total conserved)
+    and the chunk spans must tile the token stream."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark import cache
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        pack_sequences,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    L = 128
+    out = pack_sequences(docs, "text", "doc_id", seq_len=L)
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["tok_offset"], r["first_chunk"],
+         r["last_chunk"], r["n_chunks"])
+        for r in out.collect()
+    )
+    cache.release(out)
+    # contiguity: each doc starts where the previous ended
+    acc = 0
+    for _, n, off, first, last, nch in rows:
+        assert off == acc
+        assert first == off // L
+        assert last == (off + n - 1) // L
+        assert nch == last - first + 1
+        acc += n
+    # the id-repartitioned plan must not depend on input partitioning
+    again = pack_sequences(
+        docs.repartition(7, "lang"), "text", "doc_id", seq_len=L
+    )
+    rows2 = sorted(
+        (r["doc_id"], r["n_tokens"], r["tok_offset"], r["first_chunk"],
+         r["last_chunk"], r["n_chunks"])
+        for r in again.collect()
+    )
+    cache.release(again)
+    assert rows2 == rows
