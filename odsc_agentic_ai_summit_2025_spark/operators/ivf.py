@@ -196,3 +196,124 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank")
     )
+
+
+def knn_self_join(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    k_clusters: int,
+    nprobe: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k nearest neighbors for EVERY corpus row — the kNN-JOIN
+    that builds embedding graphs (semantic-dedup neighborhoods, graph
+    clustering, label propagation inputs). ``knn_bruteforce`` cannot
+    express this: it collects the query set to the driver, and here
+    the query set IS the corpus.
+
+    Fully distributed IVF shape: build the coarse quantizer once,
+    route every row to its ``nprobe`` nearest centroids in the same
+    map pass style as the corpus assignment (broadcast K-row centroid
+    matrix, per-batch GEMM — no driver collect of vectors), then join
+    probe rows against the cluster-keyed lists, score with one
+    vectorized row-wise dot per Arrow batch, and window-prune to
+    top-k per row. Candidate volume is n · nprobe · avg_cluster
+    ≈ n²·nprobe/K — K ≈ √n makes it n^1.5·nprobe, the standard
+    IVF-join trade; cluster-key skew is AQE-splittable.
+
+    ``nprobe = k_clusters`` degrades to the exact all-pairs kNN join
+    (every pair scored once — q81's oracle configuration); recall at
+    nprobe < K is asserted in tests. Output [q_id, n_id, rank], rank
+    ties by neighbor id, self-pairs excluded. The IvfIndex built
+    internally is released before returning — the returned plan
+    carries its own cache handles (``cache.own``).
+    """
+    import numpy as np
+
+    from ..cache import own
+    from ..sources.io import ensure_min_partitions
+
+    index = ivf_build(corpus, vec_col, id_col, k_clusters, seed=seed)
+    centers = np.stack(
+        [
+            np.asarray(r["centroid"], dtype=np.float64)
+            for r in index.centroids.orderBy("cluster_id").collect()
+        ]
+    )
+    # normalized rows × normalized centroids ranks by cosine; ties by
+    # cluster id (argsort is stable) — same order as ivf_search's
+    # window
+    cn = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-300
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(cn)
+    np_probe = nprobe
+
+    def route(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            sims = m @ c.T  # (n, K)
+            # stable argsort on -sims → cosine desc, cluster id asc
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :np_probe]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), order.shape[1]
+                    ),
+                    "qv": list(
+                        np.repeat(pdf[vec_col].to_numpy(), order.shape[1])
+                    ),
+                    "cluster_id": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    probes = ensure_min_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        route, "q_id long, qv array<double>, cluster_id int"
+    )
+    lists = index.assigned.select(
+        F.col(index.id_col).alias("n_id"),
+        F.col(index.vec_col).alias("nv"),
+        "cluster_id",
+    )
+    joined = probes.join(lists, "cluster_id").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
+                    "n_id": pdf["n_id"].to_numpy(dtype=np.int64),
+                    "cos": (A * B).sum(axis=1),
+                }
+            )
+
+    scored = joined.mapInPandas(score, "q_id long, n_id long, cos double")
+    wk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank")
+    )
+    return own(out, index.assigned)

@@ -225,9 +225,38 @@ def q79_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return own(out, ivf.assigned)
 
 
+def q81_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN self-join — top-3 neighbors for EVERY row (the
+    embedding-graph primitive; no driver-side query collect anywhere).
+    Registered with nprobe = K, where every pair is scored exactly
+    once and the output equals the brute-force all-pairs kNN the
+    DuckDB oracle computes; recall at nprobe < K is tested."""
+    from ..operators.ivf import knn_self_join
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_self_join(
+        emb, "embedding", "vec_id", k=3, k_clusters=8, nprobe=8
+    )
+
+
+Q81_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             list_cosine_similarity(a.e, b.e) AS cos
+      FROM v a, v b WHERE a.vec_id != b.vec_id)
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 QUERIES = [
     Query("q39_knn_bruteforce", q39_knn_bruteforce, Q39_SQL,
           ("V2", "O2"), "exact cosine top-k neighbors"),
+    Query("q81_knn_self_join", q81_knn_self_join, Q81_SQL,
+          ("V2", "O2", "J1"), "distributed kNN self-join (embedding graph)"),
     Query("q76_pq_knn", q76_pq_knn, Q76_SQL,
           ("V2", "O2"), "product-quantization ANN with exact re-rank"),
     Query("q79_ivfpq_knn", q79_ivfpq_knn, Q76_SQL,

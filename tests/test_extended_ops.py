@@ -443,3 +443,52 @@ def test_pack_sequences_prefix_sum_invariants(spark, sf_dir):
     )
     cache.release(again)
     assert rows2 == rows
+
+
+def test_knn_self_join_exact_at_full_probe(spark, sf_dir):
+    """nprobe=K scores every pair exactly once — the self-join must
+    equal per-row brute force (the q81 oracle contract)."""
+    import numpy as np
+
+    from odsc_agentic_ai_summit_2025_spark import cache
+    from odsc_agentic_ai_summit_2025_spark.operators.ivf import knn_self_join
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = knn_self_join(emb, "embedding", "vec_id", k=3, k_clusters=8, nprobe=8)
+    got = sorted(map(tuple, out.collect()))
+    cache.release(out)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = []
+    for i in range(len(ids)):
+        cand = [(-sims[i, j], ids[j]) for j in range(len(ids)) if ids[j] != ids[i]]
+        for rank, (_, nid) in enumerate(sorted(cand), start=1):
+            if rank > 3:
+                break
+            want.append((int(ids[i]), int(nid), rank))
+    assert got == sorted(want)
+
+
+def test_knn_self_join_recall_at_partial_probe(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark import cache
+    from odsc_agentic_ai_summit_2025_spark.operators.ivf import knn_self_join
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact_df = knn_self_join(
+        emb, "embedding", "vec_id", k=3, k_clusters=8, nprobe=8
+    )
+    exact = {(r["q_id"], r["n_id"]) for r in exact_df.collect()}
+    cache.release(exact_df)
+    approx_df = knn_self_join(
+        emb, "embedding", "vec_id", k=3, k_clusters=8, nprobe=3
+    )
+    approx = {(r["q_id"], r["n_id"]) for r in approx_df.collect()}
+    cache.release(approx_df)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.55, recall
