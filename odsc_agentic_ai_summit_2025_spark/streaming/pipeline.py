@@ -420,6 +420,29 @@ def curation_prefix_stream(
     return curation_prefix(stream, bench_grams, "text", "doc_id", n=n)
 
 
+def bpe_token_stats_stream(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming twin of ``operators/textops.py:bpe_token_stats`` —
+    LLM-token budgeting per document as the corpus streams in. Pure
+    per-row regex + array expressions, no state store; parity with
+    the batch definition is asserted in tests. (The packing step
+    that FOLLOWS this in a batch pipeline — ``pack_sequences`` — is
+    deliberately not twinned: a global token prefix sum over an
+    unbounded stream is unbounded state by definition.)"""
+    from ..operators.textops import bpe_token_stats
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(docs_path)
+    return bpe_token_stats(stream, "text", "doc_id")
+
+
 def _interval_seconds(interval: str) -> int:
     qty, unit = interval.split()
     mult = {

@@ -136,3 +136,29 @@ def test_curation_prefix_stream_parity(spark, sf_dir, docs_stream_dir2):
         .collect()
     }
     assert {t[0] for t in b} == pipe_ids
+
+
+def test_bpe_token_stats_stream_parity(spark, sf_dir, docs_stream_dir2):
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        bpe_token_stats,
+    )
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        bpe_token_stats_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = bpe_token_stats(docs, "text", "doc_id")
+    stream = bpe_token_stats_stream(spark, docs_stream_dir2)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bpe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("bpe_stream")
+    assert got.columns == batch.columns
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, got.collect())
+    )
