@@ -205,6 +205,7 @@ def knn_self_join(
     k: int,
     k_clusters: int,
     nprobe: int,
+    include_score: bool = False,
     seed: int = 42,
 ) -> DataFrame:
     """Top-k nearest neighbors for EVERY corpus row — the kNN-JOIN
@@ -311,9 +312,13 @@ def knn_self_join(
 
     scored = joined.mapInPandas(score, "q_id long, n_id long, cos double")
     wk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    # include_score adds the raw cosine — for DOWNSTREAM thresholding
+    # (semantic dedup), never for oracle comparison: raw float scores
+    # are the one column the determinism conventions exclude
+    cols = ["q_id", "n_id", "rank"] + (["cos"] if include_score else [])
     out = (
         scored.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank")
+        .select(*cols)
     )
     return own(out, index.assigned)

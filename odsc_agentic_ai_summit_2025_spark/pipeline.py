@@ -201,3 +201,54 @@ def build_curation_pipeline(
         # operator boundary
         cache_sources=(pairs, decisions),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    *,
+    k_neighbors: int = 10,
+    k_clusters: int = 64,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Embedding-tier semantic deduplication (the SemDeDup recipe,
+    Abbas et al. 2023, arXiv:2303.09540): build each row's approximate
+    kNN neighborhood with the distributed self-join, keep edges whose
+    cosine clears ``threshold``, take connected components over them,
+    and keep one representative (the minimum id) per component.
+
+    Output: [id, cluster_id, keep, cluster_size] — the same decision
+    contract as the MinHash tier (`dedup_decisions`), so the two
+    interchange inside curation pipelines. Compared to the exact
+    q38-style pair generator this trades provable completeness for
+    the kNN-join's n^1.5-ish scaling — right when near-duplicates are
+    expected to be mutual near-neighbors, which is the semantic-dedup
+    regime by definition (a pair missed by a k=10 neighborhood at
+    cosine ≥ 0.9 is not a semantic duplicate cluster, it is noise).
+
+    Composition only — every stage is an existing operator with its
+    own tests; the returned frame carries all cache handles
+    (release with ``cache.release(result)``).
+    """
+    from .cache import own
+    from .operators.components import connected_components, dedup_decisions
+    from .operators.ivf import knn_self_join
+
+    nn = knn_self_join(
+        corpus,
+        vec_col,
+        id_col,
+        k=k_neighbors,
+        k_clusters=k_clusters,
+        nprobe=nprobe,
+        include_score=True,
+    )
+    edges = nn.filter(F.col("cos") >= threshold).select(
+        F.col("q_id").alias("a_id"), F.col("n_id").alias("b_id")
+    )
+    comp = connected_components(
+        edges, vertices=corpus.select(F.col(id_col).alias("id"))
+    )
+    return own(dedup_decisions(comp), nn, comp)

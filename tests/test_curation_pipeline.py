@@ -51,3 +51,54 @@ def test_curation_pipeline_drops_planted_dupe_and_contaminated(spark):
     assert 2 not in final_ids  # exact dupe dropped, min id kept
     assert 4 not in final_ids  # contaminated doc gated out
     assert 1 in final_ids and 3 in final_ids
+
+
+def test_semantic_dedup_collapses_planted_clusters(spark):
+    """Planted vector clusters (tight cores + isotropic noise): the
+    SemDeDup composition must keep exactly one representative (the
+    min id) per planted cluster, leave noise rows as singletons, and
+    release all its storage."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark import cache
+    from odsc_agentic_ai_summit_2025_spark.pipeline import semantic_dedup
+    from tests.test_cache_hygiene import _clean_baseline, _n_blocks
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 6 planted clusters of 8 near-identical vectors each...
+    for c in range(6):
+        core = rng.normal(size=32)
+        core /= np.linalg.norm(core)
+        for j in range(8):
+            v = core + 0.02 * rng.normal(size=32)
+            rows.append((c * 8 + j, (v / np.linalg.norm(v)).tolist()))
+    # ...plus 40 isotropic noise rows (ids 100+)
+    for i in range(40):
+        v = rng.normal(size=32)
+        rows.append((100 + i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+
+    baseline = _clean_baseline(spark)
+    out = semantic_dedup(
+        df, "v", "vid", threshold=0.95, k_neighbors=10,
+        k_clusters=8, nprobe=8,
+    )
+    got = {r["id"]: r for r in out.collect()}
+    cache.release(out)
+    assert _n_blocks(spark) == baseline
+
+    keepers = sorted(i for i, r in got.items() if r["keep"])
+    # one keeper per planted cluster: its minimum id (0, 8, ..., 40)
+    planted_keepers = [k for k in keepers if k < 100]
+    assert planted_keepers == [0, 8, 16, 24, 32, 40]
+    for c in range(6):
+        members = {c * 8 + j for j in range(8)}
+        assert {got[m]["cluster_id"] for m in members} == {c * 8}
+        assert all(got[m]["cluster_size"] == 8 for m in members)
+    # noise rows survive as singletons
+    assert all(
+        got[100 + i]["keep"] and got[100 + i]["cluster_size"] == 1
+        for i in range(40)
+    )
