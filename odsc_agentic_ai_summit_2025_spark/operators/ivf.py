@@ -224,6 +224,13 @@ def knn_self_join(
     ≈ n²·nprobe/K — K ≈ √n makes it n^1.5·nprobe, the standard
     IVF-join trade; cluster-key skew is AQE-splittable.
 
+    Shuffle-bytes note: probe rows carry their query VECTOR, so each
+    vector crosses the cluster shuffle nprobe times. The ids-only
+    alternative (route ids, join vectors back per side) is not free —
+    it replaces an nprobe× fan-out of one shuffle with an additional
+    full-corpus hash join and loses single-pass scoring; revisit only
+    if nprobe grows past ~10 or vectors past ~1 KB/row.
+
     ``nprobe = k_clusters`` degrades to the exact all-pairs kNN join
     (every pair scored once — q81's oracle configuration); recall at
     nprobe < K is asserted in tests. Output [q_id, n_id, rank], rank
