@@ -180,3 +180,42 @@ def test_embed_kernel_matches_oracle_math(spark, toks):
     nrm = math.sqrt(sum(x * x for x in v))
     want = [x / nrm if nrm > 0 else 0.0 for x in v]
     assert got == want
+
+
+graph_strategy = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=graph_strategy)
+def test_components_algorithms_agree(spark, edges):
+    """min-label propagation and large-star/small-star must compute
+    identical labelings on arbitrary graphs (self-loops, multi-edges,
+    disconnected nodes included) — the fallback cannot change
+    answers, only cost."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    pairs = spark.createDataFrame(clean, "a_id long, b_id long")
+    verts = spark.createDataFrame([(i,) for i in range(26)], "id long")
+    a = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, vertices=verts, algorithm="minlabel"
+        ).collect()
+    }
+    b = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, vertices=verts, algorithm="star"
+        ).collect()
+    }
+    assert a == b
