@@ -398,14 +398,14 @@ def neardup_pairs_lsh(
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if not first:
-        df.unpersist()  # nothing backs the empty result
-        return df.sparkSession.createDataFrame([], "a_id long, b_id long")
-    dim = first[0]["d"]
 
     # corpus mean direction of the normalized vectors: one map-only
-    # pass emitting per-batch partial sums (a few rows per partition)
+    # pass emitting per-batch partial sums (a few rows per partition).
+    # The dimension rides along in the partials (len of the sum
+    # vector), so there is no separate limit(1) probe job — at tiny
+    # data every job barrier shows up in the gate timings, and at
+    # scale the probe was a wasted partial evaluation of whatever
+    # embedding plan sits upstream.
     def partial_mean(batches):
         import numpy as np
         import pandas as pd
@@ -422,11 +422,13 @@ def neardup_pairs_lsh(
         .mapInPandas(partial_mean, "s array<double>, n long")
         .collect()
     )
+    if not parts:
+        df.unpersist()  # nothing backs the empty result
+        return df.sparkSession.createDataFrame([], "a_id long, b_id long")
+    dim = len(parts[0]["s"])
     total = sum(r["n"] for r in parts)
-    mean_vec = (
-        np.sum([np.asarray(r["s"]) for r in parts], axis=0) / max(total, 1)
-        if parts
-        else np.zeros(dim)
+    mean_vec = np.sum([np.asarray(r["s"]) for r in parts], axis=0) / max(
+        total, 1
     )
     if planes_per_table is None:
         # size the sign pattern to the corpus (count comes free from
