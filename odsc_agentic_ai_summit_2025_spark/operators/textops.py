@@ -219,9 +219,15 @@ def pack_sequences(
     cumulative sums per partition, one scalar-sized collect of
     per-partition totals, broadcast the partition offsets back (the
     same construction as ``sources/io.py:with_row_index_distributed``).
-    Deterministic: offsets are a pure function of the id order and
-    exact integer token counts, so the DuckDB oracle (a plain window
-    cumsum) reproduces them bit-for-bit. The partition pin is
+    Deterministic: the concat order is the TOTAL order ``(id,
+    n_tokens, sha256(text))`` — the content-hash tiebreak makes the
+    prefix sum a pure function of the input even when ids repeat
+    (full-duplicate rows get interchangeable offsets, which is
+    invisible in the output multiset). The same tiebreak columns are
+    in the range partitioning, so ties never straddle a partition
+    boundary with a different relative order than the window's. The
+    DuckDB oracle (a plain window cumsum over the same ORDER BY)
+    reproduces the offsets bit-for-bit. The partition pin is
     checkpoint-backed and attached to the result (``cache.own``).
     """
     from pyspark.sql import Window
@@ -231,15 +237,17 @@ def pack_sequences(
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("_h"),
     )
-    part = base.repartitionByRange(F.col(id_col))
+    order_cols = [F.col(id_col), F.col("n_tokens"), F.col("_h")]
+    part = base.repartitionByRange(*order_cols)
     local = (
         part.withColumn("_pid", F.spark_partition_id())
         .withColumn(
             "_lsum",
             F.sum("n_tokens").over(
                 Window.partitionBy("_pid")
-                .orderBy(id_col)
+                .orderBy(*order_cols)
                 .rowsBetween(Window.unboundedPreceding, 0)
             ),
         )

@@ -149,7 +149,9 @@ def q80_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     global token offset and the training-chunk span it lands in. The
     Spark side computes the offset as a distributed prefix sum
     (range partition + per-partition totals); the oracle is the
-    single-window cumsum, which must agree bit-for-bit."""
+    single-window cumsum, which must agree bit-for-bit. Both sides
+    order by the TOTAL key (doc_id, n_tokens, sha256(text)) so the
+    result is well-defined even under duplicate doc_ids."""
     return ops.pack_sequences(
         read_table(spark, sf_dir, "documents"), "text", "doc_id", seq_len=512
     )
@@ -157,13 +159,15 @@ def q80_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q80_SQL = f"""
 WITH t AS (
-  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         sha256(text) AS _h
   FROM documents WHERE text IS NOT NULL
 ),
 c AS (
   SELECT doc_id, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
-           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ORDER BY doc_id, n_tokens, _h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS tok_offset
   FROM t
 )

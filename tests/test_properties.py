@@ -219,3 +219,72 @@ def test_components_algorithms_agree(spark, edges):
         ).collect()
     }
     assert a == b
+
+
+# pack_sequences determinism under duplicate ids (the r4 driver red
+# cell): the concat order must be a TOTAL function of the input —
+# (doc_id, n_tokens, sha256(text)) — so Spark's distributed prefix
+# sum and a single-window SQL cumsum agree even when doc_ids repeat.
+_WORDS = ["aa", "bb", "cc", "dd"]
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),                       # doc_id — deliberately duplicated
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(docs=docs_strategy, seq_len=st.integers(2, 16))
+def test_pack_sequences_total_order_vs_oracle(spark, docs, seq_len):
+    import duckdb
+    import pandas as pd
+
+    from odsc_agentic_ai_summit_2025_spark import cache
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # scramble input partitioning so ties start out split across partitions
+    out = pack_sequences(
+        df.repartition(5, "text"), "text", "doc_id", seq_len=seq_len
+    )
+    got = sorted(map(tuple, out.collect()))
+    cache.release(out)
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         sha256(text) AS _h
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id, n_tokens, _h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // {seq_len} AS first_chunk,
+       (tok_offset + n_tokens - 1) // {seq_len} AS last_chunk,
+       (tok_offset + n_tokens - 1) // {seq_len}
+         - tok_offset // {seq_len} + 1 AS n_chunks
+FROM c
+""").fetchall(),
+        )
+    )
+    con.close()
+    assert got == want
