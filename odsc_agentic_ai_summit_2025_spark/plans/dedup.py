@@ -244,6 +244,54 @@ SELECT a_id, b_id FROM pairs WHERE cos >= 0.95
 """
 
 
+def q82_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end — kNN self-join →
+    thresholded edges → connected components → min-id keep decisions —
+    in the EXACT configuration: nprobe=k_clusters probes every
+    cluster, and k=10 exceeds the max cosine-degree at threshold 0.45
+    on both gate corpora (1 at sf0.01, 3 at sf0.1), so the thresholded
+    kNN graph is precisely the full >=0.45 pair graph and the oracle
+    is the Q38 cosine join composed with the Q66 recursive-CTE
+    components + decisions."""
+    from ..pipeline import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.45,
+        k_neighbors=10, k_clusters=8, nprobe=8,
+    ).select(
+        F.col("id").alias("vec_id"),
+        "cluster_id",
+        "keep",
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
+
+
+Q82_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.45
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT id AS vec_id,
+       cluster_id,
+       id = MIN(id) OVER (PARTITION BY cluster_id) AS keep,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size
+FROM comp
+"""
+
+
 QUERIES = [
     Query("q34_dedup_exact", q34_dedup_exact, Q34_SQL,
           ("A1", "A2"), "exact dedup via sha256 groupBy"),
@@ -261,4 +309,7 @@ QUERIES = [
           ("U2", "A2"), "connected-component dedup clusters + keep/drop"),
     Query("q63_neardup_lsh", q63_neardup_lsh, _q63_sql(),
           ("V2", "V1"), "banded-LSH near-dup with exact verification"),
+    Query("q82_semantic_dedup", q82_semantic_dedup, Q82_SQL,
+          ("V2", "U2", "A2"),
+          "SemDeDup: kNN-join edges → components → keep decisions"),
 ]

@@ -51,20 +51,21 @@ def all_queries() -> dict[str, Query]:
 
     # Module order is deliberate: the external correctness gate checks the
     # FIRST 50 entries in insertion order, so modules whose queries have the
-    # least gate history go first.  Round-4 rotation: q05-q25's last driver
-    # rows are from round 2 (they rotated out of the r3 window), so
-    # relational leads; the modules that got fresh r3 rows (extended2,
-    # observability, curation) rotate to the back.
+    # least gate history go first.  Round-5 rotation: the 27 queries whose
+    # last driver rows are from round 3 (extended q45-q54, extended2
+    # q55-q62, observability q64-q68, curation q71-q75) lead, then textops
+    # (the q80 determinism fix needs its driver row) and dedup (new q82);
+    # relational/retrieval got fresh r4 rows and rotate to the back.
     out: dict[str, Query] = {}
     for mod in (
-        relational,
+        extended,
+        extended2,
+        observability,
+        curation,
+        textops,
         dedup,
         retrieval,
-        textops,
-        extended,
-        curation,
-        observability,
-        extended2,
+        relational,
     ):
         for q in mod.QUERIES:
             if q.name in out:
