@@ -28,9 +28,15 @@ Convention (round-4, closes the r3 verdict item):
   via the logical plan.
 
 Ownership is carried as a plain Python attribute on the DataFrame
-wrapper, so it survives only as far as the operator-return boundary
-(any ``.select`` produces a fresh wrapper) — which is exactly the
-boundary where composition layers hold the reference.
+wrapper, so the fast path survives only as far as the operator-return
+boundary (any ``.select`` produces a fresh wrapper) — which is
+exactly the boundary where composition layers hold the reference.
+Because one future refactor inserting a ``.select`` between operator
+and release would silently leak, ``own`` ALSO records every handle in
+a module-level registry, and ``release`` falls back to matching the
+released frame's analyzed plan against registered handles
+(``LogicalPlan.sameResult`` on each plan node), so releasing a
+wrapped result still drops its blocks.
 """
 
 from __future__ import annotations
@@ -38,6 +44,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _ATTR = "_spark_graft_owned_caches"
+
+# every handle ever passed to own() and not yet released — the
+# wrapper-loss fallback's search space (bounded: handles leave on
+# release_frame, and an unreleased handle's blocks are live anyway)
+_REGISTRY: dict[int, DataFrame] = {}
 
 
 def own(result: DataFrame, *backing: DataFrame) -> DataFrame:
@@ -49,6 +60,8 @@ def own(result: DataFrame, *backing: DataFrame) -> DataFrame:
         if b not in found:
             found.append(b)
     setattr(result, _ATTR, found)
+    for h in found:
+        _REGISTRY.setdefault(id(h), h)
     return result
 
 
@@ -59,6 +72,7 @@ def handles(df: DataFrame) -> tuple[DataFrame, ...]:
 def release_frame(cached: DataFrame) -> None:
     """Release one cached/checkpointed frame's storage, whichever
     kind it is (both calls are safe no-ops on the other kind)."""
+    _REGISTRY.pop(id(cached), None)
     try:
         cached.unpersist()
     except Exception:  # already released / session gone
@@ -80,6 +94,44 @@ def release(*results: DataFrame) -> None:
     checkpoint), so release only once the result is fully consumed.
     """
     for df in results:
-        for h in getattr(df, _ATTR, ()):
+        hs = list(getattr(df, _ATTR, ()))
+        if not hs:
+            hs = _find_registered(df)
+        for h in hs:
             release_frame(h)
         setattr(df, _ATTR, [])
+
+
+def _find_registered(df: DataFrame) -> list[DataFrame]:
+    """Wrapper-loss fallback: registered handles whose analyzed plan
+    appears (``sameResult``) as a node of ``df``'s analyzed plan — a
+    ``.select``/``.filter`` between operator return and release sheds
+    the attribute but keeps the backing plan as a subtree."""
+    if not _REGISTRY:
+        return []
+    try:
+        nodes = _plan_nodes(df._jdf.queryExecution().analyzed())
+    except Exception:
+        return []
+    found: list[DataFrame] = []
+    for h in list(_REGISTRY.values()):
+        try:
+            hplan = h._jdf.queryExecution().analyzed()
+            if any(n.sameResult(hplan) for n in nodes):
+                found.append(h)
+        except Exception:
+            continue
+    return found
+
+
+def _plan_nodes(jplan) -> list:
+    """BFS of a JVM LogicalPlan (children only; subquery expressions
+    don't carry operator caches)."""
+    out, stack = [], [jplan]
+    while stack:
+        node = stack.pop()
+        out.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out

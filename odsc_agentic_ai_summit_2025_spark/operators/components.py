@@ -218,6 +218,7 @@ def _star_components(
         .localCheckpoint(eager=True)
     )
     prev_n = state.count()
+    converged = False
     for _ in range(max(2 * max_iterations, 8)):
         # ---- large-star ----
         nbr = state.select("c", "p").unionAll(
@@ -252,14 +253,15 @@ def _star_components(
         ).isEmpty():
             release_frame(state)
             state = new_state
+            converged = True
             break
         release_frame(state)
         state = new_state
         prev_n = n
     # at fixpoint the state is a star per component: child → root.
-    # Defensive min-agg in case the loop exhausted its budget one
-    # round short of a perfect star (parents only ever decrease, so
-    # min is still the best-known root).
+    # Min-agg in case the loop exhausted its budget one round short
+    # of a perfect star (parents only ever decrease, so min is still
+    # the best-known root) — validated below in that case.
     parent = state.groupBy("c").agg(F.min("p").alias("_root"))
     out = (
         nodes.join(parent.withColumnRenamed("c", id_col), id_col, "left")
@@ -270,6 +272,32 @@ def _star_components(
         .localCheckpoint(eager=True)
     )
     release_frame(state)
+    if not converged:
+        # Budget exhausted before the edge-set fixpoint. The labels
+        # are often exact anyway (they stabilize before the oriented
+        # edges do), but cluster_id is contractually the component
+        # MINIMUM, and silently returning an under-merged labeling
+        # would split dedup clusters. Edge-consistency proves
+        # exactness here: parents strictly decrease and stay inside
+        # their component, so if both endpoints of every edge share a
+        # label, each component carries one label L that the
+        # component's minimum node also carries — forcing L = min.
+        la = out.select(F.col(id_col).alias("_s"), F.col("cluster_id").alias("_ls"))
+        lb = out.select(F.col(id_col).alias("_d"), F.col("cluster_id").alias("_ld"))
+        split_edge = (
+            edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+            .join(la, "_s")
+            .join(lb, "_d")
+            .where(F.col("_ls") != F.col("_ld"))
+        )
+        if not split_edge.isEmpty():
+            release_frame(out)
+            raise RuntimeError(
+                "connected_components(star): no fixpoint after "
+                f"{max(2 * max_iterations, 8)} large/small-star rounds "
+                "and the partial labels under-merge — raise "
+                "max_iterations for this graph"
+            )
     return own(out, out)
 
 

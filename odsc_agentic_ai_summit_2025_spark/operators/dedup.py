@@ -336,6 +336,14 @@ def simhash_near_pairs(
     ).select(id_col, "_sh")
     n_chunks = max_hamming + 1
     base = bits // n_chunks
+    if base == 0:
+        # zero-width chunks mask to 0 and every row joins every row —
+        # an O(n²) candidate blowup; the pigeonhole argument needs at
+        # least one bit per chunk
+        raise ValueError(
+            f"simhash_near_pairs: bits={bits} cannot be split into "
+            f"{n_chunks} non-empty chunks (need bits >= max_hamming + 1)"
+        )
     # chunk i covers [i*base, ...); the last chunk absorbs the
     # remainder bits so the union is exactly [0, bits)
     bounds = [

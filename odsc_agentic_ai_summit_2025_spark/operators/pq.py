@@ -217,7 +217,17 @@ def pq_search(
                 if not len(cand):
                     continue
                 take = min(sl, len(cand))
-                top = cand[np.argpartition(-scores[cand], take - 1)[:take]]
+                # partition-local cut must be deterministic: an
+                # argpartition alone splits equal-ADC ties at the
+                # boundary arbitrarily, making shortlist membership
+                # (hence the re-ranked top-k) partitioning-dependent.
+                # Cut by score, widen to every boundary tie, then
+                # order ties by neighbor id and truncate.
+                part = cand[np.argpartition(-scores[cand], take - 1)[:take]]
+                boundary = scores[part].min()
+                ext = cand[scores[cand] >= boundary]
+                order = np.lexsort((n_id[ext], -scores[ext]))
+                top = ext[order[:take]]
                 out_q.append(np.full(take, ids[qi]))
                 out_n.append(n_id[top])
                 out_s.append(scores[top])
@@ -246,8 +256,14 @@ def _shortlist_and_rerank(
     k: int,
 ) -> DataFrame:
     """Global ADC shortlist window + exact cosine re-rank against the
-    true vectors — shared by flat PQ and IVF-PQ search."""
-    from ..cache import own
+    true vectors — shared by flat PQ and IVF-PQ search.
+
+    Owns NO caches: the only persisted frames in the plan
+    (``index.codes``, and ``assigned`` for IVF-PQ) belong to the
+    INDEX lifetime — callers release them via ``PqIndex.release()`` /
+    ``IvfIndex.release()``, not via ``cache.release(result)``, so a
+    caller following the release-the-result convention can keep
+    searching the same index without re-encoding the corpus."""
     from ..functions.vectors import cosine
 
     wl = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
@@ -264,14 +280,13 @@ def _shortlist_and_rerank(
         F.col(index.id_col).alias("n_id"), F.col(index.vec_col).alias("_nv")
     )
     wr = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return own(
+    return (
         short.join(F.broadcast(qdf), "q_id")
         .join(nv, "n_id")
         .withColumn("cos", cosine(F.col("_qv"), F.col("_nv")))
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank"),
-        index.codes,
+        .select("q_id", "n_id", "rank")
     )
 
 

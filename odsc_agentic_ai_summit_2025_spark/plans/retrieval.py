@@ -183,12 +183,17 @@ def q76_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist covers the corpus, so the output equals exact kNN
     bit-for-bit (the same degrade-to-exact trick as q47's nprobe=k);
     recall at realistic shortlists is asserted in tests/test_pq.py."""
+    from ..cache import own
     from ..operators.pq import pq_build, pq_search
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     idx = pq_build(emb, "embedding", "vec_id", m_subspaces=16, k_codewords=32)
-    return pq_search(idx, emb, queries, "vec_id", k=5, shortlist=1_000_000)
+    out = pq_search(idx, emb, queries, "vec_id", k=5, shortlist=1_000_000)
+    # the index is query-local here, so ITS lifetime (idx.codes) is
+    # tied to the result — a long-lived caller would hold PqIndex and
+    # release it separately
+    return own(out, idx.codes)
 
 
 Q76_SQL = """
@@ -222,7 +227,8 @@ def q79_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivfpq_search(
         ivf, pq, emb, queries, "vec_id", k=5, nprobe=8, shortlist=1_000_000
     )
-    return own(out, ivf.assigned)
+    # both indexes are query-local: tie their lifetimes to the result
+    return own(out, ivf.assigned, pq.codes)
 
 
 def q81_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -144,3 +144,32 @@ def test_ivf_index_release(spark, sf_dir):
     assert _n_blocks(spark) > baseline
     idx.release()
     assert _n_blocks(spark) == baseline
+
+
+def test_release_survives_wrapper_loss(spark, sf_dir):
+    """Ownership rides a Python attribute that any intervening
+    .select() sheds; release() must still find the blocks via the
+    registry + plan-match fallback (r4 verdict item: one future
+    refactor must not silently leak)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir).limit(60)
+    baseline = _clean_baseline(spark)
+
+    out = jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    wrapped = out.select("a_id")          # sheds the ownership attribute
+    wrapped.count()
+    assert cache.handles(wrapped) == ()
+    assert _n_blocks(spark) > baseline
+    cache.release(wrapped)
+    assert _n_blocks(spark) == baseline
+
+    # releasing an unrelated frame must NOT touch other owned caches
+    out2 = jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    out2.count()
+    n_cached = _n_blocks(spark)
+    assert n_cached > baseline
+    cache.release(docs.select("doc_id"))  # no owned plan inside
+    assert _n_blocks(spark) == n_cached
+    cache.release(out2)
+    assert _n_blocks(spark) == baseline

@@ -250,3 +250,18 @@ def test_simhash_near_pairs_equals_bruteforce(spark, sf_dir):
             )
         )
         assert got == want, f"d={d}"
+
+
+def test_simhash_near_pairs_rejects_zero_width_chunks(spark, sf_dir):
+    """bits < max_hamming + 1 would give zero-width chunks whose mask
+    is 0 (every row joins every row) — must fail fast instead."""
+    import pytest
+
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    with pytest.raises(ValueError, match="non-empty chunks"):
+        simhash_near_pairs(docs, "text", "doc_id", bits=4, max_hamming=4)
