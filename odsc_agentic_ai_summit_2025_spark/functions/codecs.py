@@ -117,11 +117,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def sniff_format(payload: bytes) -> str:
-    """'bmp' | 'wav' | 'unknown' from magic bytes."""
+    """'bmp' | 'wav' | 'mp4' | 'unknown' from magic bytes."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -163,3 +165,72 @@ def decode_payload_pil(payload: bytes) -> tuple[int, int, int, bytes]:
 
     img = Image.open(io.BytesIO(payload)).convert("RGB")
     return img.width, img.height, 3, img.tobytes()
+
+
+def ffmpeg_available() -> bool:
+    """True when the ffmpeg + ffprobe CLIs are on PATH (this container
+    ships without them; production media images install them and get
+    every container/codec ffmpeg knows)."""
+    import shutil
+
+    return (
+        shutil.which("ffmpeg") is not None
+        and shutil.which("ffprobe") is not None
+    )
+
+
+def decode_video_ffmpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """ffmpeg-backed video decode — the video half of the external-
+    codec seam, gated exactly like ``decode_payload_pil``'s PIL guard
+    (here: a RuntimeError when the CLI is absent, since ffmpeg is a
+    binary, not an import).
+
+    Returns ``(n_frames, width, height, rgb)`` where ``rgb`` is every
+    frame's RGB24 bytes concatenated in presentation order
+    (``len(rgb) == n_frames * width * height * 3``). BMP/WAV payloads
+    still route to the dependency-free codecs so the decoder can run
+    over a mixed media table.
+
+    Geometry comes from one ``ffprobe`` pass over the container
+    header; pixels stream through ``ffmpeg -f rawvideo -pix_fmt
+    rgb24`` on pipes — no temp files, so the kernel stays usable
+    inside an Arrow batch on executors.
+    """
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        w, h, c, raw = decode_bmp(payload)
+        return 1, w, h, raw
+    if fmt == "wav":
+        n, rate, c, raw = decode_wav(payload)
+        return n, rate, c, raw
+    if not ffmpeg_available():
+        raise RuntimeError(
+            "decode_video_ffmpeg needs the ffmpeg/ffprobe CLIs on "
+            "PATH — the external-codec seam (install ffmpeg to cross "
+            "it, exactly as installing Pillow crosses the raster one)"
+        )
+    import subprocess
+
+    probe = subprocess.run(
+        [
+            "ffprobe", "-v", "error", "-select_streams", "v:0",
+            "-show_entries", "stream=width,height",
+            "-of", "csv=p=0", "pipe:0",
+        ],
+        input=payload,
+        capture_output=True,
+        check=True,
+    )
+    width, height = (int(x) for x in probe.stdout.decode().strip().split(","))
+    out = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-i", "pipe:0",
+            "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+        ],
+        input=payload,
+        capture_output=True,
+        check=True,
+    )
+    frame_bytes = width * height * 3
+    n_frames = len(out.stdout) // frame_bytes
+    return n_frames, width, height, out.stdout[: n_frames * frame_bytes]

@@ -149,10 +149,14 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     format it knows (JPEG/PNG/BMP/…, WAV still via stdlib) behind an
     import guard — identical output to 'real' on BMP (tested), an
     ImportError from the executors where Pillow isn't installed.
+    ``decoder='ffmpeg'`` crosses the video half the same way: the
+    ffmpeg CLI decodes any container/codec it knows to concatenated
+    RGB24 frame bytes (BMP/WAV still via the stdlib codecs), a
+    RuntimeError where ffmpeg isn't installed.
     """
     import pandas as pd
 
-    if decoder not in ("fake", "real", "pil"):
+    if decoder not in ("fake", "real", "pil", "ffmpeg"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     out_schema = T.StructType(
@@ -164,11 +168,18 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.codecs import decode_payload, decode_payload_pil
+        from ..functions.codecs import (
+            decode_payload,
+            decode_payload_pil,
+            decode_video_ffmpeg,
+        )
 
-        decode = decode_payload_pil if decoder == "pil" else decode_payload
+        decode = {
+            "pil": decode_payload_pil,
+            "ffmpeg": decode_video_ffmpeg,
+        }.get(decoder, decode_payload)
         for pdf in batches:
-            if decoder in ("real", "pil"):
+            if decoder in ("real", "pil", "ffmpeg"):
                 decoded = [decode(bytes(p)) for p in pdf["payload"]]
                 pixels = [d[3] for d in decoded]
                 n = pd.Series([len(px) for px in pixels], dtype="int64")
@@ -251,11 +262,21 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     return ensure_min_partitions(media).mapInPandas(run, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_n: int, decoder: str = "fake"
+) -> DataFrame:
     """Video frame sampling: one output row per kept frame index
     (0, every_n, 2·every_n, ... < n_frames). The index fan-out is pure
     Spark (posexplode over a sequence — metadata only, no payload
-    shuffle); the per-frame payload slice is computed inline."""
+    shuffle); the per-frame payload slice is computed inline.
+
+    ``decoder='ffmpeg'`` swaps the synthetic slice tag for the digest
+    of each REAL decoded frame's RGB24 bytes (same output schema, same
+    frame-index set — parity asserted in tests when ffmpeg exists);
+    the fan-out then happens inside the Arrow kernel, after one decode
+    per payload rather than one per kept frame."""
+    if decoder == "ffmpeg":
+        return _sample_frames_ffmpeg(media, every_n)
     frames = media.select(
         "media_id",
         "payload",
@@ -280,3 +301,40 @@ def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
             256,
         ).alias("frame_digest"),
     )
+
+
+def _sample_frames_ffmpeg(media: DataFrame, every_n: int) -> DataFrame:
+    """Real-decode twin of ``sample_frames``: one ffmpeg decode per
+    payload, then the kept frames' RGB24 bytes are sliced and
+    digested in-kernel. Frame count comes from the DECODED stream
+    (the header metadata is advisory once real bytes exist)."""
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_digest", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.codecs import decode_video_ffmpeg
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n, w, h, rgb = decode_video_ffmpeg(bytes(p))
+                fb = w * h * 3
+                for idx in range(0, n, every_n):
+                    digest = hashlib.sha256(
+                        rgb[idx * fb : (idx + 1) * fb]
+                    ).hexdigest()
+                    rows.append((mid, idx, digest))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_digest"]
+            )
+
+    return ensure_min_partitions(media).mapInPandas(run, out_schema)

@@ -492,3 +492,88 @@ def test_knn_self_join_recall_at_partial_probe(spark, sf_dir):
     cache.release(approx_df)
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.55, recall
+
+
+def _mp4_fixture(tmp_path, n_frames: int, w: int = 16, h: int = 16) -> bytes:
+    """Encode n_frames of deterministic RGB24 into a real MP4 via the
+    ffmpeg CLI (only called when ffmpeg_available())."""
+    import subprocess
+
+    raw = bytes(
+        (f * 31 + i) % 256 for f in range(n_frames) for i in range(w * h * 3)
+    )
+    out = tmp_path / "fixture.mp4"
+    subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-s", f"{w}x{h}", "-r", "10", "-i", "pipe:0",
+            "-c:v", "libx264", "-pix_fmt", "yuv420p", "-y", str(out),
+        ],
+        input=raw,
+        check=True,
+    )
+    return out.read_bytes()
+
+
+def test_sample_frames_ffmpeg_parity_with_synthetic(spark, tmp_path):
+    """decoder='ffmpeg' must keep the synthetic path's sampling
+    contract — same output schema, same (media_id, frame_idx) set —
+    while digesting REAL decoded frame bytes; decode_media('ffmpeg')
+    must size output by the decoded stream geometry."""
+    import pytest as _pytest
+
+    from odsc_agentic_ai_summit_2025_spark.functions.codecs import (
+        ffmpeg_available,
+    )
+
+    if not ffmpeg_available():
+        _pytest.skip("ffmpeg not installed (the documented seam)")
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    n_frames, w, h = 12, 16, 16
+    payload = _mp4_fixture(tmp_path, n_frames, w, h)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), ("video", "video/mp4", w, h, 3, 0, n_frames))],
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "channels:int,sample_rate:int,n_frames:int>",
+    )
+    synth = sample_frames(media, every_n=5).collect()
+    real = sample_frames(media, every_n=5, decoder="ffmpeg").collect()
+    assert [r.asDict().keys() for r in real] == [r.asDict().keys() for r in synth]
+    assert {(r["media_id"], r["frame_idx"]) for r in real} == {
+        (r["media_id"], r["frame_idx"]) for r in synth
+    }
+    # real digests are of decoded bytes, deterministic across runs
+    again = sample_frames(media, every_n=5, decoder="ffmpeg").collect()
+    assert sorted(map(tuple, real)) == sorted(map(tuple, again))
+
+    decoded = decode_media(media, "ffmpeg").collect()
+    assert decoded[0]["n_bytes"] == n_frames * w * h * 3
+
+
+def test_decode_media_ffmpeg_raises_when_absent(spark):
+    import pytest as _pytest
+
+    from odsc_agentic_ai_summit_2025_spark.functions.codecs import (
+        ffmpeg_available,
+    )
+
+    if ffmpeg_available():
+        _pytest.skip("ffmpeg installed; absence path not reachable")
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42 not-a-real-mp4"),
+          ("video", "video/mp4", 4, 4, 3, 0, 1))],
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "channels:int,sample_rate:int,n_frames:int>",
+    )
+    with _pytest.raises(Exception, match="ffmpeg"):
+        decode_media(df, "ffmpeg").collect()
