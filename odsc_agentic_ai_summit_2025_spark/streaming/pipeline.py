@@ -443,6 +443,67 @@ def bpe_token_stats_stream(spark: SparkSession, docs_path: str) -> DataFrame:
     return bpe_token_stats(stream, "text", "doc_id")
 
 
+def pack_sequences_stream(
+    spark: SparkSession,
+    docs_path: str,
+    sink,
+    *,
+    seq_len: int = 512,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming twin of ``pack_sequences`` in its BOUNDED variant:
+    each ingest micro-batch is packed independently with the batch
+    operator and handed to ``sink(packed_df, batch_id)``.
+
+    The batch operator's docstring is right that a GLOBAL token
+    prefix sum over an unbounded stream is unbounded state — but a
+    trainer feed doesn't want one: it packs per delivered shard and
+    resets the offset at each shard boundary (chunk ids are scoped by
+    ``batch_id``). That per-batch scope is exactly a foreachBatch:
+    inside the hook the micro-batch is a plain DataFrame, so the
+    SAME distributed prefix-sum operator runs unchanged — no
+    semantics fork between the batch and streaming paths (parity
+    asserted in tests file-for-file). State store: none; the only
+    state is Spark's file-source progress log.
+
+    Returns the started StreamingQuery (availableNow trigger);
+    callers await it. ``sink`` must MATERIALIZE the frame it is given
+    (write/collect) — the packed frame's checkpoint caches are
+    released when the hook returns.
+    """
+    from .. import cache
+    from ..operators.textops import pack_sequences
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(docs_path)
+    )
+
+    def _pack(batch_df: DataFrame, batch_id: int) -> None:
+        out = pack_sequences(batch_df, "text", "doc_id", seq_len=seq_len)
+        try:
+            sink(out.withColumn("batch_id", F.lit(batch_id)), batch_id)
+        finally:
+            cache.release(out)
+
+    return (
+        stream.writeStream.foreachBatch(_pack)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _interval_seconds(interval: str) -> int:
     qty, unit = interval.split()
     mult = {

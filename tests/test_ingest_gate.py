@@ -162,3 +162,53 @@ def test_bpe_token_stats_stream_parity(spark, sf_dir, docs_stream_dir2):
     assert sorted(map(tuple, batch.collect())) == sorted(
         map(tuple, got.collect())
     )
+
+
+def test_pack_sequences_stream_per_batch_parity(spark, sf_dir, tmp_path):
+    """foreachBatch packing must equal the batch operator applied to
+    each ingested file independently (the bounded trainer-feed
+    variant: offsets reset per shard, chunk ids scoped by batch)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        pack_sequences,
+    )
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        pack_sequences_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    shards = [
+        docs.filter(F.col("doc_id") % 3 == i).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(3)
+    ]
+    d = tmp_path / "packed_stream_in"
+    d.mkdir()
+    for i, s in enumerate(shards):
+        s.toPandas().to_parquet(d / f"shard-{i}.parquet", index=False)
+
+    got_batches = []
+
+    def sink(df, batch_id):
+        got_batches.append(
+            sorted(
+                (r["doc_id"], r["n_tokens"], r["tok_offset"],
+                 r["first_chunk"], r["last_chunk"], r["n_chunks"])
+                for r in df.collect()
+            )
+        )
+
+    q = pack_sequences_stream(spark, str(d), sink, seq_len=128)
+    q.awaitTermination(120)
+    assert len(got_batches) == 3  # maxFilesPerTrigger=1 → one per file
+
+    want_batches = []
+    for s in shards:
+        out = pack_sequences(s, "text", "doc_id", seq_len=128)
+        want_batches.append(sorted(map(tuple, out.collect())))
+        from odsc_agentic_ai_summit_2025_spark import cache
+
+        cache.release(out)
+    # batch order is the file-listing order; compare as multisets of
+    # per-shard results (each shard's doc_id set is disjoint)
+    assert sorted(got_batches) == sorted(want_batches)
