@@ -472,3 +472,75 @@ def jaccard_pairs(
         .select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard_e4"),
         prefix,
     )
+
+
+def ngram_span_dupes(
+    df: DataFrame, text_col: str, id_col: str, l: int = 8
+) -> DataFrame:
+    """Exact substring-duplication stats — the span-level dedup tier
+    (Lee et al. 2022, arXiv:2107.06499: exact duplicated substrings,
+    not whole-document similarity), at token ``l``-gram granularity:
+    for every document, how many of its length-``l`` token spans occur
+    anywhere else in the corpus (other documents OR repeated inside
+    the same one — both are training-data repetition). A downstream
+    cutter can drop exactly the flagged spans; the stats table itself
+    is the corpus-health metric (dup_ratio distribution).
+
+    Output: ``[id, n_spans, n_dup_spans, dup_ratio_e4]`` — integers
+    only (ratio in basis points via integer division), oracle-exact.
+
+    Scale shape: an inverted index on the gram STRING. The per-doc
+    gram fan-out is a map-side ``transform``+``explode`` (array ops in
+    codegen, no UDF); the corpus then shuffles once keyed by gram for
+    the occurrence count (partial map-side combine — boilerplate grams
+    pre-aggregate before the wire), once more to join counts back to
+    positions (AQE handles hot-gram probe skew), and reduces by doc
+    id. At 100 TB the gram string would be hashed to 8 bytes before
+    the shuffle (collision-tolerant counting); the gate keeps the
+    string so DuckDB reproduces it bit-for-bit — same plan shape,
+    wider shuffle rows.
+
+    The reference has no substring tier (its dedup is whole-note
+    embedding similarity, /root/reference/src/generate_note_embeddings.py);
+    this is part of the tasked training-data surface.
+    """
+    from ..functions.text import tokens
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    )
+    n_t = F.size(F.col("_t"))
+    grams = F.when(
+        n_t >= l,
+        F.transform(
+            F.sequence(F.lit(1), n_t - l + 1),
+            lambda i: F.array_join(F.slice(F.col("_t"), i, l), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(id_col, F.explode(grams).alias("gram"))
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    per_doc = (
+        g.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_cnt") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.expr(
+                "coalesce(n_dup_spans, 0) * 10000 div "
+                "greatest(coalesce(n_spans, 0), 1)"
+            )
+            .cast("long")
+            .alias("dup_ratio_e4"),
+        )
+    )

@@ -282,3 +282,60 @@ def pack_sequences(
         ),
         local,
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by fixed-point
+    tf-idf — the keyword-extraction step of a corpus feature pipeline
+    (the reference extracts entity keywords with an LLM,
+    /root/reference/src/baml_src/graph_rag.baml; this is the
+    statistical tier that runs on the other 100 TB).
+
+    Scoring is integer-exact so the DuckDB oracle matches bit-for-bit:
+    ``score_e4 = tf * ((n_docs * 10000) div df_t)`` — a LINEAR idf
+    (proportional to 1/df) rather than the textbook log; log would put
+    a libm call on both sides of the hash compare, and monotonicity in
+    1/df is what the ranking needs. Ties at equal score break by term
+    text, so the top-k is a total function of the corpus.
+
+    Scale shape: explode → (doc, term) partial-combined count (shuffle
+    1, keyed by doc+term) → document-frequency agg over the tf table
+    (shuffle 2, keyed by term; vocab-sized output) → tf⋈df on term
+    (vocab side is NOT broadcast — at corpus scale the vocabulary is
+    executor-memory-sized only after stopword-class terms are counted,
+    so it stays a shuffle join with AQE handling hot terms) → per-doc
+    top-k window (shuffle 3, keyed by doc). n_docs is a driver scalar
+    (one count), the only collect.
+    """
+    base = df.filter(F.col(text_col).isNotNull())
+    n_docs = base.count()
+    tf = (
+        base.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_e4"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "score_e4",
+            F.expr(f"tf * (({int(n_docs)}L * 10000L) div df_t)").cast("long"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_t").cast("long").alias("df_t"),
+            "score_e4",
+            "rank",
+        )
+    )

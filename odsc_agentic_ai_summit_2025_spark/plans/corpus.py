@@ -1,0 +1,95 @@
+"""Corpus-analysis query inventory (round 5): span-level exact
+substring dedup and statistical keyword extraction — the two
+training-data tiers between whole-document dedup (q34-q38) and the
+LLM keyword extractor (L7). Both integer-exact with DuckDB twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import read_table
+from .registry import Query
+
+_TOKS = "string_split_regex(text, '\\s+')"
+
+
+def q83_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication stats at token-8-gram granularity
+    (Lee et al. 2022 span-level dedup): per doc, how many of its
+    8-token spans occur anywhere else in the corpus (cross-doc or
+    repeated in-doc). Inverted index on the gram; integers only."""
+    from ..operators.dedup import ngram_span_dupes
+
+    return ngram_span_dupes(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", l=8
+    )
+
+
+Q83_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+  WHERE len(toks) >= 8
+),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM g JOIN c USING (gram) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(d.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(d.n_dup_spans, 0) * 10000
+            // GREATEST(COALESCE(d.n_spans, 0), 1) AS BIGINT)
+         AS dup_ratio_e4
+FROM t LEFT JOIN d USING (doc_id)
+"""
+
+
+def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by fixed-point linear-idf
+    tf-idf (score_e4 = tf * ((n_docs * 1e4) div df), ties by term) —
+    the statistical keyword tier beside the LLM extractor."""
+    from ..operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", k=5
+    )
+
+
+Q84_SQL = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+n AS (SELECT COUNT(*) AS n_docs FROM base),
+t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM base),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_t,
+         tf.tf * ((n.n_docs * 10000) // dfq.df_t) AS score_e4
+  FROM tf JOIN dfq USING (term), n
+)
+SELECT doc_id, term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df_t AS BIGINT) AS df_t,
+       CAST(score_e4 AS BIGINT) AS score_e4,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_e4 DESC, term ASC
+  ) AS rank
+  FROM s
+)
+WHERE rank <= 5
+"""
+
+
+QUERIES = [
+    Query("q83_substring_dupes", q83_substring_dupes, Q83_SQL,
+          ("U2", "A5"), "exact substring (8-gram span) duplication stats"),
+    Query("q84_tfidf_top_terms", q84_tfidf_top_terms, Q84_SQL,
+          ("A10", "O1"), "fixed-point tf-idf top terms per document"),
+]

@@ -39,6 +39,7 @@ class Query:
 def all_queries() -> dict[str, Query]:
     """Assemble the full inventory from every plan module."""
     from . import (
+        corpus,
         curation,
         dedup,
         extended,
@@ -63,6 +64,7 @@ def all_queries() -> dict[str, Query]:
         observability,
         curation,
         textops,
+        corpus,
         dedup,
         retrieval,
         relational,

@@ -4,9 +4,13 @@ expressions — no files), to demonstrate the plans hold beyond the
 test scale: linear-ish runtime, bounded executor memory, no
 collect()-driven driver blowup.
 
-Usage: python scripts/scale_smoke.py [n_docs] [round]  (defaults
-300_000 — sf0.1 has 5_000 docs — and $SPARK_GRAFT_ROUND or none).
-Prints one JSON line per stage.
+Usage: python scripts/scale_smoke.py [n_docs] [round] [runs]
+(defaults 300_000 — sf0.1 has 5_000 docs — $SPARK_GRAFT_ROUND or
+none, and 1 run per stage). Prints one JSON line per stage. With
+runs > 1 each stage repeats back-to-back and the artifact records
+min + median + every pass — the r4 verdict's protocol for telling a
+real trend from a hypervisor steal burst (the per-stage MIN is the
+cross-round comparison number; the regression gate uses it).
 
 Round-4 addition (r3 verdict item 7): when a round is given, the
 stage matrix persists to SCALE_SMOKE_r{round}.json and is compared
@@ -69,6 +73,7 @@ def main() -> None:
         if len(sys.argv) > 2
         else os.environ.get("SPARK_GRAFT_ROUND", "")
     )
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     from pyspark.sql import functions as F
 
     from odsc_agentic_ai_summit_2025_spark.session import get_spark
@@ -86,13 +91,7 @@ def main() -> None:
 
     matrix: dict[str, dict] = {}
 
-    def stage(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        rec = {"stage": name, "n_docs": n_docs, "result": out,
-               "sec": round(time.perf_counter() - t0, 2)}
-        matrix[name] = {"result": out, "sec": rec["sec"]}
-        print(json.dumps(rec), flush=True)
+    def sweep():
         spark.catalog.clearCache()
         import gc
 
@@ -101,6 +100,23 @@ def main() -> None:
         for rid in list(jmap.keySet()):
             if rid not in keep:
                 jmap.get(rid).unpersist()
+
+    def stage(name, fn):
+        import statistics
+
+        secs, out = [], None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = fn()
+            secs.append(round(time.perf_counter() - t0, 2))
+            sweep()
+        rec = {"stage": name, "n_docs": n_docs, "result": out,
+               "sec": min(secs),
+               "sec_median": round(statistics.median(secs), 2),
+               "passes": secs}
+        matrix[name] = {"result": out, "sec": rec["sec"],
+                        "sec_median": rec["sec_median"], "passes": secs}
+        print(json.dumps(rec), flush=True)
 
     stage(
         "exact_dedup",

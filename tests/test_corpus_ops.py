@@ -1,0 +1,69 @@
+"""Unit tests for the round-5 corpus operators (substring-span dedup,
+tf-idf top terms) on crafted inputs with hand-computable answers; the
+DuckDB oracle sweep (test_inventory) covers them on the gate corpus.
+"""
+
+from __future__ import annotations
+
+from odsc_agentic_ai_summit_2025_spark.operators.dedup import ngram_span_dupes
+from odsc_agentic_ai_summit_2025_spark.operators.textops import tfidf_top_terms
+
+
+def test_ngram_span_dupes_planted(spark):
+    rep = " ".join(["a b c d e f g h"] * 2)  # 16 toks; gram repeats in-doc
+    rows = [
+        (1, "a b c d e f g h i j"),   # 3 spans; spans of doc 2 overlap all 3
+        (2, "a b c d e f g h i j"),   # exact copy of doc 1
+        (3, "q r s t u v w x y z"),   # unique: 3 spans, 0 dup
+        (4, "too short"),             # < 8 tokens: 0 spans
+        (5, rep),                     # 9 spans; the (a..h) gram occurs twice
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio_e4"])
+        for r in ngram_span_dupes(df, "text", "doc_id", l=8).collect()
+    }
+    assert got[1] == (3, 3, 10000)
+    assert got[2] == (3, 3, 10000)
+    assert got[3] == (3, 0, 0)
+    assert got[4] == (0, 0, 0)
+    # doc 5: spans at positions 1..9; position 1 and 9 are both
+    # 'a b c d e f g h' (in-doc repeat, also in docs 1/2) → dup; the
+    # 7 straddling spans are unique to doc 5
+    assert got[5] == (9, 2, 2222)
+
+
+def test_ngram_span_dupes_partitioning_invariant(spark):
+    rows = [(i, f"w{i % 3} x y z p q r s t u") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, ngram_span_dupes(df, "text", "doc_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            ngram_span_dupes(
+                df.repartition(7, "text"), "text", "doc_id"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 40
+
+
+def test_tfidf_top_terms_manual(spark):
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df_t"], r["score_e4"])
+        for r in out
+    }
+    # n_docs=3 → idf_e4 = 30000 // df
+    assert got[(1, 1)] == ("apple", 2, 1, 60000)   # 2 * 30000
+    assert got[(1, 2)] == ("banana", 1, 2, 15000)  # 1 * 15000
+    assert got[(2, 1)] == ("banana", 1, 2, 15000)  # tie → term asc
+    assert got[(2, 2)] == ("cherry", 1, 2, 15000)
+    assert got[(3, 1)] == ("cherry", 3, 2, 45000)
+    assert got[(3, 2)] == ("date", 1, 1, 30000)
