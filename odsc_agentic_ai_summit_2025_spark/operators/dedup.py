@@ -489,15 +489,19 @@ def ngram_span_dupes(
     Output: ``[id, n_spans, n_dup_spans, dup_ratio_e4]`` — integers
     only (ratio in basis points via integer division), oracle-exact.
 
-    Scale shape: an inverted index on the gram STRING. The per-doc
-    gram fan-out is a map-side ``transform``+``explode`` (array ops in
-    codegen, no UDF); the corpus then shuffles once keyed by gram for
-    the occurrence count (partial map-side combine — boilerplate grams
-    pre-aggregate before the wire), once more to join counts back to
-    positions (AQE handles hot-gram probe skew), and reduces by doc
-    id. At 100 TB the gram string would be hashed to 8 bytes before
-    the shuffle (collision-tolerant counting); the gate keeps the
-    string so DuckDB reproduces it bit-for-bit — same plan shape,
+    Scale shape: an inverted index on the gram STRING, ONE pass over
+    the corpus. The per-doc gram fan-out is a map-side
+    ``transform``+``explode`` (array ops in codegen, no UDF); the
+    position stream immediately pre-aggregates to (gram, doc, count)
+    — map-side combine collapses in-doc repeats before the wire — so
+    the naive two-consumer shape (count grams, then join counts back
+    to the RAW position stream) that would tokenize the corpus twice
+    never materializes. Totals per gram are a second (gram)-keyed
+    partial agg; the count-back join runs on the pre-deduped rows
+    with AQE splitting hot-gram probe skew; the final reduce is by
+    doc id. At 100 TB the gram string would be hashed to 8 bytes
+    before the shuffle (collision-tolerant counting); the gate keeps
+    the string so DuckDB reproduces it bit-for-bit — same plan shape,
     wider shuffle rows.
 
     The reference has no substring tier (its dedup is whole-note
@@ -518,16 +522,28 @@ def ngram_span_dupes(
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = base.select(id_col, F.explode(grams).alias("gram"))
-    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    # persist the first-shuffle output: totals-agg and count-back join
+    # both consume it, and Catalyst does NOT reuse the exchange across
+    # the two (column pruning specializes each copy's subplan), so
+    # without the pin the corpus would tokenize+gram-fan-out twice.
+    # What's cached is exactly the deduped shuffle payload, the
+    # smallest corpus-derived frame in the plan (caller releases via
+    # cache.release(result)).
+    per_pos = (
+        g.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c")).persist()
+    )
+    gram_tot = per_pos.groupBy("gram").agg(F.sum("_c").alias("_tot"))
     per_doc = (
-        g.join(counts, "gram")
+        per_pos.join(gram_tot, "gram")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("_cnt") > 1).cast("long")).alias("n_dup_spans"),
+            F.sum("_c").alias("n_spans"),
+            F.sum(
+                F.when(F.col("_tot") > 1, F.col("_c")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
         )
     )
-    return (
+    return own(
         base.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
@@ -542,5 +558,6 @@ def ngram_span_dupes(
             )
             .cast("long")
             .alias("dup_ratio_e4"),
-        )
+        ),
+        per_pos,
     )
