@@ -363,3 +363,54 @@ def embedding_outliers(
         cos.alias("cos_c"),
         (cos < F.lit(threshold)).alias("is_outlier"),
     )
+
+
+def weighted_resample(
+    df: DataFrame, source_col: str, id_col: str, salt: str = "resample"
+) -> DataFrame:
+    """Materialize the epoch mix that :func:`source_mix_weights`
+    prescribes: each document appears ``weight`` times in expectation
+    — ``weight_e4 div 10000`` guaranteed copies plus one more when
+    the document's salted hash bucket falls under the fractional part.
+    No RNG: the extra-copy decision is the same engine-portable
+    hash-bucket device as ``train_split``, so the resampled corpus is
+    a pure function of (corpus, salt) — reproducible across runs,
+    engines and partitionings, and a new ``salt`` draws an
+    independent epoch.
+
+    Output: ``[id, source, copy_idx]`` — one row per materialized
+    copy (``copy_idx`` 1..n distinguishes repeats downstream, e.g.
+    for shuffling copies into different shards).
+
+    Scale shape: the weight table is one row per source — broadcast
+    joined; the repeat fan-out is a map-side ``sequence``+``explode``.
+    The only shuffle in the whole plan is the count-star groupBy
+    inside the weight computation. Upsampled sources fan out locally
+    (no skewed shuffle key: copies of a doc stay in its partition).
+    """
+    from ..functions.text import char_poly_hash
+
+    w = source_mix_weights(df, source_col).select("source", "weight_e4")
+    bucket = F.pmod(
+        char_poly_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        ),
+        F.lit(10000),
+    )
+    n_rep = (
+        F.expr("weight_e4 div 10000")
+        + F.when(bucket < F.col("weight_e4") % 10000, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    ).cast("int")
+    reps = F.when(
+        n_rep >= 1, F.sequence(F.lit(1), n_rep)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), F.col(source_col).alias("source"))
+        .join(F.broadcast(w), "source")
+        .select(id_col, "source", F.explode(reps).alias("_ci"))
+        .select(
+            id_col, "source", F.col("_ci").cast("long").alias("copy_idx")
+        )
+    )

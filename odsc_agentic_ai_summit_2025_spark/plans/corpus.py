@@ -87,9 +87,47 @@ WHERE rank <= 5
 """
 
 
+def q85_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized epoch mix: every doc repeated weight times in
+    expectation (integer copies + salted-hash fractional copy), the
+    deterministic no-RNG resampling that makes a data-mixing epoch a
+    pure function of (corpus, salt)."""
+    from ..operators.curation import weighted_resample
+
+    return weighted_resample(
+        read_table(spark, sf_dir, "documents"), "source", "doc_id"
+    )
+
+
+def _q85_sql() -> str:
+    from ..functions.text import char_poly_hash_sql
+
+    h = char_poly_hash_sql("CAST(doc_id AS VARCHAR) || ':resample'")
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM counts),
+w AS (
+  SELECT source,
+         CAST((10000 * total) // (n_sources * n_docs) AS BIGINT) AS weight_e4
+  FROM counts, tot
+),
+d AS (
+  SELECT doc_id, documents.source,
+         weight_e4 // 10000
+           + CASE WHEN {h} % 10000 < weight_e4 % 10000 THEN 1 ELSE 0 END
+           AS n_rep
+  FROM documents JOIN w ON documents.source = w.source
+)
+SELECT doc_id, source, CAST(u.copy_idx AS BIGINT) AS copy_idx
+FROM d, unnest(generate_series(1, CAST(n_rep AS INTEGER))) AS u(copy_idx)
+"""
+
+
 QUERIES = [
     Query("q83_substring_dupes", q83_substring_dupes, Q83_SQL,
           ("U2", "A5"), "exact substring (8-gram span) duplication stats"),
     Query("q84_tfidf_top_terms", q84_tfidf_top_terms, Q84_SQL,
           ("A10", "O1"), "fixed-point tf-idf top terms per document"),
+    Query("q85_weighted_resample", q85_weighted_resample, _q85_sql(),
+          ("A3", "F12"), "deterministic weighted epoch resampling"),
 ]

@@ -67,3 +67,34 @@ def test_tfidf_top_terms_manual(spark):
     assert got[(2, 2)] == ("cherry", 1, 2, 15000)
     assert got[(3, 1)] == ("cherry", 3, 2, 45000)
     assert got[(3, 2)] == ("date", 1, 1, 30000)
+
+
+def test_weighted_resample_skewed_mix(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        weighted_resample,
+    )
+
+    rows = (
+        [(i, "A") for i in range(10)]
+        + [(100 + i, "B") for i in range(20)]
+        + [(200 + i, "C") for i in range(70)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_resample(df, "source", "doc_id").collect()
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), r["copy_idx"])
+    # weights (e4): A 33333, B 16666, C 4761 → copies 3-4 / 1-2 / 0-1
+    for i in range(10):
+        assert per_doc[i] in (3, 4)
+    for i in range(20):
+        assert per_doc[100 + i] in (1, 2)
+    for i in range(70):
+        assert per_doc.get(200 + i, 0) in (0, 1)
+    # expectation: totals per source near n * weight (hash buckets are
+    # not i.i.d. but must land inside the hard combinatorial bounds)
+    n_a = sum(1 for r in out if r["source"] == "A")
+    assert 30 <= n_a <= 40
+    # deterministic under repartitioning
+    again = weighted_resample(df.repartition(7, "doc_id"), "source", "doc_id")
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
