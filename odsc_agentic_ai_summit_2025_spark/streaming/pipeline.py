@@ -443,6 +443,62 @@ def bpe_token_stats_stream(spark: SparkSession, docs_path: str) -> DataFrame:
     return bpe_token_stats(stream, "text", "doc_id")
 
 
+def weighted_resample_stream(
+    spark: SparkSession,
+    docs_path: str,
+    weights: dict[str, int],
+    *,
+    salt: str = "resample",
+) -> DataFrame:
+    """Streaming twin of ``curation.weighted_resample``: apply a
+    PRE-COMPUTED source→weight_e4 table (the batch q73 output — same
+    pattern as the gate's benchmark gram set) to a document stream.
+    The copy decision is the salted-hash device, a pure per-row map,
+    so the twin is stateless and admits unbounded rates; only the
+    weight table itself needs the batch pass. Parity with the batch
+    operator (run with the same weights) is row-for-row by
+    construction and asserted in tests."""
+    from ..functions.text import char_poly_hash
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(docs_path)
+    w = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(int(e4)))
+            for s, e4 in sorted(weights.items())
+        ],
+        F.lit(0),
+    )
+    bucket = F.pmod(
+        char_poly_hash(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+        ),
+        F.lit(10000),
+    )
+    n_rep = (
+        F.expr("_w div 10000")
+        + F.when(bucket < F.col("_w") % 10000, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    reps = F.when(n_rep >= 1, F.sequence(F.lit(1), n_rep)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        stream.select("doc_id", "source", w.alias("_w"))
+        .select("doc_id", "source", F.explode(reps).alias("_ci"))
+        .select(
+            "doc_id", "source", F.col("_ci").cast("long").alias("copy_idx")
+        )
+    )
+
+
 def pack_sequences_stream(
     spark: SparkSession,
     docs_path: str,

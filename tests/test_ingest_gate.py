@@ -212,3 +212,37 @@ def test_pack_sequences_stream_per_batch_parity(spark, sf_dir, tmp_path):
     # batch order is the file-listing order; compare as multisets of
     # per-shard results (each shard's doc_id set is disjoint)
     assert sorted(got_batches) == sorted(want_batches)
+
+
+def test_weighted_resample_stream_parity(spark, sf_dir, docs_stream_dir2):
+    """The stateless streaming resample (pre-computed weight table,
+    salted-hash copy decision) must reproduce the batch operator
+    row-for-row on the same corpus."""
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        source_mix_weights,
+        weighted_resample,
+    )
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        weighted_resample_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights = {
+        r["source"]: r["weight_e4"]
+        for r in source_mix_weights(docs, "source").collect()
+    }
+    batch = weighted_resample(docs, "source", "doc_id")
+    stream = weighted_resample_stream(spark, docs_stream_dir2, weights)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("resample_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("resample_stream")
+    assert got.columns == batch.columns
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, got.collect())
+    )
