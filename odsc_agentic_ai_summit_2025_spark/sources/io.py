@@ -207,3 +207,52 @@ def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S3: JSON sink (one object per line; coalesce(1) for file parity)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    *,
+    target_mb: int = 256,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Compacting parquet writer — the small-files half of a 100 TB
+    pipeline the read path alone can't fix: a shuffle-heavy plan ends
+    in ``spark.sql.shuffle.partitions`` output files regardless of
+    data volume, so a 10 MB result lands as 200 shards and a 10 TB
+    one as 200 lopsided monsters. Sizes the file count from a sampled
+    row width (Spark has no write-side ``maxFileBytes`` for plain
+    parquet), repartitions to it, and optionally range-sorts WITHIN
+    the layout on ``sort_cols`` so parquet row-group min/max stats
+    make later range predicates prune files (the poor man's z-order;
+    one clustering column family is the common case).
+
+    Returns the file count it chose. Sizing is driver-side estimation
+    (count + sample-row encoded width with a 2.5x parquet-compression
+    haircut) — deliberately cheap and approximate; the invariant
+    tests assert data fidelity, file count scaling, and that a range
+    read over the sort column prunes row groups, not byte-exact file
+    sizes.
+    """
+    import math
+
+    n = df.count()
+    if n == 0:
+        df.limit(0).write.mode(mode).parquet(path)
+        return 1
+    sample = df.limit(200).toPandas()
+    import io as _io
+
+    buf = _io.BytesIO()
+    sample.to_parquet(buf, index=False)
+    bytes_per_row = max(buf.getbuffer().nbytes / max(len(sample), 1), 1.0)
+    est_bytes = n * bytes_per_row / 2.5  # column-compression haircut
+    n_files = max(1, math.ceil(est_bytes / (target_mb * 1024 * 1024)))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(path)
+    return n_files

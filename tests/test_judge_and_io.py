@@ -228,3 +228,52 @@ def test_row_index_distributed_matches_window_form(spark, sf_dir):
     plan = b._jdf.queryExecution().executedPlan().toString()
     # every window in the distributed form is keyed by partition id
     assert "partitionBy" not in plan or "_pid" in plan
+
+
+def test_write_compacted_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """Compacting writer: data fidelity, file-count scaling with
+    target size, and row-group stats that let a range predicate prune
+    (the reason sort_cols exists)."""
+    from odsc_agentic_ai_summit_2025_spark.sources.io import (
+        read_table,
+        write_compacted,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    small = str(tmp_path / "small")
+    n_small = write_compacted(
+        docs, small, target_mb=1, sort_cols=["doc_id"]
+    )
+    big = str(tmp_path / "big")
+    n_big = write_compacted(docs, big, target_mb=1024, sort_cols=["doc_id"])
+    assert n_big <= n_small
+    assert n_big == 1  # 500 docs << 1 GiB
+
+    back = spark.read.parquet(small)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+    # range-sorted layout: each file covers a disjoint doc_id range, so
+    # min/max footer stats satisfy a point-range scan from ONE file
+    import pyarrow.parquet as pq
+    import pathlib
+
+    files = sorted(pathlib.Path(small).glob("*.parquet"))
+    if len(files) > 1:
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().names.index("doc_id")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((min(mins), max(maxs)))
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2  # disjoint → file-level pruning works
+
+    empty = str(tmp_path / "empty")
+    assert write_compacted(docs.limit(0), empty, target_mb=1) == 1
+    assert spark.read.parquet(empty).count() == 0
