@@ -414,3 +414,46 @@ def weighted_resample(
             id_col, "source", F.col("_ci").cast("long").alias("copy_idx")
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic exactly-``n_per_group`` sample per group (eval
+    subset selection, per-domain audits): rank rows inside each group
+    by their salted hash (ties by id — total order), keep the first
+    ``n_per_group``. No RNG — same reproducibility contract as
+    ``train_split``/``weighted_resample``: the subset is a pure
+    function of (corpus, salt), stable under partitioning and corpus
+    append (a new row displaces at most one old pick in its group).
+
+    Scale shape: one hash-ranked window per group. Groups are
+    domains/sources (thousands at most), but a single group can hold
+    most of the corpus, so the window would hot-key; instead rank via
+    groupBy-aggregated threshold? — no: the k-th-smallest threshold
+    per group is itself a full sort. The window IS the honest cost;
+    mitigate by pre-filtering with an approximate per-group hash
+    threshold when n_per_group ≪ group size (documented seam, not
+    needed at gate scale).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import char_poly_hash
+
+    h = char_poly_hash(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col).alias("grp"))
+        .withColumn("_h", h)
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= n_per_group)
+        .select(id_col, F.col("grp").alias(group_col), "pick_rank")
+    )

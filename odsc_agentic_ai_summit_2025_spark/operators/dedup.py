@@ -561,3 +561,50 @@ def ngram_span_dupes(
         ),
         per_pos,
     )
+
+
+def dedup_admit_incremental(
+    existing: DataFrame, new: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental exact-dedup admission — the daily-ingest path at
+    100 TB, where re-running whole-corpus dedup per delivery is the
+    thing a production pipeline must never do: only the NEW batch is
+    hashed against the standing digest set.
+
+    A new doc is admitted iff (a) its digest is absent from
+    ``existing`` and (b) it is the minimum-id holder of that digest
+    WITHIN the batch (the same keep-first convention as
+    :func:`exact_dedup_groups`, so admit(existing, new) ≡ re-running
+    full dedup on existing ∪ new restricted to new ids — the
+    incremental ≡ rebuild equivalence the index tier also proves).
+    Output: ``[id, text_sha, admitted, reason]`` — one row per new
+    doc, auditable like ``corpus_filter``.
+
+    Scale shape: the standing set arrives as digests only (64-hex
+    strings — the 100 TB corpus never re-reads); the batch hashes
+    map-side, left-anti-style marks via a digest-keyed join (batch ⋈
+    digests, AQE-skewed if a viral digest floods a delivery), and the
+    within-batch min-id is a digest-keyed aggregate joined back.
+    """
+    ex = existing.select(
+        F.sha2(F.col(text_col), 256).alias("text_sha")
+    ).distinct()
+    batch = new.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha")
+    )
+    batch_min = batch.groupBy("text_sha").agg(F.min(id_col).alias("_min_id"))
+    return (
+        batch.join(batch_min, "text_sha")
+        .join(ex.withColumn("_seen", F.lit(True)), "text_sha", "left")
+        .select(
+            id_col,
+            "text_sha",
+            (
+                F.col("_seen").isNull() & (F.col(id_col) == F.col("_min_id"))
+            ).alias("admitted"),
+            F.when(F.col("_seen").isNotNull(), F.lit("in_corpus"))
+            .when(F.col(id_col) != F.col("_min_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("reason"),
+        )
+    )

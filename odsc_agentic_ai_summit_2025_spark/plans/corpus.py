@@ -6,6 +6,7 @@ LLM keyword extractor (L7). Both integer-exact with DuckDB twins."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.io import read_table
 from .registry import Query
@@ -123,6 +124,72 @@ FROM d, unnest(generate_series(1, CAST(n_rep AS INTEGER))) AS u(copy_idx)
 """
 
 
+def q86_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup admission: docs with id >= 250 arrive
+    as 'today's batch' against the standing digest set of ids < 250 —
+    the daily-ingest path that must not re-read the corpus. Admission
+    ≡ full-rebuild dedup restricted to the batch (oracle computes it
+    that way)."""
+    from ..operators.dedup import dedup_admit_incremental
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_admit_incremental(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        "text",
+        "doc_id",
+    )
+
+
+Q86_SQL = """
+WITH ex AS (
+  SELECT DISTINCT sha256(text) AS text_sha FROM documents WHERE doc_id < 250
+),
+batch AS (
+  SELECT doc_id, sha256(text) AS text_sha FROM documents WHERE doc_id >= 250
+),
+bm AS (SELECT text_sha, MIN(doc_id) AS _min_id FROM batch GROUP BY 1)
+SELECT b.doc_id,
+       b.text_sha,
+       (ex.text_sha IS NULL AND b.doc_id = bm._min_id) AS admitted,
+       CASE WHEN ex.text_sha IS NOT NULL THEN 'in_corpus'
+            WHEN b.doc_id != bm._min_id THEN 'dup_in_batch'
+            ELSE 'new' END AS reason
+FROM batch b
+JOIN bm USING (text_sha)
+LEFT JOIN ex ON b.text_sha = ex.text_sha
+"""
+
+
+def q87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-N-per-source sample (eval subset
+    selection): salted-hash rank inside each source, ties by id —
+    a pure function of (corpus, salt), no RNG."""
+    from ..operators.curation import stratified_sample
+
+    return stratified_sample(
+        read_table(spark, sf_dir, "documents"), "source", "doc_id",
+        n_per_group=20,
+    )
+
+
+def _q87_sql() -> str:
+    from ..functions.text import char_poly_hash_sql
+
+    h = char_poly_hash_sql("CAST(doc_id AS VARCHAR) || ':sample'")
+    return f"""
+SELECT doc_id, source, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY {h} ASC, doc_id ASC
+         ) AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= 20
+"""
+
+
 QUERIES = [
     Query("q83_substring_dupes", q83_substring_dupes, Q83_SQL,
           ("U2", "A5"), "exact substring (8-gram span) duplication stats"),
@@ -130,4 +197,8 @@ QUERIES = [
           ("A10", "O1"), "fixed-point tf-idf top terms per document"),
     Query("q85_weighted_resample", q85_weighted_resample, _q85_sql(),
           ("A3", "F12"), "deterministic weighted epoch resampling"),
+    Query("q86_dedup_admit", q86_dedup_admit, Q86_SQL,
+          ("A1", "J2"), "incremental exact-dedup batch admission"),
+    Query("q87_stratified_sample", q87_stratified_sample, _q87_sql(),
+          ("O1", "F12"), "deterministic per-group stratified sample"),
 ]

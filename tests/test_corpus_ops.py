@@ -98,3 +98,61 @@ def test_weighted_resample_skewed_mix(spark):
     # deterministic under repartitioning
     again = weighted_resample(df.repartition(7, "doc_id"), "source", "doc_id")
     assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
+
+
+def test_dedup_admit_equals_rebuild(spark, sf_dir):
+    """Incremental admission must equal re-running full keep-first
+    dedup on existing ∪ batch, restricted to batch ids (batch ids are
+    larger than existing ids here, so history always wins ties — the
+    CDC invariant that admitted docs are never retroactively
+    un-admitted)."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import (
+        dedup_admit_incremental,
+        exact_dedup_groups,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+
+    admitted = {
+        r["doc_id"]
+        for r in dedup_admit_incremental(
+            existing, batch, "text", "doc_id"
+        ).collect()
+        if r["admitted"]
+    }
+    rebuild_keeps = {
+        r["keep_id"]
+        for r in exact_dedup_groups(docs, "text", "doc_id").collect()
+    }
+    assert admitted == {i for i in rebuild_keeps if i >= 250}
+    assert len(admitted) > 0
+
+
+def test_stratified_sample_exact_and_stable(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", "doc_id", n_per_group=7).collect()
+    per_grp: dict[str, int] = {}
+    for r in out:
+        per_grp[r["source"]] = per_grp.get(r["source"], 0) + 1
+    assert per_grp == {f"s{i}": 7 for i in range(4)}
+    # deterministic under partitioning
+    again = stratified_sample(
+        df.repartition(9, "doc_id"), "source", "doc_id", n_per_group=7
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a group smaller than N yields the whole group
+    tiny = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    got = stratified_sample(tiny, "source", "doc_id", n_per_group=5).collect()
+    assert len(got) == 3
