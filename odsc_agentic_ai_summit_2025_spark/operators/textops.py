@@ -339,3 +339,31 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonicalize text ahead of exact dedup (the standard trick that
+    turns trivially-reformatted copies into exact duplicates):
+    lowercase, strip everything outside [a-z0-9 whitespace], collapse
+    whitespace runs, trim. Emits the normalized text, its sha256, and
+    the removed-character count — so ``exact_dedup_groups`` over
+    ``norm_sha`` is normalization-robust dedup for free.
+
+    Map-only codegen expressions; the regexes use only constructs
+    with identical semantics in Java regex (Spark) and RE2 (DuckDB),
+    and DuckDB's replace runs with the 'g' flag to match Spark's
+    replace-all default. Whitespace class is the explicit
+    ``[ \\t\\n\\r]`` (Java's ``\\s`` and RE2's ``\\s`` agree on these
+    four; wider Unicode space classes do not agree across engines).
+    """
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 \\t\\n\\r]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, "[ \\t\\n\\r]+", " "))
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        collapsed.alias("norm_text"),
+        F.sha2(collapsed, 256).alias("norm_sha"),
+        (F.length(F.col(text_col)) - F.length(collapsed))
+        .cast("long")
+        .alias("n_removed"),
+    )

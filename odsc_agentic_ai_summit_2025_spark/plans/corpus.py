@@ -202,3 +202,33 @@ QUERIES = [
     Query("q87_stratified_sample", q87_stratified_sample, _q87_sql(),
           ("O1", "F12"), "deterministic per-group stratified sample"),
 ]
+
+
+def q88_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup text canonicalization: lowercase, alnum-only,
+    whitespace-collapsed text + its sha256 + removed-char count."""
+    from ..operators.textops import normalize_text
+
+    return normalize_text(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+Q88_SQL = r"""
+SELECT doc_id,
+       norm_text,
+       sha256(norm_text) AS norm_sha,
+       CAST(length(text) - length(norm_text) AS BIGINT) AS n_removed
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', ' ', 'g'),
+           '[ \t\n\r]+', ' ', 'g')) AS norm_text
+  FROM documents WHERE text IS NOT NULL
+)
+"""
+
+QUERIES.append(
+    Query("q88_normalize_text", q88_normalize_text, Q88_SQL,
+          ("F1", "F12"), "pre-dedup text canonicalization + digest")
+)
