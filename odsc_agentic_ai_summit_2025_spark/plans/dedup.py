@@ -293,6 +293,9 @@ FROM comp
 
 
 QUERIES = [
+    Query("q82_semantic_dedup", q82_semantic_dedup, Q82_SQL,
+          ("V2", "U2", "A2"),
+          "SemDeDup: kNN-join edges → components → keep decisions"),
     Query("q34_dedup_exact", q34_dedup_exact, Q34_SQL,
           ("A1", "A2"), "exact dedup via sha256 groupBy"),
     Query("q35_jaccard_pairs", q35_jaccard_pairs, Q35_SQL,
@@ -309,7 +312,4 @@ QUERIES = [
           ("U2", "A2"), "connected-component dedup clusters + keep/drop"),
     Query("q63_neardup_lsh", q63_neardup_lsh, _q63_sql(),
           ("V2", "V1"), "banded-LSH near-dup with exact verification"),
-    Query("q82_semantic_dedup", q82_semantic_dedup, Q82_SQL,
-          ("V2", "U2", "A2"),
-          "SemDeDup: kNN-join edges → components → keep decisions"),
 ]

@@ -55,7 +55,9 @@ def all_queries() -> dict[str, Query]:
     # least gate history go first.  Round-5 rotation: the 27 queries whose
     # last driver rows are from round 3 (extended q45-q54, extended2
     # q55-q62, observability q64-q68, curation q71-q75) lead, then textops
-    # (the q80 determinism fix needs its driver row) and dedup (new q82);
+    # (the q80 determinism fix needs its driver row), the new corpus module
+    # (q83-q88) and dedup (new q82 FIRST within its module so it makes the
+    # window; q63, r4-fresh, is the one dedup entry that rotates out);
     # relational/retrieval got fresh r4 rows and rotate to the back.
     out: dict[str, Query] = {}
     for mod in (
