@@ -1,7 +1,10 @@
-"""Corpus-analysis query inventory (round 5): span-level exact
-substring dedup and statistical keyword extraction — the two
-training-data tiers between whole-document dedup (q34-q38) and the
-LLM keyword extractor (L7). Both integer-exact with DuckDB twins."""
+"""Corpus-analysis query inventory (round 5): the training-data
+tiers between whole-document dedup (q34-q38) and the LLM extractors —
+span-level substring dedup (q83), statistical keyword extraction
+(q84), deterministic epoch resampling (q85), incremental dedup
+admission (q86), stratified sampling (q87), and pre-dedup text
+canonicalization (q88). All integer/digest-exact with DuckDB twins;
+every no-RNG sampling device is the salted char_poly_hash bucket."""
 
 from __future__ import annotations
 

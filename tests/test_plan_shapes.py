@@ -45,6 +45,11 @@ BNLJ_ALLOWED = {
     "q79_ivfpq_knn": "queries × K centroids — both sides bounded, probe selection",
     "q58_heavy_hitters": "1-row scalar total broadcast against term counts",
     "q73_source_mix": "1-row scalar totals broadcast against per-source counts",
+    "q85_weighted_resample": (
+        "inherits q73's 1-row scalar-totals broadcast inside the weight "
+        "computation; the corpus-side weight join itself is a broadcast "
+        "HASH join"
+    ),
 }
 
 
