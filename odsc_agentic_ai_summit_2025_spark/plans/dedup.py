@@ -252,10 +252,16 @@ def q82_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both gate corpora (1 at sf0.01, 3 at sf0.1), so the thresholded
     kNN graph is precisely the full >=0.45 pair graph and the oracle
     is the Q38 cosine join composed with the Q66 recursive-CTE
-    components + decisions."""
+    components + decisions. Gate corpus bounded to the first 1000
+    vectors (the q81 pattern: the exact nprobe=K configuration scores
+    every pair, so GATE cost must not scale with SF; the
+    sub-quadratic partial-probe composition is the scale path and is
+    what `pipeline.semantic_dedup` runs by default)."""
     from ..pipeline import semantic_dedup
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
     return semantic_dedup(
         emb, "embedding", "vec_id", threshold=0.45,
         k_neighbors=10, k_clusters=8, nprobe=8,
@@ -268,9 +274,10 @@ def q82_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q82_SQL = """
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE emb AS (SELECT * FROM embeddings WHERE vec_id < 1000),
+pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[])) >= 0.45
 ),
@@ -279,7 +286,7 @@ edges AS (
   UNION SELECT b_id, a_id FROM pairs
 ),
 reach(id, r) AS (
-  SELECT vec_id, vec_id FROM embeddings
+  SELECT vec_id, vec_id FROM emb
   UNION
   SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
 ),
