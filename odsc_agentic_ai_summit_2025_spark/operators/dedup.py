@@ -608,3 +608,50 @@ def dedup_admit_incremental(
             .alias("reason"),
         )
     )
+
+
+def editdist_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 6,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Candidate-then-verify near-dup at EDIT-DISTANCE granularity:
+    SimHash pigeonhole candidates (Hamming ≤ ``max_hamming``) over
+    CANONICALIZED text, verified by exact Levenshtein ≤ ``max_dist``.
+    The tier between fingerprint equality (cheap, coarse) and
+    token-set Jaccard (order-blind): edit distance is the only one of
+    the three that sees word-order edits as edits.
+
+    Canonicalization first (:func:`..operators.textops.normalize_text`)
+    is load-bearing twice over: it makes trivially-reformatted copies
+    near-identical BEFORE fingerprinting, and it restricts the verify
+    input to ``[a-z0-9 ]`` bytes, where character-based (Spark) and
+    byte-based (DuckDB) Levenshtein agree — the oracle would diverge
+    on multi-byte codepoints otherwise.
+
+    Scale shape: candidates come from the lossless pigeonhole banding
+    (never all-pairs); the verify joins the two texts per CANDIDATE
+    (text shuffles only for surviving candidate ids — at 100 TB
+    candidate volume, not corpus volume) and the Levenshtein kernel
+    is JVM-side codegen. O(len²) per verified pair is the honest cost
+    of exact edit distance; bound the candidate Hamming radius, not
+    the verify.
+    """
+    from .textops import normalize_text
+
+    norm = normalize_text(df, text_col, id_col)
+    cand = simhash_near_pairs(
+        norm, "norm_text", id_col, max_hamming=max_hamming
+    )
+    ta = norm.select(F.col(id_col).alias("a_id"), F.col("norm_text").alias("_ta"))
+    tb = norm.select(F.col(id_col).alias("b_id"), F.col("norm_text").alias("_tb"))
+    return (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn("edit_dist", F.levenshtein(F.col("_ta"), F.col("_tb")).cast("int"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("a_id", "b_id", "hamming", "edit_dist")
+    )

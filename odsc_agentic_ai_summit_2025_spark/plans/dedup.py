@@ -156,7 +156,10 @@ def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_votes_expr() -> str:
+    """The bit-vote fold over a token-hash list column ``hs`` —
+    shared by every simhash oracle (q37/q78 over ``documents``, q89
+    over the canonicalized CTE)."""
     votes = []
     for b in range(ops.SIMHASH_BITS):
         vote = (
@@ -164,10 +167,13 @@ def _simhash_sql() -> str:
             f"list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)), (a, b) -> a + b)"
         )
         votes.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
-    total = " + ".join(votes)
+    return " + ".join(votes)
+
+
+def _simhash_sql(src: str = "documents") -> str:
     return f"""
-WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM documents)
-SELECT doc_id, {total} AS simhash FROM toks
+WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM {src})
+SELECT doc_id, {_simhash_votes_expr()} AS simhash FROM toks
 """
 
 
@@ -320,3 +326,45 @@ QUERIES = [
     Query("q63_neardup_lsh", q63_neardup_lsh, _q63_sql(),
           ("V2", "V1"), "banded-LSH near-dup with exact verification"),
 ]
+
+
+_CANON = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 \\t\\n\\r]', ' ', 'g'), '[ \\t\\n\\r]+', ' ', 'g'))"
+)
+
+
+def q89_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-candidate → exact-Levenshtein near-dup pairs over
+    canonicalized text (first 200 docs — the exact verify is
+    O(len²)/pair and the oracle is brute-force all-pairs)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ops.editdist_near_pairs(
+        docs, "text", "doc_id", max_hamming=6, max_dist=50
+    )
+
+
+def _q89_sql() -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {_CANON} AS text
+  FROM documents WHERE text IS NOT NULL AND doc_id < 200
+),
+toks AS (SELECT doc_id, {_HASHES} AS hs FROM norm),
+s AS (SELECT doc_id, {_simhash_votes_expr()} AS simhash FROM toks)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM norm a
+JOIN norm b ON a.doc_id < b.doc_id
+JOIN s sa ON sa.doc_id = a.doc_id
+JOIN s sb ON sb.doc_id = b.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+  AND levenshtein(a.text, b.text) <= 50
+"""
+
+
+QUERIES.append(
+    Query("q89_editdist_pairs", q89_editdist_pairs, _q89_sql(),
+          ("U2", "F2"), "simhash-candidate exact-Levenshtein near-dup pairs")
+)

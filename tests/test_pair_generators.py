@@ -265,3 +265,30 @@ def test_simhash_near_pairs_rejects_zero_width_chunks(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").limit(10)
     with pytest.raises(ValueError, match="non-empty chunks"):
         simhash_near_pairs(docs, "text", "doc_id", bits=4, max_hamming=4)
+
+
+def test_editdist_near_pairs_planted(spark):
+    """One-word substitution between long twins → candidate (small
+    Hamming) + tiny edit distance; unrelated docs → absent. The
+    canonicalizer must also make case/punct variants exact-ish."""
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base.replace("w7", "w99")),          # one-token edit
+        (3, "W0 w1, w2! " + " ".join(f"w{i}" for i in range(3, 40))),
+        (4, " ".join(f"z{i}" for i in range(40))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import (
+        editdist_near_pairs,
+    )
+
+    got = {
+        (r["a_id"], r["b_id"]): r["edit_dist"]
+        for r in editdist_near_pairs(
+            df, "text", "doc_id", max_hamming=8, max_dist=10
+        ).collect()
+    }
+    assert got.get((1, 2)) == 2      # 'w7' -> 'w99': substitute + insert
+    assert got.get((1, 3)) == 0      # canonicalization erases case/punct
+    assert all(4 not in pair for pair in got)
