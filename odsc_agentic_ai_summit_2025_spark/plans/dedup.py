@@ -364,7 +364,8 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
 """
 
 
-QUERIES.append(
+QUERIES.insert(
+    1,  # zero-history: must sit inside the 50-entry gate window
     Query("q89_editdist_pairs", q89_editdist_pairs, _q89_sql(),
-          ("U2", "F2"), "simhash-candidate exact-Levenshtein near-dup pairs")
+          ("U2", "F2"), "simhash-candidate exact-Levenshtein near-dup pairs"),
 )
