@@ -328,3 +328,110 @@ def dedup_decisions(
         ),
         components,
     )
+
+
+def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation over an undirected pair list
+    (``a_id < b_id``) — the clustering-coefficient numerator, and for
+    a near-dup graph a direct "mutually-similar triple" detector.
+
+    Shape: the classic ordered three-way join — enumerate each
+    triangle exactly once as (a < b < c) via edges(a,b) ⋈ edges(b,c)
+    ⋈ edges(a,c) — then fan each triangle to its three corners and
+    count. Joins key on vertex ids (partial-combined, AQE-skewed);
+    nothing is ever materialized per-wedge beyond the join itself. At
+    scale the standard refinement is degree-ordering (orient edges
+    low-degree → high-degree so hub wedges never enumerate); the gate
+    graph is far too small to need it, and the ordered-id join is the
+    same plan shape.
+
+    Output: ``[id, n_triangles]`` — every vertex, zero-filled.
+    """
+    e = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    per_v = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        vertices.select(F.col("id"))
+        .distinct()
+        .join(per_v, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+def pagerank_fixed(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    *,
+    iterations: int = 3,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Exact-integer PageRank over the symmetric closure of an
+    undirected pair list: ``iterations`` unrolled power steps in e9
+    fixed point — every operation is an int64 division or sum, so the
+    result is bit-identical in any engine and any partition order (an
+    oracle-checkable PageRank, which float implementations can never
+    be). Isolated vertices hold the teleport mass; dangling
+    redistribution is vacuous on a symmetric graph (documented
+    convention, mirrored in the oracle).
+
+    pr0 = scale div N;  pr' = (15·(scale div N)) div 100
+                             + (85·Σ_{u~v} (pr[u] div deg[u])) div 100
+
+    Shape: degree table once (vertex-keyed agg), then per iteration
+    one edge⋈pr join (vertex-keyed, partial-combined sum). Unrolled
+    because the iteration count is a small constant — no driver loop
+    state, one linear plan; Catalyst pipelines the joins. At 100 TB
+    each step is the standard vertex-partitioned join; a persisted/
+    checkpointed pr frame per step would bound plan growth for large
+    ``iterations`` (not needed at 3).
+
+    Output: ``[id, pr_e9]``.
+    """
+    sym = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    verts = vertices.select(F.col("id")).distinct()
+    n = verts.count()
+    base = int(scale) // max(n, 1)
+    teleport = (15 * base) // 100
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    pr = verts.select("id", F.lit(base).cast("long").alias("pr_e9"))
+    for _ in range(iterations):
+        contrib = (
+            sym.join(pr.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("pr_e9 div _deg").alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        pr = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(_in, 0L) div 100")
+                ).cast("long").alias("pr_e9"),
+            )
+        )
+    return pr

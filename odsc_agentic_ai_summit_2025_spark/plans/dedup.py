@@ -369,3 +369,121 @@ QUERIES.insert(
     Query("q89_editdist_pairs", q89_editdist_pairs, _q89_sql(),
           ("U2", "F2"), "simhash-candidate exact-Levenshtein near-dup pairs"),
 )
+
+
+_PAIRS05 = f"""
+docs AS (SELECT * FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, unnest({_UTOKS}) AS tok FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE (n_inter * 10000) // (sa.n + sb.n - n_inter) >= 5000
+)"""
+
+
+def _neardup_graph(spark: SparkSession, sf_dir: str):
+    """The gate graph both analytics queries run on: Jaccard ≥ 0.5
+    pairs within the first 200 docs (denser than q66's 0.8 graph so
+    triangles exist), plus every doc as a vertex."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ops.jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        "a_id", "b_id"
+    )
+    return pairs, docs.select(F.col("doc_id").alias("id"))
+
+
+def q90_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the near-dup graph — the
+    clustering-coefficient numerator via the ordered three-way join
+    (each triangle enumerated once as a < b < c)."""
+    from ..operators.components import triangle_counts
+
+    pairs, verts = _neardup_graph(spark, sf_dir)
+    return triangle_counts(pairs, verts).select(
+        F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
+Q90_SQL = f"""
+WITH {_PAIRS05},
+tri AS (
+  SELECT p1.a_id AS a, p1.b_id AS b, p2.b_id AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.a_id = p1.b_id
+  JOIN pairs p3 ON p3.a_id = p1.a_id AND p3.b_id = p2.b_id
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM corners GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM docs d LEFT JOIN cnt ON cnt.id = d.doc_id
+"""
+
+
+def q91_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (3 unrolled power steps, e9 fixed
+    point) over the symmetric near-dup graph — an oracle-checkable
+    PageRank, which float implementations can never be."""
+    from ..operators.components import pagerank_fixed
+
+    pairs, verts = _neardup_graph(spark, sf_dir)
+    return pagerank_fixed(pairs, verts, iterations=3).select(
+        F.col("id").alias("doc_id"), "pr_e9"
+    )
+
+
+def _q91_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT v.id,
+         CAST((15 * (1000000000 // n.n)) // 100
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr_e9
+  FROM verts v CROSS JOIN n
+  LEFT JOIN (
+    SELECT sym.dst AS id, SUM(p.pr_e9 // d.deg) AS s
+    FROM sym
+    JOIN {prev} p ON p.id = sym.src
+    JOIN deg d ON d.src = sym.src
+    GROUP BY 1
+  ) c ON c.id = v.id
+)"""
+
+
+Q91_SQL = f"""
+WITH {_PAIRS05},
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+verts AS (SELECT doc_id AS id FROM docs),
+n AS (SELECT COUNT(*) AS n FROM verts),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+pr0 AS (
+  SELECT v.id, CAST(1000000000 // n.n AS BIGINT) AS pr_e9
+  FROM verts v CROSS JOIN n
+),{_q91_iter_sql("pr0", "pr1")},{_q91_iter_sql("pr1", "pr2")},{_q91_iter_sql("pr2", "pr3")}
+SELECT id AS doc_id, pr_e9 FROM pr3
+"""
+
+
+QUERIES.insert(
+    2,
+    Query("q90_triangle_counts", q90_triangle_counts, Q90_SQL,
+          ("J3", "A5"), "per-vertex triangle counts (ordered 3-way join)"),
+)
+QUERIES.insert(
+    3,
+    Query("q91_pagerank", q91_pagerank, Q91_SQL,
+          ("J3", "A5"), "exact-integer fixed-point PageRank (3 steps)"),
+)

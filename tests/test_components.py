@@ -206,3 +206,46 @@ def test_corpus_filter_rules_discriminate(spark):
     assert not rows[2]["len_ok"] and not rows[2]["kept"]
     assert not rows[3]["stop_ok"] and not rows[3]["kept"]
     assert not rows[4]["avg_len_ok"] and not rows[4]["kept"]
+
+
+def test_triangle_counts_k4_plus_chain(spark):
+    """K4 → every member in C(3,2)=3 triangles; chain → none."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    pairs = spark.createDataFrame(k4 + chain, "a_id long, b_id long")
+    verts = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + [10, 11, 12, 13, 99]], "id long"
+    )
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(pairs, verts).collect()
+    }
+    assert all(got[i] == 3 for i in range(4))
+    assert all(got[i] == 0 for i in (10, 11, 12, 13, 99))
+
+
+def test_pagerank_fixed_star_and_determinism(spark):
+    """Star center outranks leaves; isolated vertex holds teleport
+    mass only; result identical under input repartitioning."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        pagerank_fixed,
+    )
+
+    star = [(0, i) for i in range(1, 9)]
+    pairs = spark.createDataFrame(star, "a_id long, b_id long")
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    got = {r["id"]: r["pr_e9"] for r in pagerank_fixed(pairs, verts).collect()}
+    assert got[0] > got[1] > got[9]
+    base = 10**9 // 10
+    assert got[9] == (15 * base) // 100  # isolated: teleport only
+    again = {
+        r["id"]: r["pr_e9"]
+        for r in pagerank_fixed(
+            pairs.repartition(5, "b_id"), verts, iterations=3
+        ).collect()
+    }
+    assert got == again
