@@ -346,8 +346,14 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
     same plan shape.
 
     Output: ``[id, n_triangles]`` — every vertex, zero-filled.
+    The pair list is consumed THREE times by the 3-way join, so it is
+    persisted (pair generators like the Jaccard join are far more
+    expensive than the edge list is large); released via
+    ``cache.release(result)``.
     """
-    e = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    e = pairs.select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    ).persist()
     e1 = e.select(F.col("a"), F.col("b"))
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
@@ -362,14 +368,15 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("id")))
     )
     per_v = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
-    return (
+    return own(
         vertices.select(F.col("id"))
         .distinct()
         .join(per_v, "id", "left")
         .select(
             "id",
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
-        )
+        ),
+        e,
     )
 
 
@@ -402,12 +409,15 @@ def pagerank_fixed(
 
     Output: ``[id, pr_e9]``.
     """
+    # persisted: the edge list is consumed by the degree table AND by
+    # every iteration's join — without the pin an expensive pair
+    # GENERATOR upstream (the Jaccard join here) re-executes per step
     sym = pairs.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionAll(
         pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-    )
-    verts = vertices.select(F.col("id")).distinct()
+    ).persist()
+    verts = vertices.select(F.col("id")).distinct().persist()
     n = verts.count()
     base = int(scale) // max(n, 1)
     teleport = (15 * base) // 100
@@ -434,4 +444,4 @@ def pagerank_fixed(
                 ).cast("long").alias("pr_e9"),
             )
         )
-    return pr
+    return own(pr, sym, verts)

@@ -651,6 +651,12 @@ def editdist_near_pairs(
     return (
         cand.join(ta, "a_id")
         .join(tb, "b_id")
+        # standard length prefilter: |len(a)-len(b)| > d ⇒ lev > d —
+        # a codegen'd comparison that skips the O(len²) DP for most
+        # false candidates before it runs
+        .filter(
+            F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(max_dist)
+        )
         .withColumn("edit_dist", F.levenshtein(F.col("_ta"), F.col("_tb")).cast("int"))
         .filter(F.col("edit_dist") <= max_dist)
         .select("a_id", "b_id", "hamming", "edit_dist")

@@ -336,11 +336,17 @@ _CANON = (
 
 def q89_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-candidate → exact-Levenshtein near-dup pairs over
-    canonicalized text (first 200 docs — the exact verify is
-    O(len²)/pair and the oracle is brute-force all-pairs)."""
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    canonicalized text (first 120 docs, Hamming ≤ 4 — the exact
+    verify is O(len²)/pair, so the GATE corpus and candidate radius
+    are pinned; the oracle is brute-force all-pairs)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    # distance budget ~half the typical canonical doc length: the
+    # near-dup regime for this corpus (its closest non-identical pairs
+    # sit at lev 40-90), so the gate result is non-degenerate at
+    # every SF while the hamming-4 candidate radius keeps the
+    # O(len²) verify off the vast majority of pairs
     return ops.editdist_near_pairs(
-        docs, "text", "doc_id", max_hamming=6, max_dist=50
+        docs, "text", "doc_id", max_hamming=4, max_dist=120
     )
 
 
@@ -348,7 +354,7 @@ def _q89_sql() -> str:
     return f"""
 WITH norm AS (
   SELECT doc_id, {_CANON} AS text
-  FROM documents WHERE text IS NOT NULL AND doc_id < 200
+  FROM documents WHERE text IS NOT NULL AND doc_id < 120
 ),
 toks AS (SELECT doc_id, {_HASHES} AS hs FROM norm),
 s AS (SELECT doc_id, {_simhash_votes_expr()} AS simhash FROM toks)
@@ -359,8 +365,8 @@ FROM norm a
 JOIN norm b ON a.doc_id < b.doc_id
 JOIN s sa ON sa.doc_id = a.doc_id
 JOIN s sb ON sb.doc_id = b.doc_id
-WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
-  AND levenshtein(a.text, b.text) <= 50
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 4
+  AND levenshtein(a.text, b.text) <= 120
 """
 
 
