@@ -9,12 +9,15 @@ metadata — the layout here. Design rules:
 - The payload is OPAQUE to Spark: filters/joins/pruning run on the
   metadata struct; only the Python kernels touch bytes, in Arrow
   batches (never row-at-a-time).
-- Real codecs (PIL/ffmpeg/librosa) are not in this container, so the
-  byte-level decode is STUBBED: ``decode=fake`` derives deterministic
-  "pixels" from the payload via SHA-256 expansion; ``decode=real``
-  raises ``NotImplementedError`` at the exact seam where a codec
-  plugs in. Everything Spark-side — schema, partitioning, batch
-  shape, UDF signatures — is the real article and is tested.
+- Codecs are tiered: BMP/WAV decode with dependency-free stdlib
+  codecs (``functions/codecs.py``), compressed rasters via the
+  import-guarded PIL path, video via the ffmpeg-CLI path — each
+  raising a clear error at its seam where the library is absent —
+  and ``decode=fake`` (SHA-256 expansion) remains as the
+  correctness stand-in for formats with no codec anywhere. Audio
+  feature extraction (``mel_features``) is REAL numpy-FFT DSP, no
+  library needed. Everything Spark-side — schema, partitioning,
+  batch shape, UDF signatures — is tested.
 - At scale: payloads dominate bytes; keep them OUT of shuffles.
   Every operator below is shuffle-free (mapInPandas preserves
   partitioning); pair with metadata-only pre-filters so decode work
@@ -336,5 +339,80 @@ def _sample_frames_ffmpeg(media: DataFrame, every_n: int) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "frame_digest"]
             )
+
+    return ensure_min_partitions(media).mapInPandas(run, out_schema)
+
+
+def mel_features(
+    media: DataFrame,
+    *,
+    n_bands: int = 8,
+    frame: int = 256,
+) -> DataFrame:
+    """REAL audio feature extraction over 16-bit PCM WAV payloads —
+    the mel-spectrogram-shaped featurizer a training pipeline runs
+    before an audio encoder, implemented with numpy FFT inside the
+    Arrow kernel (no codec library needed: the WAV codec is the
+    stdlib one in ``functions/codecs.py``).
+
+    Per payload: decode PCM → non-overlapping ``frame``-sample
+    windows → rFFT power spectrum → ``n_bands`` triangular
+    mel-spaced band energies averaged over frames → ``log1p`` →
+    e4 fixed-point int64s. Deterministic for a given payload
+    (float64 FFT, fixed framing, then quantized), so tests assert
+    exact values and tone placement; there is no DuckDB FFT, so this
+    is a pytest-verified operator (the S/multimodal tier), not an
+    oracled query.
+
+    Scale shape: map-only mapInPandas (one Arrow batch in, one out);
+    payload bytes never shuffle. Output: [media_id,
+    mel_e4: array<long>] — ``n_bands`` values.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mel_e4", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import decode_wav
+
+        def mel_filterbank(sr: int) -> np.ndarray:
+            # triangular filters on the mel scale over [0, sr/2]
+            n_bins = frame // 2 + 1
+            f_hz = np.linspace(0.0, sr / 2.0, n_bins)
+            mel = 2595.0 * np.log10(1.0 + f_hz / 700.0)
+            edges = np.linspace(0.0, mel[-1], n_bands + 2)
+            fb = np.zeros((n_bands, n_bins))
+            for b in range(n_bands):
+                lo, mid, hi = edges[b], edges[b + 1], edges[b + 2]
+                up = (mel - lo) / max(mid - lo, 1e-12)
+                down = (hi - mel) / max(hi - mid, 1e-12)
+                fb[b] = np.clip(np.minimum(up, down), 0.0, None)
+            return fb
+
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n, sr, ch, pcm = decode_wav(bytes(p))
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                if ch > 1:
+                    x = x.reshape(-1, ch).mean(axis=1)
+                n_frames = len(x) // frame
+                if n_frames == 0:  # pad one short frame
+                    x = np.pad(x, (0, frame - len(x)))
+                    n_frames = 1
+                frames = x[: n_frames * frame].reshape(n_frames, frame)
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                bands = power @ mel_filterbank(sr).T  # (frames, bands)
+                e4 = np.floor(np.log1p(bands.mean(axis=0)) * 10000)
+                ids.append(mid)
+                feats.append(e4.astype(np.int64).tolist())
+            yield pd.DataFrame({"media_id": ids, "mel_e4": feats})
 
     return ensure_min_partitions(media).mapInPandas(run, out_schema)

@@ -577,3 +577,51 @@ def test_decode_media_ffmpeg_raises_when_absent(spark):
     )
     with _pytest.raises(Exception, match="ffmpeg"):
         decode_media(df, "ffmpeg").collect()
+
+
+def test_mel_features_tone_placement(spark):
+    """A pure sine concentrates energy in the band containing its
+    frequency; a higher tone lands in a higher band; silence is all
+    zeros; values deterministic across partitionings."""
+    import math
+    import struct
+
+    from odsc_agentic_ai_summit_2025_spark.functions.codecs import encode_wav
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        mel_features,
+    )
+
+    sr, n = 8000, 4096
+
+    def tone(freq):
+        return b"".join(
+            struct.pack(
+                "<h", int(20000 * math.sin(2 * math.pi * freq * i / sr))
+            )
+            for i in range(n)
+        )
+
+    rows = [
+        (1, bytearray(encode_wav(tone(200), sr, channels=1)),
+         ("audio", "audio/wav", 0, 0, 1, sr, n)),
+        (2, bytearray(encode_wav(tone(3000), sr, channels=1)),
+         ("audio", "audio/wav", 0, 0, 1, sr, n)),
+        (3, bytearray(encode_wav(b"\x00\x00" * n, sr, channels=1)),
+         ("audio", "audio/wav", 0, 0, 1, sr, n)),
+    ]
+    schema = (
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "channels:int,sample_rate:int,n_frames:int>"
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r["media_id"]: r["mel_e4"] for r in mel_features(media).collect()}
+    low_peak = max(range(8), key=lambda b: got[1][b])
+    high_peak = max(range(8), key=lambda b: got[2][b])
+    assert low_peak < high_peak
+    assert got[3] == [0] * 8
+    again = {
+        r["media_id"]: r["mel_e4"]
+        for r in mel_features(media.repartition(3)).collect()
+    }
+    assert got == again
