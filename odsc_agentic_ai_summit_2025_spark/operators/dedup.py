@@ -563,6 +563,92 @@ def ngram_span_dupes(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, l: int = 8
+) -> DataFrame:
+    """Cross-document n-gram novelty — the corpus-diversity metric
+    that complements :func:`ngram_span_dupes`: for every document,
+    what fraction of its token ``l``-gram occurrences belongs to a
+    gram FIRST SEEN in this document (first-seen = minimum ``id_col``
+    over all documents containing the gram — a deterministic,
+    append-order-free attribution). Low novelty over an ingest
+    stream means the marginal batch adds repetition, not signal —
+    the curve a curation pipeline watches to decide when a source is
+    mined out (Lee et al. 2022, arXiv:2107.06499 measure the same
+    quantity as "duplicate n-gram fraction" over crawl snapshots).
+
+    Output: ``[id, n_grams, n_novel, novelty_e4]`` — integers only
+    (basis-point ratio by integer division), oracle-exact. A gram
+    repeated inside its owning document counts novel on every
+    occurrence: attribution is at document granularity by design
+    (in-document repetition is q83's ``n_dup_spans``, not this
+    metric).
+
+    Scale shape: identical to :func:`ngram_span_dupes` — map-side
+    gram fan-out pre-aggregated to (gram, doc, count) before the
+    wire, a (gram)-keyed min-id partial agg (min combines map-side,
+    so the hot-gram reduce sees one row per map task), an AQE-skew
+    count-back join, and a final by-doc reduce. One corpus pass; the
+    only data-sized shuffle carries deduped (gram, doc) pairs.
+
+    The reference has no corpus-novelty tier (its dedup surface is
+    whole-note embedding similarity,
+    /root/reference/src/generate_note_embeddings.py); this extends
+    the tasked training-data curation surface.
+    """
+    from ..functions.text import tokens
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    )
+    n_t = F.size(F.col("_t"))
+    grams = F.when(
+        n_t >= l,
+        F.transform(
+            F.sequence(F.lit(1), n_t - l + 1),
+            lambda i: F.array_join(F.slice(F.col("_t"), i, l), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(id_col, F.explode(grams).alias("gram"))
+    # Same pin rationale as ngram_span_dupes: the first-owner agg and
+    # the count-back join both consume the deduped (gram, doc, count)
+    # frame, and Catalyst does not reuse the exchange across the two.
+    per_pos = (
+        g.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c")).persist()
+    )
+    first_owner = per_pos.groupBy("gram").agg(
+        F.min(id_col).alias("_first")
+    )
+    per_doc = (
+        per_pos.join(first_owner, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), F.col("_c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_novel"),
+        )
+    )
+    return own(
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "coalesce(n_novel, 0) * 10000 div "
+                "greatest(coalesce(n_grams, 0), 1)"
+            )
+            .cast("long")
+            .alias("novelty_e4"),
+        ),
+        per_pos,
+    )
+
+
 def dedup_admit_incremental(
     existing: DataFrame, new: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

@@ -235,3 +235,44 @@ QUERIES.append(
     Query("q88_normalize_text", q88_normalize_text, Q88_SQL,
           ("F1", "F12"), "pre-dedup text canonicalization + digest")
 )
+
+
+def q92_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document 8-gram novelty: per doc, the fraction of its
+    gram occurrences first seen (min doc_id) in that doc — the
+    marginal-signal curve a curation pipeline watches per source."""
+    from ..operators.dedup import ngram_novelty
+
+    return ngram_novelty(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", l=8
+    )
+
+
+Q92_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+  WHERE len(toks) >= 8
+),
+f AS (SELECT gram, MIN(doc_id) AS first_owner FROM g GROUP BY 1),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN f USING (gram) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(d.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(d.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(d.n_novel, 0) * 10000
+            // GREATEST(COALESCE(d.n_grams, 0), 1) AS BIGINT)
+         AS novelty_e4
+FROM t LEFT JOIN d USING (doc_id)
+"""
+
+QUERIES.append(
+    Query("q92_ngram_novelty", q92_ngram_novelty, Q92_SQL,
+          ("A5", "U2"), "cross-document n-gram novelty fraction")
+)

@@ -156,3 +156,52 @@ def test_stratified_sample_exact_and_stable(spark):
     )
     got = stratified_sample(tiny, "source", "doc_id", n_per_group=5).collect()
     assert len(got) == 3
+
+
+def test_ngram_novelty_planted(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "a b c d e f g h i j"),   # 3 grams, all first seen here
+        (2, "a b c d e f g h i j"),   # exact copy: 0 novel
+        (3, "q r s t u v w x y z"),   # 3 grams, all novel
+        (4, "too short"),             # < 8 tokens: no grams
+        (5, " ".join(["a b c d e f g h"] * 2)),  # 9 grams: pos1/pos9
+        # are doc-1's gram (not novel); the 7 straddling grams are new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_e4"])
+        for r in ngram_novelty(df, "text", "doc_id", l=8).collect()
+    }
+    assert got[1] == (3, 3, 10000)
+    assert got[2] == (3, 0, 0)
+    assert got[3] == (3, 3, 10000)
+    assert got[4] == (0, 0, 0)
+    assert got[5] == (9, 7, 7777)
+
+
+def test_ngram_novelty_owner_repeat_counts_novel(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import ngram_novelty
+
+    # A gram repeated INSIDE its first-owner doc is novel on every
+    # occurrence (document-granularity attribution).
+    rep = " ".join(["m n o p q r s t"] * 3)  # 24 toks, 17 grams
+    df = spark.createDataFrame([(7, rep)], "doc_id long, text string")
+    (r,) = ngram_novelty(df, "text", "doc_id", l=8).collect()
+    assert (r["n_grams"], r["n_novel"], r["novelty_e4"]) == (17, 17, 10000)
+
+
+def test_ngram_novelty_partitioning_invariant(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import ngram_novelty
+
+    rows = [(i, f"w{i % 3} x y z p q r s t u") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, ngram_novelty(df, "text", "doc_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            ngram_novelty(df.repartition(7, "text"), "text", "doc_id").collect(),
+        )
+    )
+    assert a == b and len(a) == 40
