@@ -32,11 +32,19 @@ wrapper, so the fast path survives only as far as the operator-return
 boundary (any ``.select`` produces a fresh wrapper) — which is
 exactly the boundary where composition layers hold the reference.
 Because one future refactor inserting a ``.select`` between operator
-and release would silently leak, ``own`` ALSO records every handle in
-a module-level registry, and ``release`` falls back to matching the
-released frame's analyzed plan against registered handles
-(``LogicalPlan.sameResult`` on each plan node), so releasing a
-wrapped result still drops its blocks.
+and release would silently leak, ``own`` ALSO records
+``(result plan, handles)`` in a module-level registry, and
+``release`` falls back to matching the released frame's analyzed
+plan against registered RESULT plans — walking down only through
+TRANSPARENT single-child wrapper nodes (Project/Filter/Sort/Limit/
+SubqueryAlias), i.e. exactly the ``.select``-between-return-and-
+release shapes the fallback exists for. A frame merely *derived*
+from an owned result (an aggregate, a join) does not match, so
+releasing it cannot yank a cache another live frame still needs —
+``release`` on a frame that owns nothing stays a no-op. Registry
+entries are pruned whenever none of their handles still hold
+storage, so caches released by any other path (``clearCache``,
+direct ``unpersist``) cannot linger as stale match targets.
 """
 
 from __future__ import annotations
@@ -45,10 +53,25 @@ from pyspark.sql import DataFrame
 
 _ATTR = "_spark_graft_owned_caches"
 
-# every handle ever passed to own() and not yet released — the
-# wrapper-loss fallback's search space (bounded: handles leave on
-# release_frame, and an unreleased handle's blocks are live anyway)
-_REGISTRY: dict[int, DataFrame] = {}
+# (analyzed result plan, handles) for every own() call whose handles
+# may still hold storage — the wrapper-loss fallback's search space.
+# Bounded: _prune() drops entries with no live handle on every
+# own()/release().
+_REGISTRY: list[tuple[object, list[DataFrame]]] = []
+
+# Wrapper nodes release() may walk THROUGH when matching a released
+# frame against registered result plans: single-child operators that
+# reshape/trim the same underlying result. Anything else (Aggregate,
+# Join, Window, ...) computes a genuinely new result whose release
+# must not cascade to shared upstream caches.
+_TRANSPARENT_NODES = {
+    "Project",
+    "Filter",
+    "Sort",
+    "GlobalLimit",
+    "LocalLimit",
+    "SubqueryAlias",
+}
 
 
 def own(result: DataFrame, *backing: DataFrame) -> DataFrame:
@@ -60,8 +83,13 @@ def own(result: DataFrame, *backing: DataFrame) -> DataFrame:
         if b not in found:
             found.append(b)
     setattr(result, _ATTR, found)
-    for h in found:
-        _REGISTRY.setdefault(id(h), h)
+    try:
+        _REGISTRY.append(
+            (result._jdf.queryExecution().analyzed(), list(found))
+        )
+    except Exception:  # unanalyzable result: fast path only
+        pass
+    _prune()
     return result
 
 
@@ -72,7 +100,6 @@ def handles(df: DataFrame) -> tuple[DataFrame, ...]:
 def release_frame(cached: DataFrame) -> None:
     """Release one cached/checkpointed frame's storage, whichever
     kind it is (both calls are safe no-ops on the other kind)."""
-    _REGISTRY.pop(id(cached), None)
     try:
         cached.unpersist()
     except Exception:  # already released / session gone
@@ -100,38 +127,67 @@ def release(*results: DataFrame) -> None:
         for h in hs:
             release_frame(h)
         setattr(df, _ATTR, [])
+    _prune()
 
 
 def _find_registered(df: DataFrame) -> list[DataFrame]:
-    """Wrapper-loss fallback: registered handles whose analyzed plan
-    appears (``sameResult``) as a node of ``df``'s analyzed plan — a
-    ``.select``/``.filter`` between operator return and release sheds
-    the attribute but keeps the backing plan as a subtree."""
+    """Wrapper-loss fallback: the released frame's analyzed plan,
+    stripped of transparent single-child wrappers, ``sameResult``-
+    matched against registered RESULT plans. A ``.select``/``.filter``
+    between operator return and release sheds the ownership attribute
+    but leaves the result plan reachable through wrapper nodes; a
+    frame that merely *contains* an owned result deeper in its plan
+    (aggregate over it, join with it) is a different result and must
+    not match — releasing it would drop caches a live frame shares."""
     if not _REGISTRY:
         return []
     try:
-        nodes = _plan_nodes(df._jdf.queryExecution().analyzed())
+        node = df._jdf.queryExecution().analyzed()
     except Exception:
         return []
-    found: list[DataFrame] = []
-    for h in list(_REGISTRY.values()):
+    for _ in range(64):
+        for rplan, hs in _REGISTRY:
+            try:
+                if node.sameResult(rplan):
+                    return list(hs)
+            except Exception:
+                continue
         try:
-            hplan = h._jdf.queryExecution().analyzed()
-            if any(n.sameResult(hplan) for n in nodes):
-                found.append(h)
+            if node.getClass().getSimpleName() not in _TRANSPARENT_NODES:
+                break
+            ch = node.children()
+            if ch.size() != 1:
+                break
+            node = ch.apply(0)
         except Exception:
-            continue
-    return found
+            break
+    return []
 
 
-def _plan_nodes(jplan) -> list:
-    """BFS of a JVM LogicalPlan (children only; subquery expressions
-    don't carry operator caches)."""
-    out, stack = [], [jplan]
-    while stack:
-        node = stack.pop()
-        out.append(node)
-        ch = node.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
-    return out
+def _is_live(h: DataFrame) -> bool:
+    """Does this handle still hold storage (CacheManager entry or a
+    persisted localCheckpoint RDD)?"""
+    try:
+        lvl = h.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return True
+    except Exception:
+        pass
+    try:
+        jlp = h._jdf.logicalPlan()
+        if jlp.getClass().getSimpleName() == "LogicalRDD":
+            sl = jlp.rdd().getStorageLevel()
+            return bool(sl.useMemory() or sl.useDisk())
+    except Exception:
+        pass
+    return False
+
+
+def _prune() -> None:
+    """Drop registry entries none of whose handles hold storage —
+    released here, via clearCache(), direct unpersist(), or session
+    teardown. Keeps the fallback search space bounded and prevents a
+    dead entry's plan from ever matching a future identical plan."""
+    _REGISTRY[:] = [
+        (p, hs) for p, hs in _REGISTRY if any(_is_live(h) for h in hs)
+    ]

@@ -173,3 +173,52 @@ def test_release_survives_wrapper_loss(spark, sf_dir):
     assert _n_blocks(spark) == n_cached
     cache.release(out2)
     assert _n_blocks(spark) == baseline
+
+
+def test_release_of_derived_view_keeps_shared_cache(spark, sf_dir):
+    """Releasing a frame DERIVED from an owned result (an aggregate
+    over it — not a transparent wrapper) must be a no-op: before the
+    r5 fix the registry fallback matched the owned plan as a subtree
+    and unpersisted the result's backing localCheckpoint, killing the
+    base frame (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next action)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    _clean_baseline(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6)], "id long")
+    comps = connected_components(pairs, vertices=nodes)
+    assert comps.count() == 5
+
+    derived = comps.groupBy("cluster_id").count()
+    derived.count()
+    cache.release(derived)  # owns nothing; must not touch comps' cache
+
+    # base frame still alive (checkpoint blocks intact)
+    assert comps.count() == 5
+    cache.release(comps)
+
+
+def test_registry_prunes_externally_released_entries(spark, sf_dir):
+    """Handles released by another path (clearCache) must leave the
+    registry — a later identical plan must not match a dead entry."""
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir).limit(40)
+    baseline = _clean_baseline(spark)
+    out = jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    out.count()
+    assert _n_blocks(spark) > baseline
+    spark.catalog.clearCache()
+    for jrdd in list(
+        dict(spark.sparkContext._jsc.getPersistentRDDs()).values()
+    ):
+        jrdd.unpersist()
+    # any own()/release() prunes; use a release of an unrelated frame
+    cache.release(docs.select("doc_id"))
+    assert not cache._REGISTRY or all(
+        any(cache._is_live(h) for h in hs) for _, hs in cache._REGISTRY
+    )
