@@ -191,10 +191,16 @@ def decode_video_ffmpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     still route to the dependency-free codecs so the decoder can run
     over a mixed media table.
 
-    Geometry comes from one ``ffprobe`` pass over the container
-    header; pixels stream through ``ffmpeg -f rawvideo -pix_fmt
-    rgb24`` on pipes — no temp files, so the kernel stays usable
-    inside an Arrow batch on executors.
+    Decoding runs from an executor-local spool file, not a stdin
+    pipe: common MP4s put the ``moov`` atom after ``mdat`` (the
+    default of many encoders) and demuxing them requires a SEEKABLE
+    input — a pipe fails opaquely. One payload-sized temp file per
+    decode is the robust trade.
+
+    The returned blob holds EVERY frame — memory is
+    ``n_frames × width × height × 3`` by contract. For long clips use
+    :func:`iter_video_frames` (the frame-sampling path does): it
+    decodes only the kept frames and holds one frame at a time.
     """
     fmt = sniff_format(payload)
     if fmt == "bmp":
@@ -203,34 +209,105 @@ def decode_video_ffmpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if fmt == "wav":
         n, rate, c, raw = decode_wav(payload)
         return n, rate, c, raw
+    _require_ffmpeg()
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".media") as spool:
+        spool.write(payload)
+        spool.flush()
+        width, height = _probe_geometry(spool.name)
+        out = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-i", spool.name,
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+            ],
+            capture_output=True,
+            check=True,
+        )
+    frame_bytes = width * height * 3
+    n_frames = len(out.stdout) // frame_bytes
+    return n_frames, width, height, out.stdout[: n_frames * frame_bytes]
+
+
+def iter_video_frames(payload: bytes, every_n: int = 1):
+    """Yield ``(frame_idx, rgb24_bytes)`` for frames
+    ``0, every_n, 2·every_n, …`` of a video payload.
+
+    Skipped frames never cross the pipe (``-vf select=`` drops them
+    inside ffmpeg) and stdout is read one frame at a time, so peak
+    Python-side memory is a single frame no matter how long the clip
+    is — the shape the per-frame digest kernel needs at scale.
+
+    BMP payloads yield their single frame; WAV payloads raise
+    ``ValueError`` (audio has no visual frames — callers running over
+    a mixed media table must route audio elsewhere).
+    """
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        _, _, _, raw = decode_bmp(payload)
+        yield 0, raw
+        return
+    if fmt == "wav":
+        raise ValueError(
+            "audio payload has no visual frames to sample — route WAV "
+            "through decode_wav/mel_features, not frame sampling"
+        )
+    yield from _ffmpeg_frames(payload, every_n)
+
+
+def _require_ffmpeg() -> None:
     if not ffmpeg_available():
         raise RuntimeError(
-            "decode_video_ffmpeg needs the ffmpeg/ffprobe CLIs on "
-            "PATH — the external-codec seam (install ffmpeg to cross "
-            "it, exactly as installing Pillow crosses the raster one)"
+            "video decode needs the ffmpeg/ffprobe CLIs on PATH — the "
+            "external-codec seam (install ffmpeg to cross it, exactly "
+            "as installing Pillow crosses the raster one)"
         )
+
+
+def _probe_geometry(path: str) -> tuple[int, int]:
     import subprocess
 
     probe = subprocess.run(
         [
             "ffprobe", "-v", "error", "-select_streams", "v:0",
             "-show_entries", "stream=width,height",
-            "-of", "csv=p=0", "pipe:0",
+            "-of", "csv=p=0", path,
         ],
-        input=payload,
         capture_output=True,
         check=True,
     )
     width, height = (int(x) for x in probe.stdout.decode().strip().split(","))
-    out = subprocess.run(
-        [
-            "ffmpeg", "-v", "error", "-i", "pipe:0",
-            "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
-        ],
-        input=payload,
-        capture_output=True,
-        check=True,
-    )
-    frame_bytes = width * height * 3
-    n_frames = len(out.stdout) // frame_bytes
-    return n_frames, width, height, out.stdout[: n_frames * frame_bytes]
+    return width, height
+
+
+def _ffmpeg_frames(payload: bytes, every_n: int):
+    """Stream kept frames of a real container through ffmpeg, one
+    frame of memory at a time."""
+    _require_ffmpeg()
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".media") as spool:
+        spool.write(payload)
+        spool.flush()
+        width, height = _probe_geometry(spool.name)
+        frame_bytes = width * height * 3
+        cmd = ["ffmpeg", "-v", "error", "-i", spool.name]
+        if every_n > 1:
+            cmd += ["-vf", f"select=not(mod(n\\,{every_n}))", "-vsync", "vfr"]
+        cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"]
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+        )
+        try:
+            i = 0
+            while True:
+                buf = proc.stdout.read(frame_bytes)
+                if buf is None or len(buf) < frame_bytes:
+                    break
+                yield i * every_n, buf
+                i += 1
+        finally:
+            proc.stdout.close()
+            proc.wait()

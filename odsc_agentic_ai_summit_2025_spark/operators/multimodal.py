@@ -307,10 +307,14 @@ def sample_frames(
 
 
 def _sample_frames_ffmpeg(media: DataFrame, every_n: int) -> DataFrame:
-    """Real-decode twin of ``sample_frames``: one ffmpeg decode per
-    payload, then the kept frames' RGB24 bytes are sliced and
-    digested in-kernel. Frame count comes from the DECODED stream
-    (the header metadata is advisory once real bytes exist)."""
+    """Real-decode twin of ``sample_frames``: kept frames stream out
+    of ffmpeg one at a time (``iter_video_frames`` applies the select
+    filter decoder-side, so skipped frames never cross the pipe and
+    peak memory is a single frame regardless of clip length). Frame
+    indices come from the DECODED stream (the header metadata is
+    advisory once real bytes exist). Audio payloads in a mixed media
+    table have no visual frames and contribute zero rows — they route
+    through ``mel_features``/``decode_wav``, not frame sampling."""
     import hashlib
 
     import pandas as pd
@@ -324,17 +328,16 @@ def _sample_frames_ffmpeg(media: DataFrame, every_n: int) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.codecs import decode_video_ffmpeg
+        from ..functions.codecs import iter_video_frames, sniff_format
 
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                n, w, h, rgb = decode_video_ffmpeg(bytes(p))
-                fb = w * h * 3
-                for idx in range(0, n, every_n):
-                    digest = hashlib.sha256(
-                        rgb[idx * fb : (idx + 1) * fb]
-                    ).hexdigest()
+                p = bytes(p)
+                if sniff_format(p) == "wav":
+                    continue  # audio: no visual frames to sample
+                for idx, frame in iter_video_frames(p, every_n):
+                    digest = hashlib.sha256(frame).hexdigest()
                     rows.append((mid, idx, digest))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "frame_digest"]
@@ -382,8 +385,15 @@ def mel_features(
 
         from ..functions.codecs import decode_wav
 
+        _fb_cache: dict[int, np.ndarray] = {}
+
         def mel_filterbank(sr: int) -> np.ndarray:
-            # triangular filters on the mel scale over [0, sr/2]
+            # triangular filters on the mel scale over [0, sr/2];
+            # depends only on sr (one distinct value per corpus,
+            # typically), so built once per rate, not per payload
+            cached = _fb_cache.get(sr)
+            if cached is not None:
+                return cached
             n_bins = frame // 2 + 1
             f_hz = np.linspace(0.0, sr / 2.0, n_bins)
             mel = 2595.0 * np.log10(1.0 + f_hz / 700.0)
@@ -394,6 +404,7 @@ def mel_features(
                 up = (mel - lo) / max(mid - lo, 1e-12)
                 down = (hi - mel) / max(hi - mid, 1e-12)
                 fb[b] = np.clip(np.minimum(up, down), 0.0, None)
+            _fb_cache[sr] = fb
             return fb
 
         for pdf in batches:

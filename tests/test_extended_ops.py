@@ -625,3 +625,26 @@ def test_mel_features_tone_placement(spark):
         for r in mel_features(media.repartition(3)).collect()
     }
     assert got == again
+
+
+def test_sample_frames_ffmpeg_skips_audio_payloads(spark):
+    """A mixed media table's WAV payloads have no visual frames: the
+    ffmpeg sampler must contribute ZERO rows for them (r5 review
+    finding: they were decoded as video — sample_rate*channels*3
+    taken as a frame stride — emitting thousands of garbage rows).
+    The skip is sniffed before the ffmpeg guard, so this holds with
+    or without the CLI installed."""
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        _sample_frames_ffmpeg,
+        synth_real_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"audio doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    media = synth_real_media(docs, kind="audio")
+    out = _sample_frames_ffmpeg(media, every_n=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "frame_idx", "frame_digest",
+    ]
