@@ -671,13 +671,27 @@ def dedup_admit_incremental(
     map-side, left-anti-style marks via a digest-keyed join (batch ⋈
     digests, AQE-skewed if a viral digest floods a delivery), and the
     within-batch min-id is a digest-keyed aggregate joined back.
+
+    NULL text hashes to a NULL digest, which would silently vanish
+    from the equi-joins — those docs are branched off map-side and
+    rejected with ``reason='null_text'`` so the one-row-per-new-doc
+    audit contract holds for every input.
     """
-    ex = existing.select(
-        F.sha2(F.col(text_col), 256).alias("text_sha")
-    ).distinct()
-    batch = new.select(
+    ex = (
+        existing.filter(F.col(text_col).isNotNull())
+        .select(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .distinct()
+    )
+    batch_all = new.select(
         F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha")
     )
+    null_rows = batch_all.filter(F.col("text_sha").isNull()).select(
+        id_col,
+        "text_sha",
+        F.lit(False).alias("admitted"),
+        F.lit("null_text").alias("reason"),
+    )
+    batch = batch_all.filter(F.col("text_sha").isNotNull())
     batch_min = batch.groupBy("text_sha").agg(F.min(id_col).alias("_min_id"))
     return (
         batch.join(batch_min, "text_sha")
@@ -693,6 +707,7 @@ def dedup_admit_incremental(
             .otherwise(F.lit("new"))
             .alias("reason"),
         )
+        .unionByName(null_rows)
     )
 
 
@@ -728,13 +743,16 @@ def editdist_near_pairs(
     """
     from .textops import normalize_text
 
-    norm = normalize_text(df, text_col, id_col)
+    # the canonicalized corpus feeds candidate generation AND both
+    # verify sides — unpersisted, the scan + two regexp passes would
+    # run three times (caller releases via cache.release(result))
+    norm = normalize_text(df, text_col, id_col).persist()
     cand = simhash_near_pairs(
         norm, "norm_text", id_col, max_hamming=max_hamming
     )
     ta = norm.select(F.col(id_col).alias("a_id"), F.col("norm_text").alias("_ta"))
     tb = norm.select(F.col(id_col).alias("b_id"), F.col("norm_text").alias("_tb"))
-    return (
+    return own(
         cand.join(ta, "a_id")
         .join(tb, "b_id")
         # standard length prefilter: |len(a)-len(b)| > d ⇒ lev > d —
@@ -745,5 +763,7 @@ def editdist_near_pairs(
         )
         .withColumn("edit_dist", F.levenshtein(F.col("_ta"), F.col("_tb")).cast("int"))
         .filter(F.col("edit_dist") <= max_dist)
-        .select("a_id", "b_id", "hamming", "edit_dist")
+        .select("a_id", "b_id", "hamming", "edit_dist"),
+        cand,
+        norm,
     )

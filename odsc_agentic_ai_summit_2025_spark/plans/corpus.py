@@ -146,10 +146,12 @@ def q86_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q86_SQL = """
 WITH ex AS (
-  SELECT DISTINCT sha256(text) AS text_sha FROM documents WHERE doc_id < 250
+  SELECT DISTINCT sha256(text) AS text_sha FROM documents
+  WHERE doc_id < 250 AND text IS NOT NULL
 ),
 batch AS (
-  SELECT doc_id, sha256(text) AS text_sha FROM documents WHERE doc_id >= 250
+  SELECT doc_id, sha256(text) AS text_sha FROM documents
+  WHERE doc_id >= 250 AND text IS NOT NULL
 ),
 bm AS (SELECT text_sha, MIN(doc_id) AS _min_id FROM batch GROUP BY 1)
 SELECT b.doc_id,
@@ -161,6 +163,10 @@ SELECT b.doc_id,
 FROM batch b
 JOIN bm USING (text_sha)
 LEFT JOIN ex ON b.text_sha = ex.text_sha
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS text_sha,
+       FALSE AS admitted, 'null_text' AS reason
+FROM documents WHERE doc_id >= 250 AND text IS NULL
 """
 
 

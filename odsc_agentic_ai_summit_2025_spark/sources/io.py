@@ -234,25 +234,46 @@ def write_compacted(
     tests assert data fidelity, file count scaling, and that a range
     read over the sort column prunes row groups, not byte-exact file
     sizes.
+
+    The input is persisted around the three consumers (count, width
+    sample, write) and released afterwards — for the shuffle-heavy
+    plans this writer targets, re-running the upstream plan per
+    consumer would triple the job. The width sample strips parquet's
+    fixed footer/metadata overhead (an empty-frame baseline) so
+    narrow schemas don't overshoot ``bytes_per_row`` and shatter the
+    output into more, smaller files than ``target_mb`` asks for.
     """
     import math
 
-    n = df.count()
-    if n == 0:
-        df.limit(0).write.mode(mode).parquet(path)
-        return 1
-    sample = df.limit(200).toPandas()
-    import io as _io
+    from ..cache import release_frame
 
-    buf = _io.BytesIO()
-    sample.to_parquet(buf, index=False)
-    bytes_per_row = max(buf.getbuffer().nbytes / max(len(sample), 1), 1.0)
-    est_bytes = n * bytes_per_row / 2.5  # column-compression haircut
-    n_files = max(1, math.ceil(est_bytes / (target_mb * 1024 * 1024)))
-    if sort_cols:
-        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
-        out = out.sortWithinPartitions(*sort_cols)
-    else:
-        out = df.repartition(n_files)
-    out.write.mode(mode).parquet(path)
-    return n_files
+    df = df.persist()
+    try:
+        n = df.count()
+        if n == 0:
+            df.limit(0).write.mode(mode).parquet(path)
+            return 1
+        sample = df.limit(200).toPandas()
+        import io as _io
+
+        buf = _io.BytesIO()
+        sample.to_parquet(buf, index=False)
+        base = _io.BytesIO()
+        sample.iloc[:0].to_parquet(base, index=False)  # footer-only size
+        payload = max(
+            buf.getbuffer().nbytes - base.getbuffer().nbytes, 0
+        )
+        bytes_per_row = max(payload / max(len(sample), 1), 1.0)
+        est_bytes = n * bytes_per_row / 2.5  # column-compression haircut
+        n_files = max(1, math.ceil(est_bytes / (target_mb * 1024 * 1024)))
+        if sort_cols:
+            out = df.repartitionByRange(
+                n_files, *[F.col(c) for c in sort_cols]
+            )
+            out = out.sortWithinPartitions(*sort_cols)
+        else:
+            out = df.repartition(n_files)
+        out.write.mode(mode).parquet(path)
+        return n_files
+    finally:
+        release_frame(df)

@@ -205,3 +205,31 @@ def test_ngram_novelty_partitioning_invariant(spark):
         )
     )
     assert a == b and len(a) == 40
+
+
+def test_dedup_admit_null_text_audited(spark):
+    """NULL-text docs must appear in the admission audit (rejected,
+    reason='null_text') — before the r5 fix their NULL digest fell
+    out of the equi-joins and they vanished from the output."""
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import (
+        dedup_admit_incremental,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "kept doc"), (2, None)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "kept doc"), (11, None), (12, "fresh"), (13, "fresh")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["admitted"], r["reason"])
+        for r in dedup_admit_incremental(
+            existing, batch, "text", "doc_id"
+        ).collect()
+    }
+    assert set(rows) == {10, 11, 12, 13}  # one row per new doc
+    assert rows[10] == (False, "in_corpus")
+    assert rows[11] == (False, "null_text")
+    assert rows[12] == (True, "new")
+    assert rows[13] == (False, "dup_in_batch")
