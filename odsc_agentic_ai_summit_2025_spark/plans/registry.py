@@ -55,10 +55,11 @@ def all_queries() -> dict[str, Query]:
     # least gate history go first.  Round-5 rotation: the 27 queries whose
     # last driver rows are from round 3 (extended q45-q54, extended2
     # q55-q62, observability q64-q68, curation q71-q75) lead, then textops
-    # (the q80 determinism fix needs its driver row), the new corpus module
-    # (q83-q88) and dedup (new q82 FIRST within its module so it makes the
-    # window; q63, r4-fresh, is the one dedup entry that rotates out);
-    # relational/retrieval got fresh r4 rows and rotate to the back.
+    # (the q80 determinism fix needs its driver row) and the new corpus
+    # module (q83-q88, q92); dedup follows with its round-5 entries first
+    # (q82/q89/q90/q91 make the window, then q34-q36; q37/q78/q38/q66/q63 —
+    # all r4-driver-green — sit just outside it); relational/retrieval got
+    # fresh r4 rows and rotate to the back.
     out: dict[str, Query] = {}
     for mod in (
         extended,
