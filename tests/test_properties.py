@@ -288,3 +288,47 @@ FROM c
     )
     con.close()
     assert got == want
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # doc_id (duplicates allowed? no: unique below)
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=docs_strategy)
+@settings(**SETTINGS)
+def test_ngram_novelty_matches_reference(spark, docs):
+    """ngram_novelty ≡ a plain-Python first-owner scan, over random
+    tiny corpora (l=3 so short docs still produce grams)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import ngram_novelty
+
+    L = 3
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    # reference: first owner = min doc_id containing the gram
+    owner: dict[tuple, int] = {}
+    grams_per_doc = {}
+    for i, toks in sorted(docs):
+        gs = [tuple(toks[j : j + L]) for j in range(len(toks) - L + 1)]
+        grams_per_doc[i] = gs
+        for g in gs:
+            owner.setdefault(g, i)
+    expect = {}
+    for i, gs in grams_per_doc.items():
+        n = len(gs)
+        nov = sum(1 for g in gs if owner[g] == i)
+        expect[i] = (n, nov, nov * 10000 // max(n, 1))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_e4"])
+        for r in ngram_novelty(df, "text", "doc_id", l=L).collect()
+    }
+    assert got == expect
