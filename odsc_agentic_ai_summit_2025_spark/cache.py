@@ -60,16 +60,15 @@ _ATTR = "_spark_graft_owned_caches"
 _REGISTRY: list[tuple[object, list[DataFrame]]] = []
 
 # Wrapper nodes release() may walk THROUGH when matching a released
-# frame against registered result plans: single-child operators that
-# reshape/trim the same underlying result. Anything else (Aggregate,
-# Join, Window, ...) computes a genuinely new result whose release
-# must not cascade to shared upstream caches.
+# frame against registered result plans. Deliberately ONLY the
+# column-reshaping wrappers the r4 hazard names (a ``.select`` /
+# ``.alias`` between operator return and release): a ``.limit()`` or
+# ``.filter()`` view is routinely built as a PREVIEW of a result the
+# caller still holds, and releasing such a preview must never yank
+# the live base's caches. Anything heavier (Aggregate, Join, Window)
+# is a genuinely new result and never matches.
 _TRANSPARENT_NODES = {
     "Project",
-    "Filter",
-    "Sort",
-    "GlobalLimit",
-    "LocalLimit",
     "SubqueryAlias",
 }
 
@@ -121,8 +120,14 @@ def release(*results: DataFrame) -> None:
     checkpoint), so release only once the result is fully consumed.
     """
     for df in results:
-        hs = list(getattr(df, _ATTR, ()))
-        if not hs:
+        # hasattr (not truthiness): an EMPTY attribute marks a frame
+        # already released (or owning nothing by construction) — the
+        # fallback must not run again for it, or a second release of
+        # the same wrapper could sameResult-match a LATER identical
+        # plan and free a live twin's caches.
+        if hasattr(df, _ATTR):
+            hs = list(getattr(df, _ATTR))
+        else:
             hs = _find_registered(df)
         for h in hs:
             release_frame(h)
@@ -132,13 +137,15 @@ def release(*results: DataFrame) -> None:
 
 def _find_registered(df: DataFrame) -> list[DataFrame]:
     """Wrapper-loss fallback: the released frame's analyzed plan,
-    stripped of transparent single-child wrappers, ``sameResult``-
-    matched against registered RESULT plans. A ``.select``/``.filter``
+    stripped of transparent column-reshaping wrappers, ``sameResult``-
+    matched against registered RESULT plans. A ``.select``/``.alias``
     between operator return and release sheds the ownership attribute
     but leaves the result plan reachable through wrapper nodes; a
     frame that merely *contains* an owned result deeper in its plan
-    (aggregate over it, join with it) is a different result and must
-    not match — releasing it would drop caches a live frame shares."""
+    (a limit/filter preview, an aggregate, a join) must not match —
+    releasing it would drop caches a live frame shares. The matched
+    entry is CONSUMED (removed from the registry), so one own() entry
+    can satisfy at most one fallback release."""
     if not _REGISTRY:
         return []
     try:
@@ -146,9 +153,10 @@ def _find_registered(df: DataFrame) -> list[DataFrame]:
     except Exception:
         return []
     for _ in range(64):
-        for rplan, hs in _REGISTRY:
+        for i, (rplan, hs) in enumerate(_REGISTRY):
             try:
                 if node.sameResult(rplan):
+                    del _REGISTRY[i]
                     return list(hs)
             except Exception:
                 continue

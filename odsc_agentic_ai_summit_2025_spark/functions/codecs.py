@@ -243,6 +243,8 @@ def iter_video_frames(payload: bytes, every_n: int = 1):
     ``ValueError`` (audio has no visual frames — callers running over
     a mixed media table must route audio elsewhere).
     """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     fmt = sniff_format(payload)
     if fmt == "bmp":
         _, _, _, raw = decode_bmp(payload)
@@ -283,7 +285,11 @@ def _probe_geometry(path: str) -> tuple[int, int]:
 
 def _ffmpeg_frames(payload: bytes, every_n: int):
     """Stream kept frames of a real container through ffmpeg, one
-    frame of memory at a time."""
+    frame of memory at a time. Raises on a non-zero decoder exit
+    (a truncated container would otherwise silently shorten the
+    frame stream) unless the consumer closed the generator early."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     _require_ffmpeg()
     import subprocess
     import tempfile
@@ -300,14 +306,24 @@ def _ffmpeg_frames(payload: bytes, every_n: int):
         proc = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
         )
+        drained = False
         try:
             i = 0
             while True:
                 buf = proc.stdout.read(frame_bytes)
                 if buf is None or len(buf) < frame_bytes:
+                    drained = True
                     break
                 yield i * every_n, buf
                 i += 1
         finally:
             proc.stdout.close()
-            proc.wait()
+            rc = proc.wait()
+            # an early generator close (consumer stopped) legitimately
+            # kills the pipe; only a DRAINED stream with rc != 0 means
+            # the decoder failed mid-clip
+            if drained and rc != 0:
+                raise RuntimeError(
+                    f"ffmpeg exited {rc} mid-decode — the frame stream "
+                    "is incomplete (truncated/corrupt container?)"
+                )

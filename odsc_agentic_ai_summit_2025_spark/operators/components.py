@@ -368,6 +368,9 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("id")))
     )
     per_v = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    # pairs/vertices ride along so an upstream generator's own caches
+    # (e.g. the Jaccard prefix pin) release with this result even when
+    # the caller stripped their ownership attributes
     return own(
         vertices.select(F.col("id"))
         .distinct()
@@ -377,6 +380,8 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         ),
         e,
+        pairs,
+        vertices,
     )
 
 
@@ -444,4 +449,4 @@ def pagerank_fixed(
                 ).cast("long").alias("pr_e9"),
             )
         )
-    return own(pr, sym, verts)
+    return own(pr, sym, verts, pairs, vertices)

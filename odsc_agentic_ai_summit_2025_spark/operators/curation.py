@@ -365,6 +365,31 @@ def embedding_outliers(
     )
 
 
+def resample_reps(id_col: str, weight_col: str, salt: str):
+    """The no-RNG copy-count device shared by the batch resampler and
+    its streaming twin (parity is BY SHARED CONSTRUCTION, not by two
+    hand-kept copies): ``weight_e4 div 1e4`` guaranteed copies plus
+    one salted-hash fractional copy, as a sequence column ready to
+    explode (empty for zero copies)."""
+    from ..functions.text import char_poly_hash
+
+    bucket = F.pmod(
+        char_poly_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        ),
+        F.lit(10000),
+    )
+    n_rep = (
+        F.expr(f"{weight_col} div 10000")
+        + F.when(
+            bucket < F.col(weight_col) % 10000, F.lit(1)
+        ).otherwise(F.lit(0))
+    ).cast("int")
+    return F.when(
+        n_rep >= 1, F.sequence(F.lit(1), n_rep)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def weighted_resample(
     df: DataFrame, source_col: str, id_col: str, salt: str = "resample"
 ) -> DataFrame:
@@ -388,24 +413,8 @@ def weighted_resample(
     inside the weight computation. Upsampled sources fan out locally
     (no skewed shuffle key: copies of a doc stay in its partition).
     """
-    from ..functions.text import char_poly_hash
-
     w = source_mix_weights(df, source_col).select("source", "weight_e4")
-    bucket = F.pmod(
-        char_poly_hash(
-            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
-        ),
-        F.lit(10000),
-    )
-    n_rep = (
-        F.expr("weight_e4 div 10000")
-        + F.when(bucket < F.col("weight_e4") % 10000, F.lit(1)).otherwise(
-            F.lit(0)
-        )
-    ).cast("int")
-    reps = F.when(
-        n_rep >= 1, F.sequence(F.lit(1), n_rep)
-    ).otherwise(F.array().cast("array<int>"))
+    reps = resample_reps(id_col, "weight_e4", salt)
     return (
         df.select(F.col(id_col), F.col(source_col).alias("source"))
         .join(F.broadcast(w), "source")

@@ -474,6 +474,43 @@ def jaccard_pairs(
     )
 
 
+def _gram_occurrences(
+    df: DataFrame, text_col: str, id_col: str, l: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared gram fan-out for the span-dedup and novelty tiers:
+    ``(base, per_pos)`` where ``base`` is ``[id, _t]`` (null text
+    dropped, whitespace tokens) and ``per_pos`` is the PERSISTED
+    deduped occurrence table ``[gram, id, _c]``.
+
+    The persist is load-bearing: both consumers run a per-gram agg
+    AND a count-back join over this frame, and Catalyst does NOT
+    reuse the exchange across the two (column pruning specializes
+    each copy's subplan), so without the pin the corpus would
+    tokenize+gram-fan-out twice. What's cached is exactly the deduped
+    shuffle payload, the smallest corpus-derived frame in the plan —
+    callers attach it to their result (``own(..., per_pos)``) for the
+    standard caller release.
+    """
+    from ..functions.text import tokens
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    )
+    n_t = F.size(F.col("_t"))
+    grams = F.when(
+        n_t >= l,
+        F.transform(
+            F.sequence(F.lit(1), n_t - l + 1),
+            lambda i: F.array_join(F.slice(F.col("_t"), i, l), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(id_col, F.explode(grams).alias("gram"))
+    per_pos = (
+        g.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c")).persist()
+    )
+    return base, per_pos
+
+
 def ngram_span_dupes(
     df: DataFrame, text_col: str, id_col: str, l: int = 8
 ) -> DataFrame:
@@ -508,30 +545,7 @@ def ngram_span_dupes(
     embedding similarity, /root/reference/src/generate_note_embeddings.py);
     this is part of the tasked training-data surface.
     """
-    from ..functions.text import tokens
-
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_t")
-    )
-    n_t = F.size(F.col("_t"))
-    grams = F.when(
-        n_t >= l,
-        F.transform(
-            F.sequence(F.lit(1), n_t - l + 1),
-            lambda i: F.array_join(F.slice(F.col("_t"), i, l), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = base.select(id_col, F.explode(grams).alias("gram"))
-    # persist the first-shuffle output: totals-agg and count-back join
-    # both consume it, and Catalyst does NOT reuse the exchange across
-    # the two (column pruning specializes each copy's subplan), so
-    # without the pin the corpus would tokenize+gram-fan-out twice.
-    # What's cached is exactly the deduped shuffle payload, the
-    # smallest corpus-derived frame in the plan (caller releases via
-    # cache.release(result)).
-    per_pos = (
-        g.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c")).persist()
-    )
+    base, per_pos = _gram_occurrences(df, text_col, id_col, l)
     gram_tot = per_pos.groupBy("gram").agg(F.sum("_c").alias("_tot"))
     per_doc = (
         per_pos.join(gram_tot, "gram")
@@ -596,26 +610,7 @@ def ngram_novelty(
     /root/reference/src/generate_note_embeddings.py); this extends
     the tasked training-data curation surface.
     """
-    from ..functions.text import tokens
-
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_t")
-    )
-    n_t = F.size(F.col("_t"))
-    grams = F.when(
-        n_t >= l,
-        F.transform(
-            F.sequence(F.lit(1), n_t - l + 1),
-            lambda i: F.array_join(F.slice(F.col("_t"), i, l), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = base.select(id_col, F.explode(grams).alias("gram"))
-    # Same pin rationale as ngram_span_dupes: the first-owner agg and
-    # the count-back join both consume the deduped (gram, doc, count)
-    # frame, and Catalyst does not reuse the exchange across the two.
-    per_pos = (
-        g.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c")).persist()
-    )
+    base, per_pos = _gram_occurrences(df, text_col, id_col, l)
     first_owner = per_pos.groupBy("gram").agg(
         F.min(id_col).alias("_first")
     )

@@ -306,11 +306,12 @@ def tfidf_top_terms(
     (vocab side is NOT broadcast — at corpus scale the vocabulary is
     executor-memory-sized only after stopword-class terms are counted,
     so it stays a shuffle join with AQE handling hot terms) → per-doc
-    top-k window (shuffle 3, keyed by doc). n_docs is a driver scalar
-    (one count), the only collect.
+    top-k window (shuffle 3, keyed by doc). n_docs rides as a 1-row
+    scalar-totals broadcast (the q73/q85 pattern) — no eager driver
+    action, no second pass over the corpus, one linear job.
     """
     base = df.filter(F.col(text_col).isNotNull())
-    n_docs = base.count()
+    totals = base.agg(F.count(F.lit(1)).alias("_n_docs"))
     tf = (
         base.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
@@ -324,9 +325,10 @@ def tfidf_top_terms(
     )
     return (
         tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(totals))
         .withColumn(
             "score_e4",
-            F.expr(f"tf * (({int(n_docs)}L * 10000L) div df_t)").cast("long"),
+            F.expr("tf * ((_n_docs * 10000L) div df_t)").cast("long"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

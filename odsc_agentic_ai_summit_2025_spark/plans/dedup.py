@@ -399,10 +399,13 @@ def _neardup_graph(spark: SparkSession, sf_dir: str):
     """The gate graph both analytics queries run on: Jaccard ≥ 0.5
     pairs within the first 200 docs (denser than q66's 0.8 graph so
     triangles exist), plus every doc as a vertex."""
+    from ..cache import own
+
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = ops.jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select(
-        "a_id", "b_id"
-    )
+    jp = ops.jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    # re-attach the generator's prefix cache to the stripped edge list
+    # so the analytics result's release reaches it
+    pairs = own(jp.select("a_id", "b_id"), jp)
     return pairs, docs.select(F.col("doc_id").alias("id"))
 
 

@@ -458,7 +458,7 @@ def weighted_resample_stream(
     weight table itself needs the batch pass. Parity with the batch
     operator (run with the same weights) is row-for-row by
     construction and asserted in tests."""
-    from ..functions.text import char_poly_hash
+    from ..operators.curation import resample_reps
 
     schema = T.StructType(
         [
@@ -477,19 +477,7 @@ def weighted_resample_stream(
         ],
         F.lit(0),
     )
-    bucket = F.pmod(
-        char_poly_hash(
-            F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
-        ),
-        F.lit(10000),
-    )
-    n_rep = (
-        F.expr("_w div 10000")
-        + F.when(bucket < F.col("_w") % 10000, F.lit(1)).otherwise(F.lit(0))
-    ).cast("int")
-    reps = F.when(n_rep >= 1, F.sequence(F.lit(1), n_rep)).otherwise(
-        F.array().cast("array<int>")
-    )
+    reps = resample_reps("doc_id", "_w", salt)
     return (
         stream.select("doc_id", "source", w.alias("_w"))
         .select("doc_id", "source", F.explode(reps).alias("_ci"))

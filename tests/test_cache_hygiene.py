@@ -222,3 +222,70 @@ def test_registry_prunes_externally_released_entries(spark, sf_dir):
     assert not cache._REGISTRY or all(
         any(cache._is_live(h) for h in hs) for _, hs in cache._REGISTRY
     )
+
+
+def test_release_of_limit_preview_keeps_base(spark, sf_dir):
+    """A .limit() preview of a live result is not a transparent
+    wrapper: releasing it must not free the base's caches (r5 review:
+    GlobalLimit/LocalLimit were in the walk-through set, so a preview
+    release killed a checkpoint-backed base)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    _clean_baseline(spark)
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "a_id long, b_id long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    comps = connected_components(pairs, vertices=nodes)
+    assert comps.count() == 4
+
+    preview = comps.limit(2)
+    preview.collect()
+    cache.release(preview)  # cleanup of the preview, not of comps
+    assert comps.count() == 4  # base alive
+    cache.release(comps)
+
+
+def test_double_release_of_wrapper_cannot_hit_twin(spark, sf_dir):
+    """release() is idempotent: a second release of the same wrapper
+    must not sameResult-match a LATER identical plan's registry entry
+    and free the live twin's caches (fallback consumes its match; a
+    released frame carries an empty attribute that blocks re-entry)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir).limit(60)
+    baseline = _clean_baseline(spark)
+
+    out1 = jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    wrapped = out1.select("a_id")
+    wrapped.count()
+    cache.release(wrapped)
+    assert _n_blocks(spark) == baseline
+
+    # identical-plan twin, still in flight
+    out2 = jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    out2.count()
+    n_live = _n_blocks(spark)
+    assert n_live > baseline
+    cache.release(wrapped)  # double release: must be a no-op
+    assert _n_blocks(spark) == n_live
+    cache.release(out2)
+    assert _n_blocks(spark) == baseline
+
+
+def test_graph_analytics_release_reaches_generator_caches(spark, sf_dir):
+    """q90/q91 build on jaccard_pairs, whose prefix persist used to be
+    orphaned when the plan stripped the edge columns (r5 review): the
+    result's release must return the block census to baseline."""
+    from odsc_agentic_ai_summit_2025_spark.plans.dedup import (
+        q90_triangle_counts,
+        q91_pagerank,
+    )
+
+    baseline = _clean_baseline(spark)
+    for q in (q90_triangle_counts, q91_pagerank):
+        out = q(spark, sf_dir)
+        out.count()
+        cache.release(out)
+        assert _n_blocks(spark) == baseline, q.__name__
+        assert not cache._REGISTRY, q.__name__

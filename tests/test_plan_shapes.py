@@ -45,6 +45,10 @@ BNLJ_ALLOWED = {
     "q79_ivfpq_knn": "queries × K centroids — both sides bounded, probe selection",
     "q58_heavy_hitters": "1-row scalar total broadcast against term counts",
     "q73_source_mix": "1-row scalar totals broadcast against per-source counts",
+    "q84_tfidf_top_terms": (
+        "1-row n_docs scalar-totals broadcast into the score expression "
+        "(replaces an eager driver-side count action)"
+    ),
     "q85_weighted_resample": (
         "inherits q73's 1-row scalar-totals broadcast inside the weight "
         "computation; the corpus-side weight join itself is a broadcast "
