@@ -548,6 +548,120 @@ def pack_sequences_stream(
     )
 
 
+def ngram_novelty_stream(
+    spark: SparkSession,
+    docs_path: str,
+    sink,
+    *,
+    l: int = 8,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming twin of ``ngram_novelty``: per-doc gram novelty
+    against a STANDING first-owner set that accumulates across ingest
+    micro-batches — the production shape of the marginal-signal curve
+    (each delivery is scored against everything already ingested,
+    without ever re-reading the standing corpus; the q86 admission
+    pattern applied to grams instead of digests).
+
+    A gram is novel for doc ``d`` iff no prior batch contains it AND
+    ``d`` is the minimum id holding it within its own batch — which
+    equals the batch operator run over the concatenated corpus
+    whenever deliveries append with increasing doc_ids (the same CDC
+    invariant ``dedup_admit_incremental`` documents; parity asserted
+    in tests shard-for-shard).
+
+    State is the standing gram set, carried as a localCheckpoint'd
+    ids-only frame that is rebuilt (old checkpoint released) per
+    batch — linear in distinct grams seen, the honest cost of exact
+    first-owner attribution; the sketch variant (Bloom over grams,
+    q75's device) trades false-positive non-novelty for constant
+    state. ``sink(df, batch_id)`` must materialize what it is given.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from .. import cache
+    from ..operators.dedup import _gram_occurrences
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(docs_path)
+    )
+    state: dict = {"owners": None}
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        base, per_pos = _gram_occurrences(batch_df, "text", "doc_id", l)
+        bmin = per_pos.groupBy("gram").agg(F.min("doc_id").alias("_bmin"))
+        scored = per_pos.join(bmin, "gram")
+        if state["owners"] is not None:
+            scored = scored.join(
+                state["owners"].withColumn("_seen", F.lit(True)),
+                "gram",
+                "left",
+            )
+        else:
+            scored = scored.withColumn("_seen", F.lit(None).cast("boolean"))
+        per_doc = scored.groupBy("doc_id").agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("_seen").isNull()
+                    & (F.col("_bmin") == F.col("doc_id")),
+                    F.col("_c"),
+                ).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+        out = (
+            base.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+                F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+                F.expr(
+                    "coalesce(n_novel, 0) * 10000 div "
+                    "greatest(coalesce(n_grams, 0), 1)"
+                )
+                .cast("long")
+                .alias("novelty_e4"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        try:
+            sink(out, batch_id)
+            # fold this batch's grams into the standing set; the
+            # checkpoint truncates lineage so state does not grow a
+            # union chain across batches
+            new_grams = bmin.select("gram")
+            merged = (
+                state["owners"].select("gram").unionAll(new_grams).distinct()
+                if state["owners"] is not None
+                else new_grams
+            )
+            prev = state["owners"]
+            state["owners"] = merged.localCheckpoint()
+            if prev is not None:
+                cache.release_frame(prev)
+        finally:
+            cache.release_frame(per_pos)
+
+    return (
+        stream.writeStream.foreachBatch(_score)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _interval_seconds(interval: str) -> int:
     qty, unit = interval.split()
     mult = {

@@ -246,3 +246,53 @@ def test_weighted_resample_stream_parity(spark, sf_dir, docs_stream_dir2):
     assert sorted(map(tuple, batch.collect())) == sorted(
         map(tuple, got.collect())
     )
+
+
+def test_ngram_novelty_stream_standing_set_parity(spark, sf_dir, tmp_path):
+    """Incremental novelty against the accumulated gram set must
+    equal the batch operator over the concatenated corpus when
+    deliveries append with increasing doc_ids (the q86 CDC
+    invariant applied to grams)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import ngram_novelty
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        ngram_novelty_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    shards = [
+        docs.filter(
+            (F.col("doc_id") >= 100 * i) & (F.col("doc_id") < 100 * (i + 1))
+        ).select("doc_id", "text", "lang", "source", "n_chars")
+        for i in range(3)
+    ]
+    d = tmp_path / "novelty_stream_in"
+    d.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, s in enumerate(shards):
+        p = d / f"shard-{i}.parquet"
+        s.toPandas().to_parquet(p, index=False)
+        # the id-increases-with-delivery invariant needs shard-order
+        # ingestion; pin distinct mtimes so the file source's listing
+        # order is deterministic
+        _os.utime(p, (now + i, now + i))
+
+    got = []
+
+    def sink(df, batch_id):
+        got.extend(
+            (r["doc_id"], r["n_grams"], r["n_novel"], r["novelty_e4"])
+            for r in df.collect()
+        )
+
+    q = ngram_novelty_stream(spark, str(d), sink, l=8)
+    q.awaitTermination(120)
+
+    from odsc_agentic_ai_summit_2025_spark import cache
+
+    batch = ngram_novelty(docs, "text", "doc_id", l=8)
+    want = sorted(map(tuple, batch.collect()))
+    cache.release(batch)
+    assert sorted(got) == want and len(want) > 0
