@@ -136,6 +136,21 @@ def main() -> None:
         lambda: cu.repetition_stats(docs, "text", "doc_id")
         .filter(F.col("repetitive")).count(),
     )
+    def _gram_stage(fn):
+        # both gram-tier operators attach their persisted occurrence
+        # table to the result; count then release via the sweep
+        out = fn(docs, "text", "doc_id", 8)
+        return out.agg(F.sum("n_grams" if "n_grams" in out.columns
+                             else "n_spans").alias("s")).collect()[0]["s"]
+
+    stage(
+        "span_dupes_8gram",
+        lambda: _gram_stage(lambda d, t, i, l: dd.ngram_span_dupes(d, t, i, l=l)),
+    )
+    stage(
+        "ngram_novelty_8gram",
+        lambda: _gram_stage(lambda d, t, i, l: dd.ngram_novelty(d, t, i, l=l)),
+    )
     stage(
         "source_mix",
         lambda: cu.source_mix_weights(docs, "source").count(),
