@@ -145,15 +145,26 @@ def bloom_probe_counts(
     and an item is a hit when all K joined words contain its bit.
     Guaranteed no false negatives; false-positive rate is the classic
     (1-e^(-kn/m))^k. Identical SQL runs in DuckDB (the oracle)."""
+    hits = _bloom_hits(probes, bloom, value_col, [id_col])
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_suspect"))
+
+
+def _bloom_hits(
+    probes: DataFrame, bloom: DataFrame, value_col: str, keep_cols: list[str]
+) -> DataFrame:
+    """Rows of ``[*keep_cols, _v]`` (distinct) whose K Bloom bits are
+    all set — the shared membership join under the probe counters."""
     h = F.conv(
         F.substring(F.md5(F.col("_v").cast("string")), 1, 15), 16, 10
     ).cast("long")
     expanded = (
-        probes.select(F.col(id_col), F.col(value_col).alias("_v"))
+        probes.select(*keep_cols, F.col(value_col).alias("_v"))
         .distinct()
-        .select(id_col, "_v", F.explode(F.array(*_bloom_h(h))).alias("_bit"))
         .select(
-            id_col,
+            *keep_cols, "_v", F.explode(F.array(*_bloom_h(h))).alias("_bit")
+        )
+        .select(
+            *keep_cols,
             "_v",
             F.shiftright(F.col("_bit"), 5).cast("long").alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 32 AS INT))").alias(
@@ -161,14 +172,25 @@ def bloom_probe_counts(
             ),
         )
     )
-    hits = (
+    return (
         expanded.join(F.broadcast(bloom), "word_idx")
         .filter(F.col("word").bitwiseAND(F.col("_mask")) == F.col("_mask"))
-        .groupBy(id_col, "_v")
+        .groupBy(*keep_cols, "_v")
         .agg(F.count("*").alias("_nbits"))
         .filter(F.col("_nbits") == BLOOM_K)
     )
-    return hits.groupBy(id_col).agg(F.count("*").alias("n_suspect"))
+
+
+def bloom_suspects(
+    probes: DataFrame, bloom: DataFrame, value_col: str
+) -> DataFrame:
+    """The DISTINCT ``value_col`` values whose K bits are all set in
+    ``bloom`` — one column, named like the input. No false negatives;
+    FP rate is the classic (1-e^(-kn/m))^k. The membership primitive
+    the sketch-bounded novelty stream folds against."""
+    return _bloom_hits(probes, bloom, value_col, []).select(
+        F.col("_v").alias(value_col)
+    )
 
 
 CMS_W = BLOOM_BITS  # 2^16 columns per row — reuses the hash digits

@@ -555,6 +555,7 @@ def ngram_novelty_stream(
     *,
     l: int = 8,
     max_files_per_trigger: int = 1,
+    sketch: bool = False,
 ):
     """Streaming twin of ``ngram_novelty``: per-doc gram novelty
     against a STANDING first-owner set that accumulates across ingest
@@ -570,12 +571,18 @@ def ngram_novelty_stream(
     invariant ``dedup_admit_incremental`` documents; parity asserted
     in tests shard-for-shard).
 
-    State is the standing gram set, carried as a localCheckpoint'd
-    ids-only frame that is rebuilt (old checkpoint released) per
-    batch — linear in distinct grams seen, the honest cost of exact
-    first-owner attribution; the sketch variant (Bloom over grams,
-    q75's device) trades false-positive non-novelty for constant
-    state. ``sink(df, batch_id)`` must materialize what it is given.
+    State with ``sketch=False`` is the standing gram set, carried as
+    a localCheckpoint'd ids-only frame rebuilt (old checkpoint
+    released) per batch — linear in distinct grams seen, the honest
+    cost of exact first-owner attribution. ``sketch=True`` folds each
+    batch's grams into the portable 8 KiB Bloom bitmap instead
+    (q75's decontamination device, ``bit_or``-merged per batch):
+    CONSTANT state at any corpus size, one-sided error — a Bloom
+    false positive marks a genuinely-novel gram as seen, so sketch
+    ``n_novel`` is a LOWER bound on the exact value (never an
+    overcount; ``n_grams`` is exact either way) — the right direction
+    for a mined-out gate, which acts on LOW novelty.
+    ``sink(df, batch_id)`` must materialize what it is given.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
@@ -599,18 +606,25 @@ def ngram_novelty_stream(
     )
     state: dict = {"owners": None}
 
+    def _seen_marks(grams: DataFrame) -> DataFrame:
+        """``[gram, _seen]`` for this batch's distinct grams, from
+        whichever standing structure is configured."""
+        if state["owners"] is None:
+            return grams.withColumn("_seen", F.lit(True)).limit(0)
+        if sketch:
+            from ..operators.sketches import bloom_suspects
+
+            return bloom_suspects(
+                grams, state["owners"], "gram"
+            ).withColumn("_seen", F.lit(True))
+        return state["owners"].withColumn("_seen", F.lit(True))
+
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         base, per_pos = _gram_occurrences(batch_df, "text", "doc_id", l)
         bmin = per_pos.groupBy("gram").agg(F.min("doc_id").alias("_bmin"))
-        scored = per_pos.join(bmin, "gram")
-        if state["owners"] is not None:
-            scored = scored.join(
-                state["owners"].withColumn("_seen", F.lit(True)),
-                "gram",
-                "left",
-            )
-        else:
-            scored = scored.withColumn("_seen", F.lit(None).cast("boolean"))
+        scored = per_pos.join(bmin, "gram").join(
+            _seen_marks(bmin.select("gram")), "gram", "left"
+        )
         per_doc = scored.groupBy("doc_id").agg(
             F.sum("_c").alias("n_grams"),
             F.sum(
@@ -639,15 +653,29 @@ def ngram_novelty_stream(
         )
         try:
             sink(out, batch_id)
-            # fold this batch's grams into the standing set; the
+            # fold this batch's grams into the standing structure; the
             # checkpoint truncates lineage so state does not grow a
             # union chain across batches
             new_grams = bmin.select("gram")
-            merged = (
-                state["owners"].select("gram").unionAll(new_grams).distinct()
-                if state["owners"] is not None
-                else new_grams
-            )
+            if sketch:
+                from ..operators.sketches import bloom_build
+
+                words = bloom_build(new_grams, "gram")
+                merged = (
+                    state["owners"].unionAll(words)
+                    .groupBy("word_idx")
+                    .agg(F.expr("bit_or(word)").alias("word"))
+                    if state["owners"] is not None
+                    else words
+                )
+            else:
+                merged = (
+                    state["owners"].select("gram")
+                    .unionAll(new_grams)
+                    .distinct()
+                    if state["owners"] is not None
+                    else new_grams
+                )
             prev = state["owners"]
             state["owners"] = merged.localCheckpoint()
             if prev is not None:
