@@ -466,3 +466,73 @@ def stratified_sample(
         .filter(F.col("pick_rank") <= n_per_group)
         .select(id_col, F.col("grp").alias(group_col), "pick_rank")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 4,
+    salt: str = "curriculum:v1",
+) -> DataFrame:
+    """Deterministic curriculum ordering — the trainer-feed
+    materialization of quality scoring: rank the corpus by the q31
+    quality heuristic, cut it into ``n_buckets`` equal-size tiers
+    (bucket 0 = best), and assign every doc a global ``train_pos``
+    that walks the tiers in order with a salted-hash shuffle INSIDE
+    each tier (quality-curriculum outside, decorrelated order inside
+    — the standard curriculum-learning feed shape). No RNG anywhere:
+    positions are a pure function of (corpus, salt), reproducible
+    across runs and engines.
+
+    Scale shape: the global quality rank uses the distributed
+    row-index machinery (range partition + per-partition offsets —
+    no single-partition window); tier membership is integer
+    arithmetic on that rank against a 1-row broadcast total; the
+    intra-tier shuffle is a window over ``n_buckets`` partitions —
+    at 100 TB a trainer feeds per-shard anyway, so the documented
+    scale variant scopes the intra-tier window by (bucket, shard)
+    exactly as the packing operator scopes its offsets per batch.
+
+    Output: ``[id, quality_e4, bucket, train_pos]`` — ``train_pos``
+    0-based, dense, bucket-contiguous.
+    """
+    from pyspark.sql import Window
+
+    from ..cache import own
+    from ..functions.text import char_poly_hash
+    from ..sources.io import with_row_index_distributed
+    from .textops import quality_score
+
+    q = quality_score(df, text_col, id_col).select(
+        F.col(id_col), "quality_e4"
+    )
+    scored = q.withColumn("_negq", -F.col("quality_e4"))
+    idx = with_row_index_distributed(scored, ["_negq", id_col], name="_gidx")
+    totals = idx.agg(F.count(F.lit(1)).alias("_n_docs"))
+    h = char_poly_hash(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    nb = int(n_buckets)
+    return own(
+        idx.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "bucket",
+            F.expr(f"(_gidx - 1) * {nb} div _n_docs").cast("long"),
+        )
+        .withColumn("_h", h)
+        .withColumn(
+            "train_pos",
+            (
+                F.expr(f"(bucket * _n_docs + {nb} - 1) div {nb}")
+                + F.row_number().over(w)
+                - F.lit(1)
+            ).cast("long"),
+        )
+        .select(id_col, "quality_e4", "bucket", "train_pos"),
+        idx,
+    )

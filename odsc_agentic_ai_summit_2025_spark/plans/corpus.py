@@ -282,3 +282,66 @@ QUERIES.append(
     Query("q92_ngram_novelty", q92_ngram_novelty, Q92_SQL,
           ("A5", "U2"), "cross-document n-gram novelty fraction")
 )
+
+
+def q93_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum feed: q31-quality tiers walked in
+    order, salted-hash shuffle inside each tier, dense global
+    train_pos — no RNG, a pure function of (corpus, salt)."""
+    from ..operators.curation import curriculum_order
+
+    return curriculum_order(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        n_buckets=4,
+    )
+
+
+def _q93_sql() -> str:
+    from ..functions.text import char_poly_hash_sql
+
+    h = char_poly_hash_sql("CAST(doc_id AS VARCHAR) || ':curriculum:v1'")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
+             (a, b) -> a + b) AS sum_len,
+         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT)
+           AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         ((n_tokens - n_stop) * LEAST(sum_len, n_tokens * 10) * 10000)
+             // (n_tokens * n_tokens * 10) AS quality_e4
+  FROM t
+),
+i AS (
+  SELECT doc_id, quality_e4,
+         ROW_NUMBER() OVER (ORDER BY quality_e4 DESC, doc_id ASC) AS gidx
+  FROM q
+),
+n AS (SELECT COUNT(*) AS n_docs FROM q),
+b AS (
+  SELECT doc_id, quality_e4, ((gidx - 1) * 4) // n_docs AS bucket, n_docs
+  FROM i, n
+),
+r AS (
+  SELECT doc_id, quality_e4, bucket, n_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY bucket ORDER BY {h} ASC, doc_id ASC
+         ) AS rn
+  FROM b
+)
+SELECT doc_id, quality_e4,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST((bucket * n_docs + 3) // 4 + rn - 1 AS BIGINT) AS train_pos
+FROM r
+"""
+
+
+QUERIES.append(
+    Query("q93_curriculum_order", q93_curriculum_order, _q93_sql(),
+          ("O1", "F12"), "deterministic quality-curriculum ordering")
+)

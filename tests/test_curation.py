@@ -102,3 +102,44 @@ def test_bloom_gate_has_no_false_negatives(spark, sf_dir):
         .count()
     )
     assert len(bloom - exact) <= max(5, n_corpus // 10)
+
+
+def test_curriculum_order_tiers_and_determinism(spark):
+    from odsc_agentic_ai_summit_2025_spark import cache
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        curriculum_order,
+    )
+
+    rows = [
+        (i, ("great clean prose with the many varied tokens inside it "
+             if i % 3 == 0 else "loop " * 8) + f"tail{i}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curriculum_order(df, "text", "doc_id", n_buckets=4)
+    got = sorted(map(tuple, out.collect()))
+    cache.release(out)
+
+    # dense, 0-based, bucket-contiguous global positions
+    assert sorted(r[3] for r in got) == list(range(24))
+    by_bucket = {}
+    for _id, _q, b, pos in got:
+        by_bucket.setdefault(b, []).append(pos)
+    assert sorted(by_bucket) == [0, 1, 2, 3]
+    assert all(len(v) == 6 for v in by_bucket.values())  # equal tiers
+    bounds = [sorted(v) for _, v in sorted(by_bucket.items())]
+    for earlier, later in zip(bounds, bounds[1:]):
+        assert earlier[-1] < later[0]  # tiers are walked in order
+    # quality ordering across tiers: min quality of bucket b >= max of b+1
+    qs = {}
+    for _id, q, b, _pos in got:
+        qs.setdefault(b, []).append(q)
+    for b in range(3):
+        assert min(qs[b]) >= max(qs[b + 1])
+
+    # deterministic under physical layout
+    out2 = curriculum_order(df.repartition(7, "text"), "text", "doc_id",
+                            n_buckets=4)
+    got2 = sorted(map(tuple, out2.collect()))
+    cache.release(out2)
+    assert got == got2

@@ -45,6 +45,10 @@ BNLJ_ALLOWED = {
     "q79_ivfpq_knn": "queries × K centroids — both sides bounded, probe selection",
     "q58_heavy_hitters": "1-row scalar total broadcast against term counts",
     "q73_source_mix": "1-row scalar totals broadcast against per-source counts",
+    "q93_curriculum_order": (
+        "1-row corpus-total broadcast for tier arithmetic on the "
+        "distributed quality rank"
+    ),
     "q84_tfidf_top_terms": (
         "1-row n_docs scalar-totals broadcast into the score expression "
         "(replaces an eager driver-side count action)"
