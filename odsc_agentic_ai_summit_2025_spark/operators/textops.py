@@ -369,3 +369,83 @@ def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, *, top_v: int = 200
+) -> DataFrame:
+    """Vocabulary frequency table with cumulative corpus coverage —
+    the artifact a tokenizer fit runs on: terms ranked by occurrence
+    count, each carrying the running share of all token occurrences
+    the vocabulary up to that rank explains (the "how many types
+    cover 95% of tokens" curve; the BPE vocab-size decision reads it
+    directly).
+
+    Output: ``[term, n_occ, vocab_rank, cum_occ, coverage_e4]`` for
+    the top ``top_v`` terms — rank ties broken by term text, coverage
+    in integer basis points, so the table is a total function of the
+    corpus and oracle-exact.
+
+    Scale shape: one corpus pass to (term, count) — map-side
+    combined, term-keyed shuffle — then rank AND running sum over the
+    VOCAB table via the distributed prefix-sum device
+    (:func:`pack_sequences`' shape): range partition on the rank
+    order, per-partition rank/cumsum windows, per-partition
+    count/sum offsets broadcast back. No single-partition window
+    even when the vocabulary is billions of types.
+    """
+    from pyspark.sql import Window
+
+    from ..cache import own
+
+    occ = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn("_nneg", -F.col("n_occ"))
+    )
+    order_cols = [F.col("_nneg"), F.col("term")]
+    part = occ.repartitionByRange(*order_cols)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        part.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.count(F.lit(1)).over(w))
+        .withColumn("_lsum", F.sum("n_occ").over(w))
+        .localCheckpoint(eager=True)
+    )
+    per_part = sorted(
+        (r["_pid"], r["_n"], r["_s"])
+        for r in local.groupBy("_pid")
+        .agg(F.max("_lrn").alias("_n"), F.max("_lsum").alias("_s"))
+        .collect()
+    )
+    offsets, acc_n, acc_s = [], 0, 0
+    for pid, n, s in per_part:
+        offsets.append((pid, acc_n, acc_s))
+        acc_n += n
+        acc_s += s
+    total_occ = max(acc_s, 1)
+    off = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _rank_off long, _sum_off long"
+    )
+    return own(
+        local.join(F.broadcast(off), "_pid")
+        .withColumn("vocab_rank", (F.col("_rank_off") + F.col("_lrn")).cast("long"))
+        .withColumn("cum_occ", (F.col("_sum_off") + F.col("_lsum")).cast("long"))
+        .filter(F.col("vocab_rank") <= top_v)
+        .select(
+            "term",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            "vocab_rank",
+            "cum_occ",
+            F.expr(f"cum_occ * 10000 div {total_occ}L")
+            .cast("long")
+            .alias("coverage_e4"),
+        ),
+        local,
+    )

@@ -345,3 +345,47 @@ QUERIES.append(
     Query("q93_curriculum_order", q93_curriculum_order, _q93_sql(),
           ("O1", "F12"), "deterministic quality-curriculum ordering")
 )
+
+
+def q94_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fitting artifact: top-200 vocabulary with cumulative
+    corpus coverage in basis points — rank and running sum assigned
+    by the distributed prefix-sum device, no global window."""
+    from ..operators.textops import vocab_coverage
+
+    return vocab_coverage(
+        read_table(spark, sf_dir, "documents"), "text", top_v=200
+    )
+
+
+Q94_SQL = f"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT term, COUNT(*) AS n_occ
+  FROM (SELECT unnest(toks) AS term FROM t)
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n_occ) AS total FROM occ),
+r AS (
+  SELECT term, n_occ,
+         ROW_NUMBER() OVER (ORDER BY n_occ DESC, term ASC) AS vocab_rank,
+         SUM(n_occ) OVER (
+           ORDER BY n_occ DESC, term ASC ROWS UNBOUNDED PRECEDING
+         ) AS cum_occ
+  FROM occ
+)
+SELECT term,
+       CAST(n_occ AS BIGINT) AS n_occ,
+       CAST(vocab_rank AS BIGINT) AS vocab_rank,
+       CAST(cum_occ AS BIGINT) AS cum_occ,
+       CAST(cum_occ * 10000 // GREATEST(total, 1) AS BIGINT) AS coverage_e4
+FROM r, tot
+WHERE vocab_rank <= 200
+"""
+
+QUERIES.append(
+    Query("q94_vocab_coverage", q94_vocab_coverage, Q94_SQL,
+          ("A10", "O1"), "vocabulary table with cumulative coverage")
+)

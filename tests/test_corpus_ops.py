@@ -233,3 +233,34 @@ def test_dedup_admit_null_text_audited(spark):
     assert rows[11] == (False, "null_text")
     assert rows[12] == (True, "new")
     assert rows[13] == (False, "dup_in_batch")
+
+
+def test_vocab_coverage_manual_and_invariant(spark):
+    from odsc_agentic_ai_summit_2025_spark import cache
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        vocab_coverage,
+    )
+
+    rows = [(1, "b b b a a c"), (2, "a d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_coverage(df, "text", top_v=3)
+    got = sorted(map(tuple, out.collect()), key=lambda t: t[2])
+    cache.release(out)
+    # totals: a=3, b=3, c=1, d=1 (8 occurrences); rank ties by term
+    assert got == [
+        ("a", 3, 1, 3, 3750),
+        ("b", 3, 2, 6, 7500),
+        ("c", 1, 3, 7, 8750),
+    ]
+
+    big = spark.createDataFrame(
+        [(i, f"w{i % 5} x y common common") for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = vocab_coverage(big, "text", top_v=10)
+    ra = sorted(map(tuple, a.collect()))
+    cache.release(a)
+    b = vocab_coverage(big.repartition(7, "text"), "text", top_v=10)
+    rb = sorted(map(tuple, b.collect()))
+    cache.release(b)
+    assert ra == rb and len(ra) == 8  # w0..w4, x, y, common
