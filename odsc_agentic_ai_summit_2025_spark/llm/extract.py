@@ -103,15 +103,22 @@ def extract_fhir_with_usage(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         collector = UsageCollector()
-        client = MeteredClient(client_factory(), collector)
+        inner = client_factory()
+        # wire the shared collector INTO a client that reports real
+        # usage (HttpLLMClient exposes the attribute) — without this
+        # MeteredClient can never see real token counts and every row
+        # would fall back to the chars/4 estimate
+        if hasattr(inner, "collector"):
+            inner.collector = collector
+        client = MeteredClient(inner, collector)
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for rid, note in zip(pdf["record_id"], pdf["note"]):
-                before = len(collector.records)
+                before = collector.n_records()
                 patient = client.extract_patient(note)
                 imm = client.extract_immunizations(note)
                 prac = client.extract_practitioner(note)
-                recs = collector.records[before:]
+                recs = collector.records_since(before)
                 rows.append(
                     {
                         "record_id": int(rid),

@@ -24,8 +24,15 @@ METRICS_SAMPLE_RATE = 0.05  # rag_obs_eval.py:38
 
 
 def _words(c: Column) -> Column:
+    # null-safe: a NULL question/answer/context scores exactly like
+    # the empty string, matching HeuristicJudge's `(s or "")` — the
+    # raw column would null-propagate through intersect/size and make
+    # the column path return NULL where the judge path returns 0.0
+    # (skewing metrics_summary averages, which skip NULLs)
     return F.array_distinct(
-        F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), 0)
+        F.regexp_extract_all(
+            F.lower(F.coalesce(c, F.lit(""))), F.lit(r"[a-z0-9]+"), 0
+        )
     )
 
 
@@ -39,8 +46,15 @@ def answer_similarity(a: Column, b: Column) -> Column:
 
 def contains_metric(answer: Column, expected: Column) -> Column:
     """Contains: expected value appears in the answer
-    (case-insensitive substring — baml_instrumentation.py Contains)."""
-    return F.lower(answer).contains(F.lower(expected)).cast("double")
+    (case-insensitive substring — baml_instrumentation.py Contains).
+    NULL expected scores 0.0; NULL answer behaves as empty."""
+    return F.when(
+        expected.isNull(), F.lit(0.0)
+    ).otherwise(
+        F.lower(F.coalesce(answer, F.lit("")))
+        .contains(F.lower(expected))
+        .cast("double")
+    )
 
 
 def context_recall(answer: Column, context: Column) -> Column:
@@ -65,7 +79,7 @@ def moderation_flag(answer: Column) -> Column:
     guardrail category; 0.0 = clean)."""
     from ..functions.guardrails import email_count
 
-    return (email_count(answer) > 0).cast("double")
+    return (email_count(F.coalesce(answer, F.lit(""))) > 0).cast("double")
 
 
 def judge_metrics(

@@ -104,6 +104,17 @@ class UsageCollector:
         with self._lock:
             return list(self._records)
 
+    def n_records(self) -> int:
+        with self._lock:
+            return len(self._records)
+
+    def records_since(self, start: int) -> list[CallRecord]:
+        """Copy only the records appended at or after ``start`` — the
+        per-record metering loop calls this instead of snapshotting
+        the whole list (O(R²) over a partition otherwise)."""
+        with self._lock:
+            return list(self._records[start:])
+
     def totals(self) -> dict[str, float]:
         recs = self.records
         return {
@@ -218,20 +229,30 @@ class SpanTracer:
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._spans: list[Span] = []
-        self._stack: list[str] = []
+        # per-thread open-span stacks: concurrent questions (the
+        # reference runs 5a/5b and multiple asks in parallel) must not
+        # interleave push/pop or parents cross-attribute across threads
+        self._local = threading.local()
+
+    def _stack(self) -> list[str]:
+        stack = getattr(self._local, "stack", None)
+        if stack is None:
+            stack = self._local.stack = []
+        return stack
 
     def span(self, name: str, **metadata: Any):
         tracer = self
 
         class _Ctx:
             def __enter__(self) -> None:
-                tracer._stack.append(name)
+                tracer._stack().append(name)
                 self._t0 = time.perf_counter()
 
             def __exit__(self, *exc: Any) -> None:
                 dt = (time.perf_counter() - self._t0) * 1000.0
-                tracer._stack.pop()
-                parent = tracer._stack[-1] if tracer._stack else None
+                stack = tracer._stack()
+                stack.pop()
+                parent = stack[-1] if stack else None
                 with tracer._lock:
                     tracer._spans.append(
                         Span(name, parent, self._t0, dt, dict(metadata))

@@ -144,10 +144,19 @@ class HybridRag:
                 sql = self.client.text2sql(q, pruned, entities)
                 graph_rows: list[tuple] = []
                 graph_answer = ""
+                sql_ok = True
                 try:
                     graph_rows = [
                         tuple(r) for r in self.spark.sql(sql).collect()
                     ]
+                except Exception:
+                    # bad generated SQL ≡ reference's Q10 failure mode.
+                    # ONLY the SQL execution is guarded: a client
+                    # failure in answer() below is a transport error
+                    # that must surface, not be misclassified as bad
+                    # SQL and silently discard correct graph rows.
+                    sql_ok = False
+                if sql_ok:
                     graph_answer = self.client.answer(
                         q,
                         "; ".join(
@@ -155,9 +164,6 @@ class HybridRag:
                             for row in graph_rows
                         ),
                     )
-                except Exception:
-                    # bad generated SQL ≡ reference's Q10 failure mode
-                    graph_answer = ""
 
             # 5b. vector branch: hybrid top-k context → answer
             with self.tracer.span("vector_branch"):

@@ -67,6 +67,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events" and _events_ts_is_nanos(path):
+        # Session-scoped by necessity: the conf is consulted when the
+        # LAZY scan executes, so save/restore around this call would
+        # break the returned frame's later actions. The blast radius
+        # is bounded by the engine convention that every read goes
+        # through an explicit schema (a nanos column elsewhere still
+        # fails its declared type); an out-of-convention schemaless
+        # read of another NANOS table after this call would see longs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = T.StructType(
             [

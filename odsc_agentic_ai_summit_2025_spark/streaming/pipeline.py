@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _docs_stream(
+    spark: SparkSession, docs_path: str, *, max_files_per_trigger=None
+) -> DataFrame:
+    """Streaming scan of the documents table — ONE schema source
+    (``schemas.TESTDATA``) for every docs-stream twin, so a column
+    added there cannot silently miss a reader."""
+    from ..schemas import TESTDATA
+
+    reader = spark.readStream.schema(TESTDATA["documents"]).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(docs_path)
+
+
 def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """Streaming scan of the events table. The ``ts`` unit (ns vs µs)
     is footer-detected exactly like the batch reader (sources/io.py),
@@ -44,6 +58,8 @@ def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
             .format("parquet")
             .load(events_path)
         )
+    # session-scoped side effect, same rationale as sources/io.py:
+    # the conf must hold for every micro-batch of the lazy stream
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = T.StructType(
         [
@@ -223,12 +239,15 @@ def interval_join_stream(
 
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Batch definition of the per-user lifetime aggregate:
-    [user_id, n_events, total_value] (exact decimal sum)."""
+    [user_id, n_events, total_value] (exact decimal sum; a user whose
+    every value is NULL totals 0.0 — the running-total identity the
+    stateful stream twin also starts from)."""
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("total_value"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+            F.lit(0.0),
+        ).alias("total_value"),
     )
 
 
@@ -266,14 +285,28 @@ def user_running_totals_stream(
     )
 
     def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+        from decimal import ROUND_HALF_UP
+
+        micro = Decimal("0.000001")
         n, total_micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
             # exact integer accumulation of value in micro-units:
-            # double-sum order varies by batch; integers don't
-            total_micros += int(
-                sum(int(round(v * 1_000_000)) for v in pdf["value"])
-            )
+            # double-sum order varies by batch; integers don't. NULL
+            # values count the event but add nothing (the batch
+            # decimal SUM skips them); quantization is HALF_UP on the
+            # double's shortest decimal form, matching Spark's
+            # double→decimal(18,6) cast rather than Python round()'s
+            # banker's rounding
+            for v in pdf["value"]:
+                if _pd.isna(v):
+                    continue
+                total_micros += int(
+                    Decimal(str(v))
+                    .quantize(micro, rounding=ROUND_HALF_UP)
+                    .scaleb(6)
+                )
         state.update((n, total_micros))
         import pandas as pd
 
@@ -310,28 +343,29 @@ def dedup_docs(docs: DataFrame) -> DataFrame:
 
 def dedup_docs_stream(spark: SparkSession, docs_path: str) -> DataFrame:
     """Streaming twin: ``dropDuplicates`` on the content digest over a
-    documents file stream — the first arrival of each content survives,
-    later copies are dropped as they arrive (ingest-time dedup, the
-    streaming form of the training-data pipeline's first stage).
+    documents file stream — exactly one representative of each content
+    survives, later copies are dropped as they arrive (ingest-time
+    dedup, the streaming form of the training-data pipeline's first
+    stage).
+
+    Determinism contract — weaker than the batch oracle's, stated
+    honestly: the SET of surviving digests is deterministic, but
+    WHICH doc_id represents a digest is whichever copy a task
+    processes first within the micro-batch (Spark's streaming
+    ``dropDuplicates`` keeps the first row seen, which is
+    partition-scheduling dependent). When the representative id
+    matters downstream, use the deterministic admission path
+    (``operators/dedup.py:dedup_admit_incremental`` per delivery —
+    min-id, auditable) instead; the parity test accordingly compares
+    digest sets.
 
     State carries one 32-byte digest per distinct content — bounded by
     corpus distinct-count, not stream length. For unbounded streams
     where exact global state can't be kept, use
     :func:`dedup_events_stream_within_watermark` — the event-time
     bounded variant."""
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
     return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(docs_path)
+        _docs_stream(spark, docs_path)
         .withColumn("content_sha", F.sha2(F.col("text"), 256))
         .dropDuplicates(["content_sha"])
         .select("content_sha", "doc_id")
@@ -374,16 +408,7 @@ def ingest_gate_stream(
     with the batch definition is asserted in tests."""
     from ..operators.curation import ingest_gate
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    stream = spark.readStream.schema(schema).format("parquet").load(docs_path)
+    stream = _docs_stream(spark, docs_path)
     return ingest_gate(stream, bench_grams, "text", "doc_id", n=n)
 
 
@@ -407,16 +432,7 @@ def curation_prefix_stream(
     twins."""
     from ..operators.curation import curation_prefix
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    stream = spark.readStream.schema(schema).format("parquet").load(docs_path)
+    stream = _docs_stream(spark, docs_path)
     return curation_prefix(stream, bench_grams, "text", "doc_id", n=n)
 
 
@@ -430,16 +446,7 @@ def bpe_token_stats_stream(spark: SparkSession, docs_path: str) -> DataFrame:
     unbounded stream is unbounded state by definition.)"""
     from ..operators.textops import bpe_token_stats
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    stream = spark.readStream.schema(schema).format("parquet").load(docs_path)
+    stream = _docs_stream(spark, docs_path)
     return bpe_token_stats(stream, "text", "doc_id")
 
 
@@ -460,16 +467,7 @@ def weighted_resample_stream(
     construction and asserted in tests."""
     from ..operators.curation import resample_reps
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    stream = spark.readStream.schema(schema).format("parquet").load(docs_path)
+    stream = _docs_stream(spark, docs_path)
     w = F.coalesce(
         *[
             F.when(F.col("source") == s, F.lit(int(e4)))
@@ -518,20 +516,8 @@ def pack_sequences_stream(
     from .. import cache
     from ..operators.textops import pack_sequences
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(docs_path)
+    stream = _docs_stream(
+        spark, docs_path, max_files_per_trigger=max_files_per_trigger
     )
 
     def _pack(batch_df: DataFrame, batch_id: int) -> None:
@@ -589,20 +575,8 @@ def ngram_novelty_stream(
     from .. import cache
     from ..operators.dedup import _gram_occurrences
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(docs_path)
+    stream = _docs_stream(
+        spark, docs_path, max_files_per_trigger=max_files_per_trigger
     )
     state: dict = {"owners": None}
 
@@ -691,9 +665,19 @@ def ngram_novelty_stream(
 
 
 def _interval_seconds(interval: str) -> int:
-    qty, unit = interval.split()
+    """Parse the gap grammar ``session_window`` accepts — multi-part
+    ("1 hour 30 minutes") and common unit aliases — so a gap string
+    that works in the streaming twin also works in the batch oracle
+    (they must agree on valid inputs to be parity-checkable)."""
     mult = {
-        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "sec": 1, "secs": 1, "second": 1, "seconds": 1,
+        "min": 60, "mins": 60, "minute": 60, "minutes": 60,
         "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-    }[unit]
-    return int(qty) * mult
+    }
+    parts = interval.split()
+    if not parts or len(parts) % 2:
+        raise ValueError(f"bad interval {interval!r}")
+    total = 0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        total += int(qty) * mult[unit.lower()]
+    return total

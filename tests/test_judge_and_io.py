@@ -277,3 +277,87 @@ def test_write_compacted_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     empty = str(tmp_path / "empty")
     assert write_compacted(docs.limit(0), empty, target_mb=1) == 1
     assert spark.read.parquet(empty).count() == 0
+
+
+def test_judge_column_path_null_parity(spark):
+    """NULL question/context/answer must score exactly like the
+    HeuristicJudge (which treats None as empty) — the raw columns
+    null-propagated to NULL metrics before the r5 fix, silently
+    skewing metrics_summary averages."""
+    from odsc_agentic_ai_summit_2025_spark.llm.judge import (
+        HeuristicJudge,
+        judge_metrics,
+    )
+
+    rows = [
+        ("q text", "ans words here", None),
+        (None, "ans words here", "ctx words"),
+        ("q text", None, "ctx words"),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "question string, answer string, context string"
+    )
+    out = judge_metrics(df, sample_rate=1.0).collect()
+    judge = HeuristicJudge()
+    for r in out:
+        for metric, col in [
+            ("context_recall", "context_recall"),
+            ("answer_relevance", "answer_relevance"),
+            ("moderation", "moderation"),
+            ("answer_similarity", "answer_similarity"),
+        ]:
+            want = judge.score(metric, r["question"], r["answer"], r["context"])
+            assert r[col] is not None, (metric, r)
+            assert abs(r[col] - want) < 1e-12, (metric, r[col], want)
+
+
+def test_running_totals_stream_null_values(spark, tmp_path):
+    """A null event value must not kill the stateful stream: the
+    event is counted, the sum skips it — matching the batch decimal
+    SUM (before the r5 fix int(round(NaN)) crashed the query)."""
+    import pandas as pd
+
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        user_running_totals,
+        user_running_totals_stream,
+    )
+
+    d = tmp_path / "events_nulls"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+                 "2024-01-01 00:02:00", "2024-01-01 00:03:00"]
+            ),
+            "user_id": [7, 7, 7, 8],
+            "event_type": ["click"] * 4,
+            "value": [1.5, None, 2.25, None],
+            "props": ["{}"] * 4,
+        }
+    )
+    pdf.to_parquet(d / "part-0.parquet", index=False)
+
+    batch_df = spark.createDataFrame(pdf)
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in user_running_totals(batch_df).collect()
+    }
+
+    stream = user_running_totals_stream(spark, str(d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("urt_null_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("urt_null_stream").collect()
+    }
+    assert got == {7: (3, 3.75), 8: (1, 0.0)}
+    assert got == want
