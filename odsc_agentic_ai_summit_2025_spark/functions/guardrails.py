@@ -23,12 +23,23 @@ from pyspark.sql import functions as F
 
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
-# first char | middle (masked) | last char | @domain
+# first char | middle (masked, >=1 char so the local part is >=3 and
+# the first+last reveal leaves something hidden) | last char | @domain
 _MASK_PATTERN = (
-    r"([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]*)([A-Za-z0-9._%+-])"
+    r"([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]+)([A-Za-z0-9._%+-])"
     r"@([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
 )
 _MASK_REPLACEMENT = r"$1***$3@$4"
+
+# 1-2 char locals get a FULL mask — a positional first+last mask
+# would reveal the entire local part. Runs AFTER the positional pass;
+# the left guard excludes '*' so already-masked "a***c@..." cannot
+# re-match at "c@". Consuming guard, not lookbehind: portable to RE2.
+_SHORT_MASK_PATTERN = (
+    r"(^|[^A-Za-z0-9._%+*-])([A-Za-z0-9._%+-]{1,2})"
+    r"@([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+)
+_SHORT_MASK_REPLACEMENT = r"$1***@$3"
 
 
 def extract_emails(col: Column) -> Column:
@@ -48,8 +59,10 @@ def email_domains(col: Column) -> Column:
 
 
 def mask_emails(col: Column) -> Column:
-    """F4/L11: positional mask, pure regexp_replace (no UDF)."""
-    return F.regexp_replace(col, _MASK_PATTERN, _MASK_REPLACEMENT)
+    """F4/L11: positional mask, pure regexp_replace (no UDF); short
+    (1-2 char) local parts mask fully in a second pass."""
+    out = F.regexp_replace(col, _MASK_PATTERN, _MASK_REPLACEMENT)
+    return F.regexp_replace(out, _SHORT_MASK_PATTERN, _SHORT_MASK_REPLACEMENT)
 
 
 # ---------------------------------------------------------------------------
@@ -58,6 +71,7 @@ def mask_emails(col: Column) -> Column:
 
 _EMAIL_RE = re.compile(EMAIL_PATTERN)
 _MASK_RE = re.compile(_MASK_PATTERN)
+_SHORT_MASK_RE = re.compile(_SHORT_MASK_PATTERN)
 
 
 def find_emails(text: str) -> list[str]:
@@ -65,7 +79,8 @@ def find_emails(text: str) -> list[str]:
 
 
 def mask_emails_text(text: str) -> str:
-    return _MASK_RE.sub(r"\1***\3@\4", text)
+    out = _MASK_RE.sub(r"\1***\3@\4", text)
+    return _SHORT_MASK_RE.sub(r"\1***@\3", out)
 
 
 @dataclass(frozen=True)
@@ -157,25 +172,34 @@ GUARDRAIL_TRACE_SCHEMA = (
 # pipeline needs, same column-expression shape)
 # ---------------------------------------------------------------------------
 
-# "555-123-4567" | "(555) 123-4567" — the note corpus's phone shapes
-PHONE_PATTERN = r"(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}"
-# SSN with word-ish boundaries; [0-9] on both edge guards so the
-# regex is portable across engines (no \b differences)
-SSN_PATTERN = r"\d{3}-\d{2}-\d{4}"
+# "555-123-4567" | "(555) 123-4567" — the note corpus's phone shapes.
+# Both numeric rules carry CONSUMING edge guards ([^0-9-] or string
+# edge) so a 3-2-4 / 3-3-4 shaped substring INSIDE a longer digit run
+# ("1234-56-7890" contains "234-56-7890") is not counted or masked;
+# lookarounds would not consume but RE2 (the oracle engine) has none.
+# Known trade: two matches separated by a SINGLE character share that
+# character as right+left guard, so the second is missed — prose
+# separates PII by words, and the gate fixtures do too.
+PHONE_PATTERN = r"(^|[^0-9-])((\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4})($|[^0-9-])"
+_PHONE_GROUP = 2
+_PHONE_MASK = r"$1XXX-XXX-XXXX$4"
+SSN_PATTERN = r"(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])"
+_SSN_GROUP = 2
+_SSN_MASK = r"$1XXX-XX-XXXX$3"
 
-#: rule name → (detect pattern, mask replacement pattern+target)
-PII_RULES: dict[str, str] = {
-    "email": EMAIL_PATTERN,
-    "phone": PHONE_PATTERN,
-    "ssn": SSN_PATTERN,
+#: rule name → (detect pattern, match group holding the PII itself)
+PII_RULES: dict[str, tuple[str, int]] = {
+    "email": (EMAIL_PATTERN, 0),
+    "phone": (PHONE_PATTERN, _PHONE_GROUP),
+    "ssn": (SSN_PATTERN, _SSN_GROUP),
 }
 
 
 def pii_counts(col: Column) -> dict[str, Column]:
     """Per-rule match counts (column expressions, JVM-side)."""
     return {
-        rule: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
-        for rule, pat in PII_RULES.items()
+        rule: F.size(F.regexp_extract_all(col, F.lit(pat), grp))
+        for rule, (pat, grp) in PII_RULES.items()
     }
 
 
@@ -187,8 +211,8 @@ def mask_pii(col: Column) -> Column:
     # ssn before phone: an SSN is not phone-shaped (3-2-4 vs 3-3-4),
     # but masked digits must not create new matches either way;
     # 'X' is not a digit so the two replacements cannot interact
-    out = F.regexp_replace(out, SSN_PATTERN, "XXX-XX-XXXX")
-    out = F.regexp_replace(out, PHONE_PATTERN, "XXX-XXX-XXXX")
+    out = F.regexp_replace(out, SSN_PATTERN, _SSN_MASK)
+    out = F.regexp_replace(out, PHONE_PATTERN, _PHONE_MASK)
     return out
 
 
@@ -223,7 +247,6 @@ def pii_trace_df(
             F.col(id_col),
             F.lit(validation_type).alias("validation_type"),
             F.explode(F.array(*per_rule)).alias("r"),
-            (masked != F.col(text_col)).alias("masking_applied"),
             F.length(text_col).cast("int").alias("original_length"),
             F.length(masked).cast("int").alias("masked_length"),
         )
@@ -234,7 +257,10 @@ def pii_trace_df(
             F.col("r.action").alias("action"),
             F.col("r.triggered").alias("triggered"),
             F.col("r.n_matches").alias("n_matches"),
-            "masking_applied",
+            # attributed PER RULE: a rule that matched nothing applied
+            # no masking, whatever the other rules did to the text
+            # (every rule's mask changes its matches, so n>0 ⇔ masked)
+            (F.col("r.n_matches") > 0).alias("masking_applied"),
             "original_length",
             "masked_length",
         )

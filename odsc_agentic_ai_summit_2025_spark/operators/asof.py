@@ -42,6 +42,11 @@ def asof_join(
             F.col(right_ts).alias("_ts"),
             *[F.col(c) for c in value_cols],
         )
+        # a NULL-timestamp right row can never be anyone's predecessor
+        # (DuckDB ASOF: l.ts >= r.ts is never true for NULL r.ts) —
+        # unfiltered it sorts nulls-first and becomes the match for
+        # probes with no real predecessor
+        .filter(F.col("_ts").isNotNull())
         .withColumn("_tag", F.lit(0))
     )
     probe_cols = [c for c in lt.columns if c not in ("_tag", "_ts")]

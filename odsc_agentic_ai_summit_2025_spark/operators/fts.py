@@ -29,7 +29,6 @@ from ..functions.text import tokens
 
 K1 = 1.2
 B = 0.75
-RRF_K = 60
 
 Tokenizer = Callable[[Column], Column]
 
@@ -39,8 +38,14 @@ def normalized_tokens(col: Column) -> Column:
     variant for serving paths (HybridRag applies the same rule to
     query terms, so 'Rosenbaum' in a note matches 'rosenbaum' in a
     question; with the raw whitespace tokenizer the BM25 branch
-    silently missed every capitalized/punctuated entity term)."""
-    return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+"), 0)
+    silently missed every capitalized/punctuated entity term).
+    ONE pattern source (``embedder.TOKEN_PATTERN``) for index build,
+    query normalization, and the embedding tokenizer — the
+    index/query mismatch this docstring warns about would otherwise
+    be three regex literals apart."""
+    from ..functions.embedder import TOKEN_PATTERN
+
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
 def normalize_query_terms(text: str) -> list[str]:
@@ -48,7 +53,9 @@ def normalize_query_terms(text: str) -> list[str]:
     strings — one shared rule for index build and query."""
     import re
 
-    return re.findall(r"[a-z0-9]+", text.lower())
+    from ..functions.embedder import TOKEN_PATTERN
+
+    return re.findall(TOKEN_PATTERN, text.lower())
 
 
 @dataclass
@@ -80,9 +87,15 @@ def build_fts_index(
         postings = postings.cache()
         dls = dls.cache()
         dfreq = dfreq.cache()
-    n_docs = docs.count()
-    sum_dl = dls.agg(F.sum("dl")).collect()[0][0]
-    return FtsIndex(postings, dls, dfreq, n_docs, sum_dl / n_docs)
+    # one aggregate yields both corpus stats (count + total length) —
+    # two separate jobs would scan the doc source twice at build time
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_s")
+    ).collect()[0]
+    n_docs = int(stats["_n"])
+    if n_docs == 0:
+        raise ValueError("cannot build an FTS index over an empty corpus")
+    return FtsIndex(postings, dls, dfreq, n_docs, int(stats["_s"]) / n_docs)
 
 
 def build_postings(
@@ -132,19 +145,26 @@ def bm25_scores_indexed(
     one IEEE division) so the oracle reproduces them bit-for-bit.
     The query-term slice of postings is tiny — joins build from it.
     """
+    from collections import Counter
+
     postings, dls = index.postings, index.dls
     n_docs, avgdl = index.n_docs, index.avgdl
 
-    qterms = F.array(*[F.lit(t) for t in query_terms])
+    # bag semantics: a repeated query term weights its score by its
+    # query-term frequency (tantivy/LanceDB score each occurrence) —
+    # the set-semantics filter silently underweighted repeats
+    qtf = postings.sparkSession.createDataFrame(
+        sorted(Counter(query_terms).items()), "term string, qtf long"
+    )
 
     # df(term) comes from the index (computed once at build); only the
     # query-term slice of it joins here, and that slice is tiny →
     # broadcast, so serving touches no postings-wide aggregate
     hit = (
-        postings.filter(F.array_contains(qterms, F.col("term")))
+        postings.join(F.broadcast(qtf), "term")
         .join(
             F.broadcast(
-                index.dfreq.filter(F.array_contains(qterms, F.col("term")))
+                index.dfreq.join(F.broadcast(qtf.select("term")), "term")
             ),
             "term",
         )
@@ -159,7 +179,7 @@ def bm25_scores_indexed(
         + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     )
     return (
-        hit.withColumn("term_score", idf * tf_norm)
+        hit.withColumn("term_score", idf * tf_norm * F.col("qtf"))
         .groupBy("doc")
         .agg(F.sum("term_score").alias("score"))
     )

@@ -224,15 +224,36 @@ def variable_length_paths(
     Each iteration is one equi-join + union — the standard BFS
     expansion; at 100 TB keep frontier deduped per hop to bound
     growth, which dropDuplicates below does.
+
+    ``min_hops=0`` yields the Cypher ``*0..`` zero-length paths — one
+    (v, v, 0) row per endpoint vertex.
     """
+    if not 0 <= min_hops <= max_hops:
+        raise ValueError(
+            f"need 0 <= min_hops <= max_hops, got "
+            f"min_hops={min_hops}, max_hops={max_hops}"
+        )
     # graph node keys are heterogeneous (string slugs, int64 patient
     # ids) — normalize to string so hop joins never hit a lossy cast
     e = edges.select(
         F.col(src).cast("string").alias("start"),
         F.col(dst).cast("string").alias("end"),
     )
+    out = None
+    if min_hops == 0:
+        verts = (
+            e.select(F.col("start").alias("v"))
+            .unionByName(e.select(F.col("end").alias("v")))
+            .distinct()
+        )
+        out = verts.select(
+            F.col("v").alias("start"),
+            F.col("v").alias("end"),
+            F.lit(0).alias("hops"),
+        )
     frontier = e.withColumn("hops", F.lit(1))
-    out = frontier if min_hops <= 1 else None
+    if min_hops <= 1 and max_hops >= 1:
+        out = frontier if out is None else out.unionByName(frontier)
     for hop in range(2, max_hops + 1):
         nxt = (
             frontier.alias("f")
@@ -247,5 +268,6 @@ def variable_length_paths(
         frontier = nxt
         if hop >= min_hops:
             out = nxt if out is None else out.unionByName(nxt)
-    assert out is not None
+    if out is None:  # min_hops == max_hops == 0 handled above; this
+        raise ValueError("empty hop range")  # is unreachable
     return out.dropDuplicates(["start", "end", "hops"])

@@ -75,8 +75,10 @@ def interval_join(
     executor loss. Timestamps are compared at microsecond precision
     (exact integer arithmetic — no double epoch round-trip).
     """
-    lower_us = int(lower_s * _US)
-    upper_us = int(upper_s * _US)
+    # round, not truncate: 0.7 * 1e6 is 699999.999... in binary and
+    # int() would shift the window bound by a microsecond
+    lower_us = round(lower_s * _US)
+    upper_us = round(upper_s * _US)
     if upper_us <= lower_us:
         raise ValueError("upper_s must be > lower_s")
     w = upper_us - lower_us

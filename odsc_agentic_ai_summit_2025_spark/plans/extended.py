@@ -181,10 +181,13 @@ def q49_guardrail_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q49_SQL = r"""
 SELECT doc_id,
        regexp_replace(
-         text || ' Contact: user.' || doc_id || '@example.org or admin'
-              || doc_id || '@corp.example.com.',
-         '([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]*)([A-Za-z0-9._%+-])@([A-Za-z0-9.-]+\.[A-Za-z]{2,})',
-         '\1***\3@\4', 'g') AS masked
+         regexp_replace(
+           text || ' Contact: user.' || doc_id || '@example.org or admin'
+                || doc_id || '@corp.example.com.',
+           '([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]+)([A-Za-z0-9._%+-])@([A-Za-z0-9.-]+\.[A-Za-z]{2,})',
+           '\1***\3@\4', 'g'),
+         '(^|[^A-Za-z0-9._%+*-])([A-Za-z0-9._%+-]{1,2})@([A-Za-z0-9.-]+\.[A-Za-z]{2,})',
+         '\1***@\3', 'g') AS masked
 FROM documents
 """
 

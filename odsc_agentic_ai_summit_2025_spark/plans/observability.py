@@ -71,8 +71,13 @@ END
 """.strip()
 
 _EMAIL_RE_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# mirrors guardrails._MASK_PATTERN / _SHORT_MASK_PATTERN exactly
 _MASK_RE_SQL = (
-    r"([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]*)([A-Za-z0-9._%+-])"
+    r"([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]+)([A-Za-z0-9._%+-])"
+    r"@([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+)
+_SHORT_MASK_RE_SQL = (
+    r"(^|[^A-Za-z0-9._%+*-])([A-Za-z0-9._%+-]{1,2})"
     r"@([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
 )
 
@@ -81,7 +86,9 @@ WITH injected AS (SELECT doc_id, {_INJECT_SQL} AS text FROM documents),
 scored AS (
   SELECT doc_id, text,
          CAST(len(regexp_extract_all(text, '{_EMAIL_RE_SQL}')) AS INT) AS n,
-         regexp_replace(text, '{_MASK_RE_SQL}', '\1***\3@\4', 'g') AS masked
+         regexp_replace(
+           regexp_replace(text, '{_MASK_RE_SQL}', '\1***\3@\4', 'g'),
+           '{_SHORT_MASK_RE_SQL}', '\1***@\3', 'g') AS masked
   FROM injected)
 SELECT doc_id,
        'email' AS rule,
@@ -231,21 +238,24 @@ text
    END
 """.strip()
 
-_PHONE_RE_SQL = r"(\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}"
-_SSN_RE_SQL = r"\d{3}-\d{2}-\d{4}"
+# guarded numeric rules, mirroring guardrails.PHONE_PATTERN/SSN_PATTERN
+_PHONE_RE_SQL = r"(^|[^0-9-])((\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4})($|[^0-9-])"
+_SSN_RE_SQL = r"(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])"
 
 Q67_SQL = rf"""
 WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents),
 scored AS (
   SELECT doc_id, text,
          CAST(len(regexp_extract_all(text, '{_EMAIL_RE_SQL}')) AS INT) AS n_email,
-         CAST(len(regexp_extract_all(text, '{_PHONE_RE_SQL}')) AS INT) AS n_phone,
-         CAST(len(regexp_extract_all(text, '{_SSN_RE_SQL}')) AS INT) AS n_ssn,
+         CAST(len(regexp_extract_all(text, '{_PHONE_RE_SQL}', 2)) AS INT) AS n_phone,
+         CAST(len(regexp_extract_all(text, '{_SSN_RE_SQL}', 2)) AS INT) AS n_ssn,
          regexp_replace(
            regexp_replace(
-             regexp_replace(text, '{_MASK_RE_SQL}', '\1***\3@\4', 'g'),
-             '{_SSN_RE_SQL}', 'XXX-XX-XXXX', 'g'),
-           '{_PHONE_RE_SQL}', 'XXX-XXX-XXXX', 'g') AS masked
+             regexp_replace(
+               regexp_replace(text, '{_MASK_RE_SQL}', '\1***\3@\4', 'g'),
+               '{_SHORT_MASK_RE_SQL}', '\1***@\3', 'g'),
+             '{_SSN_RE_SQL}', '\1XXX-XX-XXXX\3', 'g'),
+           '{_PHONE_RE_SQL}', '\1XXX-XXX-XXXX\4', 'g') AS masked
   FROM injected),
 rules AS (
   SELECT doc_id, text, masked, 'email' AS rule, n_email AS n FROM scored
@@ -261,7 +271,7 @@ SELECT doc_id,
             ELSE 'LOG' END AS action,
        n > 0 AS triggered,
        n AS n_matches,
-       masked <> text AS masking_applied,
+       n > 0 AS masking_applied,
        CAST(length(text) AS INT) AS original_length,
        CAST(length(masked) AS INT) AS masked_length
 FROM rules

@@ -51,7 +51,11 @@ def q40_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_sql(terms: list[str], k: int) -> str:
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    from collections import Counter
+
+    qtf_rows = ", ".join(
+        f"('{t}', {n})" for t, n in sorted(Counter(terms).items())
+    )
     return f"""
 WITH toks AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
 postings AS (SELECT term, doc, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -60,10 +64,10 @@ stats AS (SELECT COUNT(*) AS n,
                  (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dls) AS avgdl
           FROM documents),
 dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+qtf(term, qtf) AS (VALUES {qtf_rows}),
 hit AS (
-  SELECT p.doc, p.tf, f.df, d.dl FROM postings p
-  JOIN dfreq f USING (term) JOIN dls d USING (doc)
-  WHERE p.term IN ({in_list})
+  SELECT p.doc, p.tf, f.df, d.dl, q.qtf FROM postings p
+  JOIN dfreq f USING (term) JOIN dls d USING (doc) JOIN qtf q USING (term)
 ),
 scored AS (
   SELECT doc,
@@ -71,7 +75,8 @@ scored AS (
                  / (df + 0.5) + 1.0)
               * (tf * {fts.K1 + 1!r})
                 / (tf + {fts.K1!r} * ({1 - fts.B!r}
-                   + {fts.B!r} * dl / (SELECT avgdl FROM stats))) ) AS score
+                   + {fts.B!r} * dl / (SELECT avgdl FROM stats)))
+              * qtf ) AS score
   FROM hit GROUP BY doc
 )
 SELECT doc AS doc_id, CAST(rank AS BIGINT) AS rank FROM (

@@ -138,3 +138,38 @@ def test_ivf_lifecycle_roundtrip_and_incremental(spark, sf_dir, tmp_path):
     # idempotent re-add
     again = ivf_add_documents(merged, half2.limit(20))
     assert again.assigned.count() == merged.assigned.count()
+
+
+def test_bm25_bag_semantics_weights_repeated_query_terms(spark):
+    """A repeated query term must weight its score by its query-term
+    frequency (tantivy/LanceDB score each occurrence) — before the r5
+    fix duplicates collapsed to set semantics."""
+    from odsc_agentic_ai_summit_2025_spark.operators.fts import (
+        bm25_scores,
+    )
+
+    rows = [
+        (1, "apple banana cherry"),   # has 'apple' once
+        (2, "banana cherry date"),    # no 'apple', has 'banana'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = {
+        r["doc"]: r["score"]
+        for r in bm25_scores(df, "text", "doc_id", ["apple", "banana"]).collect()
+    }
+    twice = {
+        r["doc"]: r["score"]
+        for r in bm25_scores(
+            df, "text", "doc_id", ["apple", "apple", "banana"]
+        ).collect()
+    }
+    # doc 1's apple term-score doubles; banana contributions unchanged
+    apple_part = once[1] - twice[1] + once[1]  # = 2*once_apple... sanity below
+    assert twice[1] > once[1]
+    assert abs(twice[2] - once[2]) < 1e-12  # no apple in doc 2
+    # exact: twice[1] - once[1] == the single-apple term score
+    single_apple = {
+        r["doc"]: r["score"]
+        for r in bm25_scores(df, "text", "doc_id", ["apple"]).collect()
+    }
+    assert abs((twice[1] - once[1]) - single_apple[1]) < 1e-12

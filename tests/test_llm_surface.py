@@ -204,3 +204,70 @@ def test_hybrid_rag_guardrail_masks_question(spark, notes_df, gold_df):
     assert ans.guardrail_action == "WARN"
     assert "bob.smith@corp.com" not in ans.masked_question
     assert "b***h@corp.com" in ans.masked_question
+
+
+def test_mask_emails_short_locals_fully_masked(spark):
+    """1-2 char local parts must mask FULLY — the positional
+    first+last mask would reveal the whole local (r5 review: 'a@x'
+    was detected but never masked, 'ab@x' came back a***b@x)."""
+    from odsc_agentic_ai_summit_2025_spark.functions.guardrails import (
+        mask_emails,
+        mask_emails_text,
+    )
+
+    text = "reach a@gmail.com or ab@corp.io or alice@example.org ok"
+    want = "reach ***@gmail.com or ***@corp.io or a***e@example.org ok"
+    (got,) = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(mask_emails(F.col("t")).alias("m"))
+        .collect()
+    )
+    assert got["m"] == want
+    assert mask_emails_text(text) == want  # driver twin agrees
+
+
+def test_ssn_rule_ignores_longer_digit_runs(spark):
+    """A 3-2-4 shaped substring inside a longer digit run is not an
+    SSN: the guarded pattern must not count or mask it, while a real
+    SSN in prose still is (r5 review: the comment claimed edge guards
+    the pattern did not have)."""
+    from odsc_agentic_ai_summit_2025_spark.functions.guardrails import (
+        mask_pii,
+        pii_counts,
+    )
+
+    rows = [
+        (1, "account 1234-56-7890 is not an ssn"),
+        (2, "ssn 123-45-6789 ends here"),
+        (3, "ssn 123-45-6789."),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    counts = pii_counts(F.col("t"))
+    got = {
+        r["id"]: (r["n"], r["m"])
+        for r in df.select(
+            "id", counts["ssn"].alias("n"), mask_pii(F.col("t")).alias("m")
+        ).collect()
+    }
+    assert got[1] == (0, "account 1234-56-7890 is not an ssn")
+    assert got[2] == (1, "ssn XXX-XX-XXXX ends here")
+    assert got[3] == (1, "ssn XXX-XX-XXXX.")
+
+
+def test_pii_trace_masking_attributed_per_rule(spark):
+    """A rule that matched nothing must report masking_applied=false
+    even when another rule redacted the text."""
+    from odsc_agentic_ai_summit_2025_spark.functions.guardrails import (
+        pii_trace_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail me at someone@example.com today")], "doc_id long, text string"
+    )
+    rows = {
+        r["rule"]: (r["n_matches"], r["masking_applied"])
+        for r in pii_trace_df(df, "text", "doc_id").collect()
+    }
+    assert rows["email"] == (1, True)
+    assert rows["phone"] == (0, False)
+    assert rows["ssn"] == (0, False)

@@ -332,3 +332,56 @@ def test_ngram_novelty_matches_reference(spark, docs):
         for r in ngram_novelty(df, "text", "doc_id", l=L).collect()
     }
     assert got == expect
+
+
+def test_asof_null_right_timestamps_never_match(spark):
+    """A NULL-timestamp right row can never be a predecessor (DuckDB
+    ASOF l.ts >= r.ts is never true for NULL) — before the r5 fix it
+    sorted nulls-first and became the match when no real one existed."""
+    from odsc_agentic_ai_summit_2025_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 5)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 50, 7)], "k long, rts long, v long"
+    )
+    got = {
+        (r["k"], r["lts"]): r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert got[(1, 100)] == 7   # real predecessor at 50
+    assert got[(1, 5)] is None  # no predecessor; NULL-ts row must not win
+
+
+def test_interval_join_fractional_second_window(spark):
+    """Fractional windows must round, not truncate: a right row at
+    exactly lower/upper-bound distance belongs per the documented
+    half-open [lo, hi) semantics."""
+    import datetime as dt
+
+    from odsc_agentic_ai_summit_2025_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame([(1, t0)], "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, t0 + 699_999 * us, "in"),        # 0.699999s: inside [0, 0.7)
+            (1, t0 + 700_000 * us, "out"),       # exactly 0.7s: excluded
+        ],
+        "k long, rts timestamp, tag string",
+    )
+    got = sorted(
+        r["tag"]
+        for r in interval_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            lower_s=0.0, upper_s=0.7,
+        ).collect()
+    )
+    assert got == ["in"]
