@@ -149,9 +149,12 @@ def ingest_gate(
     g = F.array_distinct(_word_ngrams(toks, n))
     g2 = _word_ngrams(toks, 2)
     bench = F.lit(bench_grams).cast("array<string>")
+    # widen BEFORE the ×10000: size() is int32, and under ANSI mode
+    # (pyspark 4 default) an int overflow on a ~215k-dup-gram document
+    # kills the job instead of wrapping — cast-after-multiply is too late
     dup2 = F.floor(
-        ((F.size(g2) - F.size(F.array_distinct(g2))) * 10000).cast("long")
-        / F.greatest(F.size(g2), F.lit(1))
+        ((F.size(g2) - F.size(F.array_distinct(g2))).cast("long") * 10000)
+        / F.greatest(F.size(g2).cast("long"), F.lit(1))
     ).cast("long")
     contaminated = F.arrays_overlap(g, bench)
     signals = [
@@ -253,8 +256,9 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         top_tok_n.alias("top_tok_n"),
     )
     top_frac = (F.col("top_tok_n") * 10000).cast("long") / F.col("n_tokens")
-    dup2_frac = ((F.col("_n2") - F.col("_n2d")) * 10000).cast("long") / F.greatest(
-        F.col("_n2"), F.lit(1)
+    # same int32-widening order as the ingest gate: cast, THEN ×10000
+    dup2_frac = (F.col("_n2") - F.col("_n2d")).cast("long") * 10000 / F.greatest(
+        F.col("_n2").cast("long"), F.lit(1)
     )
     return out.select(
         F.col(id_col),

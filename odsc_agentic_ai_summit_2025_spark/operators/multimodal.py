@@ -214,6 +214,14 @@ def byte_histogram(media: DataFrame, n_bins: int = N_HIST_BINS) -> DataFrame:
     featurizer (CLIP embedding, mel spectrogram, ...)."""
     import pandas as pd
 
+    # the shift-based binning below is only a partition of 0..255 for
+    # power-of-two bin counts — any other value would silently leave
+    # the top bins permanently empty (a degenerate feature vector)
+    if n_bins <= 0 or n_bins > 256 or n_bins & (n_bins - 1):
+        raise ValueError(
+            f"n_bins must be a power of two in [1, 256], got {n_bins}"
+        )
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),

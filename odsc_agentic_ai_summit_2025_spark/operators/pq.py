@@ -183,7 +183,7 @@ def pq_search(
     ).collect()
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
-            [], "q_id long, n_id long, rank long"
+            [], "q_id long, n_id long, rank int"
         )
     q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
@@ -329,7 +329,7 @@ def ivfpq_search(
     ).collect()
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
-            [], "q_id long, n_id long, rank long"
+            [], "q_id long, n_id long, rank int"
         )
     q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])

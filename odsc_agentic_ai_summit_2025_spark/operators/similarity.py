@@ -202,12 +202,26 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
-    n = df.count()
+    from ..sources.io import ensure_min_partitions
+
+    # Persist the projected input ONCE: the count below, the dim probe
+    # and the assignment GEMM inside _subblock_assignments would
+    # otherwise each re-run the caller's upstream plan (an embedding
+    # computation, typically) — the same wasted-partial-evaluation
+    # hazard neardup_pairs_lsh documents and fixes. The cache is
+    # dropped as soon as the census materializes `assigned`.
+    base = ensure_min_partitions(df.select(id_col, vec_col)).persist()
+    n = base.count()
     if n == 0:
+        base.unpersist()
         return df.sparkSession.createDataFrame([], "a_id long, b_id long")
     if n_planes is None:
         n_planes = min(12, max(6, math.ceil(math.log2(max(n / target_block, 2.0)))))
-    sub = _subblock_assignments(df, vec_col, id_col, n_planes, seed, target_block)
+    sub = _subblock_assignments(base, vec_col, id_col, n_planes, seed, target_block)
+    # the census collect inside _subblock_assignments materialized the
+    # persisted `assigned`; every later pass (stats, payload grouping)
+    # reads THAT cache, never `base` again
+    base.unpersist()
 
     blocks = (
         sub.select(
@@ -257,11 +271,12 @@ def embedding_neardup_pairs(
     # pair (angle θ−rA−rB, floored at 0) falls below the threshold
     min_angle = np.maximum(theta - radii[:, None] - radii[None, :], 0.0)
     feasible = np.cos(min_angle) >= threshold - 1e-9
+    # vectorized survivor scan: only the (typically few) feasible
+    # pairs reach Python — a B² interpreted loop costs tens of seconds
+    # at the documented B ≈ 10^4 tier even when pruning drops ~all
+    iu, ju = np.nonzero(np.triu(feasible))
     pair_rows = [
-        (int(bids[i]), int(bids[j]))
-        for i in range(len(bids))
-        for j in range(i, len(bids))
-        if feasible[i, j]
+        (int(bids[i]), int(bids[j])) for i, j in zip(iu.tolist(), ju.tolist())
     ]
     if not pair_rows:
         from ..cache import release
@@ -306,8 +321,8 @@ def embedding_neardup_pairs(
                 ib = np.array([it["id"] for it in items_b])
                 ma = np.stack([np.asarray(it["v"], dtype=np.float64) for it in items_a])
                 mb = np.stack([np.asarray(it["v"], dtype=np.float64) for it in items_b])
-                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
-                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                ma /= np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-300)
+                mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-300)
                 sim_mat = ma @ mb.T
                 if bid_a == bid_b:
                     # self-block: identical item sets on both sides —
@@ -332,8 +347,10 @@ def embedding_neardup_pairs(
                 )
 
     # a pair lands in exactly one unordered block pair (each id has
-    # exactly one bucket) → genuinely distinct-free, no dedupe shuffle
-    return own(grid.mapInPandas(score_blocks, "a_id long, b_id long"), sub)
+    # exactly one bucket) → genuinely distinct-free, no dedupe shuffle.
+    # df rides along so a caller-supplied frame's own caches release
+    # with the result (the r5 generator-orphan convention).
+    return own(grid.mapInPandas(score_blocks, "a_id long, b_id long"), sub, df)
 
 
 def neardup_pairs_lsh(
@@ -547,7 +564,7 @@ def knn_bruteforce(
     ).collect()
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
-            [], "q_id long, n_id long, rank long"
+            [], "q_id long, n_id long, rank int"
         )
     q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.stack(
@@ -580,7 +597,19 @@ def knn_bruteforce(
                 if not len(cand_idx):
                     continue
                 take = min(kk, len(cand_idx))
-                top = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                # boundary-tie-complete local cut: argpartition alone
+                # forwards an ARBITRARY subset of candidates tied at
+                # the k-th cosine, so the final id-tiebroken window
+                # would rank over a partitioning-dependent set. Find
+                # the k-th value in O(m), keep everything >= it (ties
+                # included), then order the small survivor set by
+                # (-cos, n_id) — same total order as the global merge.
+                vals = col[cand_idx]
+                if take < len(cand_idx):
+                    kth = np.partition(vals, len(vals) - take)[len(vals) - take]
+                    cand_idx = cand_idx[vals >= kth]
+                sub_order = np.lexsort((n_id[cand_idx], -col[cand_idx]))
+                top = cand_idx[sub_order[:take]]
                 out_q.append(np.full(take, ids[j]))
                 out_n.append(n_id[top])
                 out_c.append(col[top])

@@ -69,8 +69,14 @@ def hll_approx_distinct(
         - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w))),
         F.lit(HLL_RANK_CAP),
     )
+    # NULLs are ignored, matching native approx_count_distinct: an
+    # unfiltered null would hash to a phantom (group, null-bucket,
+    # null-rank) register row that inflates _nb without feeding _s,
+    # skewing the estimate. Groups whose values are ALL null drop out
+    # entirely (the oracle twin filters identically).
     regs = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             F.shiftright(h, HLL_W_BITS).alias("_bucket"),
             rank.alias("_rank"),
@@ -273,6 +279,7 @@ def hll_sql(
     return f"""
 WITH hll_h AS (
   SELECT {group_col} AS g, {hexfold} AS h FROM {table_expr}
+  WHERE {value_col} IS NOT NULL
 ),
 hll_br AS (
   SELECT g, h // {1 << HLL_W_BITS} AS b, h % {1 << HLL_W_BITS} AS w FROM hll_h
