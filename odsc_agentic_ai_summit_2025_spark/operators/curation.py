@@ -540,3 +540,106 @@ def curriculum_order(
         .select(id_col, "quality_e4", "bucket", "train_pos"),
         idx,
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    budgets: dict[str, int],
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-source token-budget admission — the corpus-assembly step
+    that turns a prescribed mixture into an actual epoch: each
+    source's documents are visited in a salted-hash order (a
+    deterministic epoch shuffle, same no-RNG device as
+    ``train_split``) and admitted greedily while the source's running
+    token total stays within its budget. This is the "sample exactly
+    B tokens of source s" primitive every pretraining mixture spec
+    (DoReMi-style weights, manual domain quotas) ultimately compiles
+    to — ``weighted_resample`` materializes per-DOCUMENT repetition;
+    this operator cuts per-SOURCE token quotas.
+
+    Output: ``[id, source, n_tokens, cum_tokens, admit]`` — the
+    running total rides along so the admission boundary is auditable.
+    Sources absent from ``budgets`` get budget 0 (nothing admitted).
+
+    Determinism: the visit order is the TOTAL order ``(source, h,
+    id, n_tokens, md5(text))`` — the content tiebreaks make the
+    prefix sum a pure function of the input even when ids repeat
+    (full-duplicate rows get interchangeable running totals, which is
+    invisible in the output multiset). The DuckDB oracle is a plain
+    window cumsum over the same ORDER BY.
+
+    Scale shape: a grouped DISTRIBUTED prefix sum — the
+    ``pack_sequences`` construction generalized per group. Range-
+    partition on the visit order (source leading, so each source is
+    contiguous across partitions), local cumulative sums per
+    partition, collect one scalar row per (partition, source) —
+    bounded by ``partitions + sources`` rows total because of the
+    contiguity — compute per-source partition offsets on the driver,
+    broadcast them back. A per-source window would hot-key on any
+    giant source (most real corpora are one giant web source); this
+    shape never routes a source through one task. The partition pin
+    is checkpoint-backed and attached to the result (``cache.own``).
+    """
+    from pyspark.sql import Window
+
+    from ..cache import own
+    from ..functions.text import char_poly_hash
+
+    h = char_poly_hash(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+        F.md5(F.col(text_col).cast("string")).alias("_ch"),
+    )
+    order_cols = [
+        F.col("source"), F.col("_h"), F.col(id_col),
+        F.col("n_tokens"), F.col("_ch"),
+    ]
+    part = base.repartitionByRange(*order_cols)
+    local = (
+        part.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lsum",
+            F.sum("n_tokens").over(
+                Window.partitionBy("_pid", "source")
+                .orderBy(*order_cols[1:])
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = local.groupBy("_pid", "source").agg(
+        F.max("_lsum").alias("_t")
+    ).collect()
+    acc: dict[str, int] = {}
+    offsets = []
+    # range partitions hold ascending key ranges in pid order, so the
+    # per-source offset accumulates over ascending pid
+    for r in sorted(totals, key=lambda r: (r["source"], r["_pid"])):
+        offsets.append((r["_pid"], r["source"], acc.get(r["source"], 0)))
+        acc[r["source"]] = acc.get(r["source"], 0) + r["_t"]
+    off = df.sparkSession.createDataFrame(
+        offsets, "_pid int, source string, _off long"
+    )
+    bmap = F.create_map(
+        *[F.lit(x) for s, b in sorted(budgets.items()) for x in (s, b)]
+    )
+    return own(
+        local.join(F.broadcast(off), ["_pid", "source"])
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_lsum")).cast("long"))
+        .withColumn(
+            "admit",
+            F.col("cum_tokens")
+            <= F.coalesce(bmap[F.col("source")], F.lit(0)).cast("long"),
+        )
+        .select(id_col, "source", "n_tokens", "cum_tokens", "admit"),
+        local,
+    )

@@ -389,3 +389,55 @@ QUERIES.append(
     Query("q94_vocab_coverage", q94_vocab_coverage, Q94_SQL,
           ("A10", "O1"), "vocabulary table with cumulative coverage")
 )
+
+
+def q95_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture assembly: greedy per-source admission in
+    a salted-hash epoch order until each source's token quota is
+    spent — the grouped distributed prefix sum (no per-source window
+    hot key). Budgets follow a fixed formula of the source name so
+    the oracle needs no side-channel table."""
+    from ..operators.curation import token_budget_sample
+
+    budgets = {f"src{i}": 400 * (1 + i % 4) for i in range(20)}
+    return token_budget_sample(
+        read_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        "source",
+        budgets,
+        salt="epoch1",
+    )
+
+
+def _q95_sql() -> str:
+    from ..functions.text import char_poly_hash_sql
+
+    h = char_poly_hash_sql("concat(CAST(doc_id AS VARCHAR), ':epoch1')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         {h} AS h,
+         md5(text) AS ch
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id, n_tokens, ch
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= 400 * (1 + (CAST(substr(source, 4) AS INT) % 4)) AS admit
+FROM c
+"""
+
+
+QUERIES.append(
+    Query("q95_token_budget_sample", q95_token_budget_sample, _q95_sql(),
+          ("A5", "O1", "F12"), "per-source token-budget mixture sampling")
+)

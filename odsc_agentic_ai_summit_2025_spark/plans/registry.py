@@ -56,16 +56,17 @@ def all_queries() -> dict[str, Query]:
     # last driver rows are from round 3 (extended q45-q54, extended2
     # q55-q62, observability q64-q68, curation q71-q75) lead, then textops
     # (the q80 determinism fix needs its driver row) and the new corpus
-    # module (q83-q88, q92-q94); dedup follows with its round-5 entries
-    # first (q82/q89/q90/q91 make the window, then q34; q35-q37/q78/q38/
+    # module (q83-q88, q92-q95); dedup follows with its round-5 entries
+    # first (q82/q89/q90/q91 make the window; q34, displaced by the
+    # late q95 addition, now sits just outside with q35-q37/q78/q38/
     # q66/q63 — all r4-driver-green — sit just outside it); relational/
     # retrieval got fresh r4 rows and rotate to the back.
     #
     # Round-6 rotation plan: every query OUTSIDE this round's window has
     # an r4 driver row that will then be 2 rounds old — lead the r6
-    # window with dedup (q35-q37, q78, q38, q66, q63), retrieval
+    # window with dedup (q34-q37, q78, q38, q66, q63), retrieval
     # (q39-q43) and relational (q01-q25), which fit in 50 slots
-    # (7+5+25=37) with room for any r6 additions; this round's window
+    # (8+5+25=38) with room for any r6 additions; this round's window
     # (extended/extended2/observability/curation/textops/corpus) rotates
     # to the back.
     out: dict[str, Query] = {}

@@ -143,3 +143,60 @@ def test_curriculum_order_tiers_and_determinism(spark):
     got2 = sorted(map(tuple, out2.collect()))
     cache.release(out2)
     assert got == got2
+
+
+def test_token_budget_sample_greedy_per_source(spark):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["tok"] * (3 + i % 4)), f"s{i % 2}")
+            for i in range(20)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    budgets = {"s0": 12, "s1": 10_000}
+    out = ops.token_budget_sample(
+        docs, "text", "doc_id", "source", budgets, salt="t"
+    )
+    rows = out.collect()
+    release(out)
+
+    def h(i: int) -> int:
+        acc = 0
+        for c in f"{i}:t":
+            acc = (acc * 31 + ord(c)) % 1_000_000_007
+        return acc
+
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # cum_tokens must be the running sum in salted-hash visit order,
+    # and admit must flip exactly at the budget boundary
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (h(r["doc_id"]), r["doc_id"]))
+        run = 0
+        for r in rs:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run, (src, r)
+            assert r["admit"] == (run <= budgets[src]), (src, r)
+    # s1's budget covers everything; s0's cuts partway
+    assert all(r["admit"] for r in by_src["s1"])
+    admitted0 = [r for r in by_src["s0"] if r["admit"]]
+    assert 0 < len(admitted0) < len(by_src["s0"])
+    assert sum(r["n_tokens"] for r in admitted0) <= 12
+
+
+def test_token_budget_sample_unknown_source_gets_zero_budget(spark):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "known"), (2, "d e", "mystery")],
+        ["doc_id", "text", "source"],
+    )
+    out = ops.token_budget_sample(
+        docs, "text", "doc_id", "source", {"known": 100}, salt="t"
+    )
+    got = {r["doc_id"]: r["admit"] for r in out.collect()}
+    release(out)
+    assert got == {1: True, 2: False}
