@@ -58,9 +58,16 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Returns one row per distinct content: digest, representative
     (min id), and duplicate count. Keep-first semantics mirror the
     reference's idempotent MERGE upserts (build_graph.py:216).
+
+    NULL-text docs form no group: Spark's null-safe groupBy would
+    otherwise collapse every null-text doc into one bogus "duplicate"
+    group under the NULL digest — fabricating an n_copies audit row
+    and disagreeing with ``dedup_admit_incremental``, which rejects
+    null text per doc (the incremental ≡ rebuild equivalence).
     """
     return (
-        df.select(F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col))
         .groupBy("text_sha")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -98,8 +105,8 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     """Doc → (band_id, bucket_key) rows for LSH bucketing.
 
     The pre-signature stage is MAP-ONLY: each doc's distinct tokens
-    are hashed inline (``transform(unique_tokens(text), tok →
-    char_poly_hash(tok))``) in the scan stage itself. The earlier
+    are hashed inline (:func:`token_hashes`) in the scan stage
+    itself. The earlier
     dictionary-encoded form (explode → vocab distinct → join back →
     collect_list) hashed each corpus-distinct token once, but paid
     THREE shuffles of the token stream to do it — at 100 TB the
@@ -113,9 +120,7 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     # otherwise run the whole kernel stage on one core
     doc_hashes = ensure_min_partitions(df).select(
         F.col(id_col),
-        F.transform(
-            unique_tokens(F.col(text_col)), lambda t: char_poly_hash(t)
-        ).alias("hs"),
+        token_hashes(F.col(text_col)).alias("hs"),
     ).filter(F.col("hs").isNotNull() & (F.size("hs") > 0))
 
     # signatures + banding in one vectorized Arrow pass: the (N_HASH ×
@@ -264,10 +269,13 @@ def simhash_table(
     """
     from pyspark.sql import types as T
 
-    from ..sources.io import ensure_min_partitions
-
-    hashed = ensure_min_partitions(df).withColumn(
-        "_th", token_hashes(F.col(text_col))
+    # NULL text → NULL hash array → np.asarray(None) would TypeError
+    # inside the kernel; drop such rows like the MinHash tier does
+    # (the oracle twins filter identically)
+    hashed = (
+        ensure_min_partitions(df)
+        .withColumn("_th", token_hashes(F.col(text_col)))
+        .filter(F.col("_th").isNotNull())
     )
     out_schema = T.StructType(
         [f for f in hashed.schema.fields if f.name != "_th"]
@@ -428,7 +436,11 @@ def jaccard_pairs(
     # ceil(t·n) in integer fixed-point — double arithmetic can
     # overshoot an exact product (0.07·100 → 7.000…001 → ceil 8)
     # and silently shorten the lossless ppjoin prefix by one.
-    pfx_e4 = int(threshold * 10000)
+    # round(), not int(): truncation turns thresholds whose double
+    # product lands just LOW (0.57·10000 → 5699.999…) into an e4
+    # cutoff one below the requested one, admitting pairs strictly
+    # under the threshold (573 of the 9999 four-decimal values).
+    pfx_e4 = round(threshold * 10000)
     ceil_tn = F.expr(f"(_n * {pfx_e4} + 9999) div 10000")
     prefix = ranked.filter(
         F.col("_pos") <= F.col("_n") - ceil_tn + 1
@@ -449,7 +461,7 @@ def jaccard_pairs(
     )
     va = arrs.select(F.col(id_col).alias("a_id"), F.col("_toks").alias("_ta"))
     vb = arrs.select(F.col(id_col).alias("b_id"), F.col("_toks").alias("_tb"))
-    thresh_e4 = int(threshold * 10000)
+    thresh_e4 = pfx_e4  # same round()-derived e4 cutoff as the prefix bound
     n_inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
     n_a = F.size("_ta").cast("long")
     n_b = F.size("_tb").cast("long")

@@ -72,6 +72,18 @@ class FtsIndex:
     n_docs: int
     avgdl: float
 
+    def release(self) -> None:
+        """Drop the cached index frames (``build_fts_index(cache=
+        True)``). Same caller-owns-the-index-lifetime convention as
+        ``PqIndex.release``/``IvfIndex.release`` — without this, a
+        session rebuilding FTS indexes per corpus delta accumulates
+        postings/dls/dfreq cache blocks with no conventional release
+        path. Frames stay usable (they recompute on next use)."""
+        from ..cache import release_frame
+
+        for frame in (self.postings, self.dls, self.dfreq):
+            release_frame(frame)
+
 
 def build_fts_index(
     docs: DataFrame,

@@ -221,9 +221,23 @@ def variable_length_paths(
     """Iterative self-join for Cypher ``-[r*min..max]-`` patterns
     (README.md:137). Returns (start, end, hops) over directed edges.
 
-    Each iteration is one equi-join + union — the standard BFS
-    expansion; at 100 TB keep frontier deduped per hop to bound
-    growth, which dropDuplicates below does.
+    TRAIL semantics, matching Cypher/Kuzu: a path may not reuse a
+    relationship. Plain walk-reachability BFS would diverge on any
+    cyclic graph — with mutual edges a↔b, the 3-walk a→b→a→b reuses
+    edge a→b, so Cypher matches nothing at ``*3..3`` while a walk
+    expansion would emit (a, b, 3). Each frontier row therefore
+    carries its visited-edge set; expansion filters reused edges, and
+    rows with the same (start, end, edge-SET) are deduped — the set
+    alone determines which expansions remain legal, so the dedup is
+    lossless while bounding growth to distinct edge subsets. Edges
+    have no identity column here, so parallel duplicate edge rows
+    collapse to one relationship (set semantics — stated, since with
+    ids Cypher would treat them as distinct).
+
+    The per-hop state is O(frontier · hops) edge keys — fine for the
+    small ``max_hops`` Cypher patterns use (the reference's graph
+    queries bound at 2-3); unbounded-hop reachability wants the
+    components/BFS tier instead, which needs no trail constraint.
 
     ``min_hops=0`` yields the Cypher ``*0..`` zero-length paths — one
     (v, v, 0) row per endpoint vertex.
@@ -251,23 +265,37 @@ def variable_length_paths(
             F.col("v").alias("end"),
             F.lit(0).alias("hops"),
         )
-    frontier = e.withColumn("hops", F.lit(1))
+    e1 = e.distinct().withColumn(
+        "_ek", F.concat_ws("->", F.col("start"), F.col("end"))
+    )
+    frontier = e1.select("start", "end", F.array("_ek").alias("_path"))
     if min_hops <= 1 and max_hops >= 1:
-        out = frontier if out is None else out.unionByName(frontier)
+        hop1 = frontier.select(
+            "start", "end", F.lit(1).alias("hops")
+        ).dropDuplicates(["start", "end"])
+        out = hop1 if out is None else out.unionByName(hop1)
     for hop in range(2, max_hops + 1):
         nxt = (
             frontier.alias("f")
-            .join(e.alias("e"), F.col("f.end") == F.col("e.start"))
+            .join(e1.alias("e"), F.col("f.end") == F.col("e.start"))
+            .filter(~F.array_contains(F.col("f._path"), F.col("e._ek")))
             .select(
                 F.col("f.start").alias("start"),
                 F.col("e.end").alias("end"),
-                F.lit(hop).alias("hops"),
+                F.concat(F.col("f._path"), F.array(F.col("e._ek"))).alias(
+                    "_path"
+                ),
             )
-            .dropDuplicates(["start", "end"])
+            .withColumn("_pkey", F.array_sort("_path"))
+            .dropDuplicates(["start", "end", "_pkey"])
+            .drop("_pkey")
         )
         frontier = nxt
         if hop >= min_hops:
-            out = nxt if out is None else out.unionByName(nxt)
+            hops_out = nxt.select(
+                "start", "end", F.lit(hop).alias("hops")
+            ).dropDuplicates(["start", "end"])
+            out = hops_out if out is None else out.unionByName(hops_out)
     if out is None:  # min_hops == max_hops == 0 handled above; this
         raise ValueError("empty hop range")  # is unreachable
     return out.dropDuplicates(["start", "end", "hops"])

@@ -61,11 +61,12 @@ def _subblock_assignments(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    n_planes: int,
+    n_planes: int | None,
     seed: int,
     target_block: int,
-) -> DataFrame:
-    """(id, v, sid) with a GUARANTEED-bounded sub-block key.
+) -> tuple[DataFrame, int]:
+    """((id, v, sid) with a GUARANTEED-bounded sub-block key, corpus
+    row count) — the count rides out of the census for free.
 
     Two-level blocking: the LSH sign pattern gives spatially coherent
     parent buckets, then a census pass (tiny: ≤ 2^p count rows) finds
@@ -79,6 +80,16 @@ def _subblock_assignments(
     cone that lands in ONE sign pattern. That skew case is exactly
     what made the round-2 version an executor-OOM hazard at 100×.
 
+    ``n_planes=None`` (adaptive) hashes at the 12-plane cap and picks
+    the effective plane count from the census total by MASKING low
+    bits: plane ``j``'s pseudo-random values depend only on (seed, j),
+    so the first ``p`` of 12 planes ARE the ``p``-plane set and
+    ``bid & (2^p - 1)`` is exactly the ``p``-plane bucket. That folds
+    the corpus count into the census instead of a separate
+    ``df.count()`` job — the upstream plan (often an embedding
+    computation) is evaluated ONCE, by the assignment kernel; only the
+    one-row dim probe touches it besides (a bounded partial scan).
+
     The bucket projection runs as one numpy GEMM per Arrow batch
     (same math as the interpreted-fold expression in ``lsh_buckets``,
     ~10× cheaper per evaluation — this plan is evaluated by census,
@@ -86,21 +97,24 @@ def _subblock_assignments(
     """
     import numpy as np
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     spark = df.sparkSession
+    empty = spark.createDataFrame(
+        [], f"{id_col} long, {vec_col} array<double>, sid long"
+    )
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not first:
-        return spark.createDataFrame([], f"{id_col} long, {vec_col} array<double>, sid long")
+        return empty, 0
     dim = first[0]["d"]
-    pm = np.array(_lsh_planes(dim, n_planes, seed), dtype=np.float64).T  # (dim, p)
+    p = 12 if n_planes is None else n_planes
+    pm = np.array(_lsh_planes(dim, p, seed), dtype=np.float64).T  # (dim, p)
     bc = spark.sparkContext.broadcast(pm)
-    p = n_planes
 
     def assign(batches):
         import numpy as np
         import pandas as pd
 
         mat = bc.value
-        pows = (1 << np.arange(p)).astype(np.int64)
+        pows = (1 << np.arange(mat.shape[1])).astype(np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -126,25 +140,37 @@ def _subblock_assignments(
         .persist()
     )
     census = assigned.groupBy("bid").agg(F.count(F.lit(1)).alias("n")).collect()
+    n = sum(int(r["n"]) for r in census)
+    if n == 0:
+        assigned.unpersist()
+        return empty, 0
+    if n_planes is None:
+        eff = min(12, max(6, math.ceil(math.log2(max(n / target_block, 2.0)))))
+    else:
+        eff = n_planes
+    mask = (1 << eff) - 1
+    coarse: dict[int, int] = {}
+    for r in census:
+        b = int(r["bid"]) & mask
+        coarse[b] = coarse.get(b, 0) + int(r["n"])
     splits = {
-        int(r["bid"]): -(-int(r["n"]) // target_block)
-        for r in census
-        if r["n"] > target_block
+        b: -(-c // target_block) for b, c in coarse.items() if c > target_block
     }
+    bid_c = F.col("bid").bitwiseAND(F.lit(mask))
     if splits:
         split_map = F.create_map(
             *[F.lit(x) for bid, s in sorted(splits.items()) for x in (bid, s)]
         )
-        salt = F.pmod(F.xxhash64(F.col(id_col)), F.coalesce(split_map[F.col("bid")], F.lit(1)))
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.coalesce(split_map[bid_c], F.lit(1)))
     else:
         salt = F.lit(0)
     # sid = bid · 2^32 + salt: bid < 2^12, split factors < 2^32 → unique
     return own(
         assigned.select(
-            id_col, vec_col, (F.col("bid") * F.lit(1 << 32) + salt).alias("sid")
+            id_col, vec_col, (bid_c * F.lit(1 << 32) + salt).alias("sid")
         ),
         assigned,
-    )
+    ), n
 
 
 def embedding_neardup_pairs(
@@ -202,26 +228,16 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
-    from ..sources.io import ensure_min_partitions
-
-    # Persist the projected input ONCE: the count below, the dim probe
-    # and the assignment GEMM inside _subblock_assignments would
-    # otherwise each re-run the caller's upstream plan (an embedding
-    # computation, typically) — the same wasted-partial-evaluation
-    # hazard neardup_pairs_lsh documents and fixes. The cache is
-    # dropped as soon as the census materializes `assigned`.
-    base = ensure_min_partitions(df.select(id_col, vec_col)).persist()
-    n = base.count()
+    # The corpus count (which sizes the adaptive plane count) comes
+    # out of the census inside _subblock_assignments — no separate
+    # df.count() job, so the caller's upstream plan (often an
+    # embedding computation) is evaluated exactly once, by the
+    # assignment kernel, plus a one-row dim probe.
+    sub, n = _subblock_assignments(
+        df, vec_col, id_col, n_planes, seed, target_block
+    )
     if n == 0:
-        base.unpersist()
         return df.sparkSession.createDataFrame([], "a_id long, b_id long")
-    if n_planes is None:
-        n_planes = min(12, max(6, math.ceil(math.log2(max(n / target_block, 2.0)))))
-    sub = _subblock_assignments(base, vec_col, id_col, n_planes, seed, target_block)
-    # the census collect inside _subblock_assignments materialized the
-    # persisted `assigned`; every later pass (stats, payload grouping)
-    # reads THAT cache, never `base` again
-    base.unpersist()
 
     blocks = (
         sub.select(

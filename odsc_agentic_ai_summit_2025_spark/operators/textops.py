@@ -22,16 +22,6 @@ from ..functions.text import (
 )
 
 
-def _int_div(num: Column, den: Column) -> Column:
-    """Floor division on positive int64 operands — engine-portable.
-
-    floor(num/den) on doubles is exact here: remainders contribute
-    ≥1/den (≥6e-7 at our magnitudes) while double error is ≤1e-12,
-    so the floor can never flip. DuckDB twin: ``num // den``.
-    """
-    return F.floor(num / den).cast("long")
-
-
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc token counts (total + distinct)."""
     return df.select(
@@ -89,17 +79,28 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         stopword_count(F.col(text_col)).cast("long").alias("n_stop"),
     )
-    nt, sl, ns = F.col("n_tokens"), F.col("sum_len"), F.col("n_stop")
     # quality = (1 - stop_ratio) * min(avg_len/10, 1), as exact fixed-point:
     # (n_tok - n_stop) * min(sum_len, 10*n_tok) * 1e4 div (10 * n_tok^2)
+    # integer `div` (like bpe_token_stats), not floor-of-`/`: the
+    # double route's safety bound collapses for quality_e4's
+    # den = 10·n_tokens² once the numerator passes 2^53 (a ~1M-token
+    # document) — int64→double conversion error then exceeds the
+    # remainder granularity and the floor can flip against the
+    # oracle's exact `//`. All operands are long, so `div` is exact
+    # at any document length int64 itself can express.
     return base.select(
         F.col(id_col),
-        nt.alias("n_tokens"),
-        _int_div(ns * 10000, nt).alias("stop_ratio_e4"),
-        _int_div(sl * 10000, nt).alias("avg_token_len_e4"),
-        _int_div((nt - ns) * F.least(sl, nt * 10) * 10000, nt * nt * 10).alias(
-            "quality_e4"
+        F.col("n_tokens"),
+        F.expr("CAST(n_stop * 10000 div n_tokens AS BIGINT)").alias(
+            "stop_ratio_e4"
         ),
+        F.expr("CAST(sum_len * 10000 div n_tokens AS BIGINT)").alias(
+            "avg_token_len_e4"
+        ),
+        F.expr(
+            "CAST((n_tokens - n_stop) * least(sum_len, n_tokens * 10) * 10000"
+            " div (n_tokens * n_tokens * 10) AS BIGINT)"
+        ).alias("quality_e4"),
     )
 
 
@@ -189,14 +190,10 @@ def corpus_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     out = scored
     for name, expr in rules.items():
         out = out.withColumn(name, expr)
-    return out.withColumn(
-        "kept",
-        F.aggregate(
-            F.array(*[F.col(n) for n in rules]),
-            F.lit(True),
-            lambda a, b: a & b,
-        ),
-    )
+    kept = F.lit(True)
+    for name in rules:
+        kept = kept & F.col(name)  # plain codegen AND, no lambda fold
+    return out.withColumn("kept", kept)
 
 
 def pack_sequences(

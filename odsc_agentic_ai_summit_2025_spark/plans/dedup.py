@@ -26,7 +26,7 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q34_SQL = """
 SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-FROM documents GROUP BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1
 """
 
 
@@ -129,7 +129,8 @@ def _minhash_sql() -> str:
     )
     band_ids = ", ".join(f"({b})" for b in range(ops.N_BANDS))
     return f"""
-WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM documents),
+WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM documents
+              WHERE text IS NOT NULL),
 sigs AS (SELECT doc_id, [{sig_exprs}] AS sig FROM toks),
 bands AS (
   SELECT doc_id, band_id,
@@ -172,7 +173,8 @@ def _simhash_votes_expr() -> str:
 
 def _simhash_sql(src: str = "documents") -> str:
     return f"""
-WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM {src})
+WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM {src}
+              WHERE text IS NOT NULL)
 SELECT doc_id, {_simhash_votes_expr()} AS simhash FROM toks
 """
 

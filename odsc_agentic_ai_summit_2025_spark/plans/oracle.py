@@ -32,9 +32,14 @@ def _norm_cell(v: Any) -> Any:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # exact compare — queries are written to be bit-deterministic
-        return v
+            # a tuple sentinel: can't collide with a genuine string
+            # cell 'NaN' the way a string mapping would
+            return ("__float_nan__",)
+        # exact compare — queries are written to be bit-deterministic.
+        # +0.0 folds -0.0 into 0.0: the two compare equal but repr
+        # differently, and the repr-based row sort below would align
+        # the two engines' rows differently → spurious mismatch.
+        return v + 0.0
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     return v
@@ -76,8 +81,14 @@ def run_inventory(
     from .registry import all_queries
 
     con = duckdb_connect(sf_dir)
+    queries = all_queries()
+    if names:
+        unknown = sorted(set(names) - set(queries))
+        if unknown:
+            # a typo'd names filter must not silently pass as "green"
+            raise ValueError(f"unknown query names: {unknown}")
     results: dict[str, tuple[bool, str]] = {}
-    for name, q in all_queries().items():
+    for name, q in queries.items():
         if names and name not in names:
             continue
         if q.oracle is None:

@@ -335,7 +335,8 @@ def dedup_docs(docs: DataFrame) -> DataFrame:
     exact dedup / q34 — restated here as the batch oracle for the
     streaming twin). Shuffles 32-byte digests, not documents."""
     return (
-        docs.withColumn("content_sha", F.sha2(F.col("text"), 256))
+        docs.filter(F.col("text").isNotNull())
+        .withColumn("content_sha", F.sha2(F.col("text"), 256))
         .groupBy("content_sha")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -366,6 +367,7 @@ def dedup_docs_stream(spark: SparkSession, docs_path: str) -> DataFrame:
     bounded variant."""
     return (
         _docs_stream(spark, docs_path)
+        .filter(F.col("text").isNotNull())
         .withColumn("content_sha", F.sha2(F.col("text"), 256))
         .dropDuplicates(["content_sha"])
         .select("content_sha", "doc_id")

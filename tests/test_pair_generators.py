@@ -86,7 +86,10 @@ def test_neardup_subblocks_bounded_on_skewed_cone(spark):
     )
 
     target = 64
-    sub = _subblock_assignments(df, "v", "vid", n_planes=6, seed=7, target_block=target)
+    sub, n_rows = _subblock_assignments(
+        df, "v", "vid", n_planes=6, seed=7, target_block=target
+    )
+    assert n_rows == len(mat)  # census-derived count
     sizes = [r["n"] for r in sub.groupBy("sid").agg(F.count("*").alias("n")).collect()]
     assert max(sizes) <= 2 * target  # salted split bounds every block
     assert len(sizes) >= len(mat) // target  # the big bucket really split
