@@ -104,10 +104,18 @@ FROM (SELECT doc_id, text,
 # ---------------------------------------------------------------------------
 
 def q47_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cache import own
+
     emb = read_table(spark, sf_dir, "embeddings")
     index = ivf.ivf_build(emb, "embedding", "vec_id", k_clusters=8, seed=42)
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf.ivf_search(index, queries, "vec_id", k=5, nprobe=8)
+    # the index is plan-local (no independent lifetime), so its
+    # persisted assignment frame rides on the result — same pattern
+    # as q76/q79; a shared index would instead keep IvfIndex.release()
+    return own(
+        ivf.ivf_search(index, queries, "vec_id", k=5, nprobe=8),
+        index.assigned,
+    )
 
 
 Q47_SQL = """
@@ -178,18 +186,22 @@ def q49_guardrail_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# patterns spliced from the guardrails module itself (one source of
+# truth — a pattern fix there flows into this oracle)
 Q49_SQL = r"""
 SELECT doc_id,
        regexp_replace(
          regexp_replace(
            text || ' Contact: user.' || doc_id || '@example.org or admin'
                 || doc_id || '@corp.example.com.',
-           '([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]+)([A-Za-z0-9._%+-])@([A-Za-z0-9.-]+\.[A-Za-z]{2,})',
+           '__MASK_RE__',
            '\1***\3@\4', 'g'),
-         '(^|[^A-Za-z0-9._%+*-])([A-Za-z0-9._%+-]{1,2})@([A-Za-z0-9.-]+\.[A-Za-z]{2,})',
+         '__SHORT_MASK_RE__',
          '\1***@\3', 'g') AS masked
 FROM documents
-"""
+""".replace("__MASK_RE__", guardrails._MASK_PATTERN).replace(
+    "__SHORT_MASK_RE__", guardrails._SHORT_MASK_PATTERN
+)
 
 
 def q50_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,17 +220,17 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(
          text || ' Contact: user.' || doc_id || '@example.org or admin'
               || doc_id || '@corp.example.com.',
-         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+         '__EMAIL_RE__')) AS INT) AS n_emails,
        list_aggregate(
          list_transform(
            regexp_extract_all(
              text || ' Contact: user.' || doc_id || '@example.org or admin'
                   || doc_id || '@corp.example.com.',
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+             '__EMAIL_RE__'),
            e -> string_split(e, '@')[2]),
          'string_agg', ',') AS domains
 FROM documents
-"""
+""".replace("__EMAIL_RE__", guardrails.EMAIL_PATTERN)
 
 
 # ---------------------------------------------------------------------------
@@ -333,12 +345,25 @@ def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "purchase_value")
 
 
+# NOT DuckDB's ASOF JOIN: its tie handling for right rows sharing the
+# max qualifying ts is unspecified, while the Spark operator
+# deterministically keeps the greatest value among same-(key, ts)
+# rows. The explicit window states the same total order, so the
+# oracle stays stable even if the driver's regenerated events data
+# ever contains two same-user purchases in the same microsecond.
 Q54_SQL = """
-SELECT l.event_id, l.user_id, r.value AS purchase_value
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-ASOF LEFT JOIN
-     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
-ON l.user_id = r.user_id AND l.ts >= r.ts
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT l.event_id AS event_id, r.value AS value,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.value DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT l.event_id, l.user_id, ranked.value AS purchase_value
+FROM l LEFT JOIN ranked ON ranked.event_id = l.event_id AND ranked.rn = 1
 """
 
 

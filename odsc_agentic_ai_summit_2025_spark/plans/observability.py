@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.guardrails import guardrail_trace_df
+from ..functions.guardrails import (
+    EMAIL_PATTERN as _EMAIL_RE_SQL,
+    PHONE_PATTERN as _PHONE_RE_SQL,
+    SSN_PATTERN as _SSN_RE_SQL,
+    _MASK_PATTERN as _MASK_RE_SQL,
+    _SHORT_MASK_PATTERN as _SHORT_MASK_RE_SQL,
+    guardrail_trace_df,
+)
 from ..llm.judge import judge_metrics
 from ..sources.io import read_table
 from .registry import Query
@@ -70,16 +77,10 @@ text || CASE
 END
 """.strip()
 
-_EMAIL_RE_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# mirrors guardrails._MASK_PATTERN / _SHORT_MASK_PATTERN exactly
-_MASK_RE_SQL = (
-    r"([A-Za-z0-9._%+-])([A-Za-z0-9._%+-]+)([A-Za-z0-9._%+-])"
-    r"@([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
-)
-_SHORT_MASK_RE_SQL = (
-    r"(^|[^A-Za-z0-9._%+*-])([A-Za-z0-9._%+-]{1,2})"
-    r"@([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
-)
+# the guardrails module's own patterns (imported above, not
+# restated): they are RE2-safe by construction, and importing keeps
+# one source of truth — a pattern fix there flows into these oracles
+# instead of silently desynchronizing them.
 
 Q64_SQL = rf"""
 WITH injected AS (SELECT doc_id, {_INJECT_SQL} AS text FROM documents),
@@ -238,9 +239,8 @@ text
    END
 """.strip()
 
-# guarded numeric rules, mirroring guardrails.PHONE_PATTERN/SSN_PATTERN
-_PHONE_RE_SQL = r"(^|[^0-9-])((\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4})($|[^0-9-])"
-_SSN_RE_SQL = r"(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])"
+# _PHONE_RE_SQL/_SSN_RE_SQL are the guardrails module's own guarded
+# numeric rules, imported at the top.
 
 Q67_SQL = rf"""
 WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents),

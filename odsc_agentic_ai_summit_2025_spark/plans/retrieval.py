@@ -107,19 +107,16 @@ def q42_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
-    # regenerate the exact plane constants used by sim.lsh_buckets
-    def plane(p: int) -> list[float]:
-        vals = []
-        s = seed * 1_000_003 + p * 7919
-        for _ in range(dim):
-            s = (1103515245 * s + 12345) % (2**31)
-            vals.append(s / float(2**30) - 1.0)
-        return vals
-
+    # the operator's own plane generator, not a restated copy: a
+    # change to the seeded LCG in similarity.py must flow into this
+    # oracle or the mismatch would read as an engine bug. The floats
+    # are dyadic rationals, so repr() round-trips them exactly into
+    # DuckDB doubles.
+    planes = sim._lsh_planes(dim, n_planes, seed)
     projs = []
     for p in range(n_planes):
         terms = " + ".join(
-            f"e[{i + 1}] * {plane(p)[i]!r}" for i in range(dim)
+            f"e[{i + 1}] * {planes[p][i]!r}" for i in range(dim)
         )
         projs.append(
             f"(CASE WHEN 0.0 + {terms} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"

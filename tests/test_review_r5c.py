@@ -125,3 +125,16 @@ def test_run_inventory_rejects_unknown_names(spark):
 
     with pytest.raises(ValueError, match="unknown query names"):
         run_inventory(spark, "/root/testdata/sf0.001", names=["q999_typo"])
+
+
+def test_q47_release_returns_block_census_to_baseline(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.plans.extended import q47_ivf_knn
+
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    out = q47_ivf_knn(spark, sf_dir)
+    out.count()
+    assert jsc.getPersistentRDDs().size() > base  # the IVF assignment
+    release(out)
+    assert jsc.getPersistentRDDs().size() == base
