@@ -155,6 +155,21 @@ def main() -> None:
         "source_mix",
         lambda: cu.source_mix_weights(docs, "source").count(),
     )
+
+    def budget_stage():
+        # grouped distributed prefix sum (q95): ~2.4M tokens/source at
+        # the default corpus, 2M budgets → partial admission per source
+        from odsc_agentic_ai_summit_2025_spark.cache import release
+
+        out = cu.token_budget_sample(
+            docs, "text", "doc_id", "source",
+            {str(s): 2_000_000 for s in range(5)}, salt="smoke",
+        )
+        n_admit = out.filter(F.col("admit")).count()
+        release(out)
+        return n_admit
+
+    stage("token_budget_sample", budget_stage)
     stage(
         "train_split",
         lambda: tx.train_split(docs, "doc_id")
