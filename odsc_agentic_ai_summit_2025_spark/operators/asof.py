@@ -45,8 +45,11 @@ def asof_join(
         # a NULL-timestamp right row can never be anyone's predecessor
         # (DuckDB ASOF: l.ts >= r.ts is never true for NULL r.ts) —
         # unfiltered it sorts nulls-first and becomes the match for
-        # probes with no real predecessor
-        .filter(F.col("_ts").isNotNull())
+        # probes with no real predecessor. Likewise a NULL KEY: the
+        # window's partitionBy groups NULL keys together, but an
+        # equality join never matches NULL = NULL — probe rows with a
+        # NULL key must come back with NULL values, not each other's
+        .filter(F.col("_ts").isNotNull() & F.col(on).isNotNull())
         .withColumn("_tag", F.lit(0))
     )
     probe_cols = [c for c in lt.columns if c not in ("_tag", "_ts")]

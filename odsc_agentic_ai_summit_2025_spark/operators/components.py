@@ -86,7 +86,9 @@ def connected_components(
             vertices.select(F.col(id_col))
         ).distinct()
     if algorithm == "star":
-        return _star_components(edges, nodes, id_col, max_iterations)
+        return own(
+            _star_components(edges, nodes, id_col, max_iterations), pairs
+        )
     edges = edges.persist()
     labels = nodes.withColumn(
         "cluster_id", F.col(id_col)
@@ -170,6 +172,10 @@ def connected_components(
             prev_sum = cur_sum
         if not converged:
             if algorithm == "minlabel":
+                # the raise abandons the final round's label table —
+                # free its checkpoint blocks or a catch-and-retry
+                # session leaks one label table per attempt
+                release_frame(labels)
                 raise RuntimeError(
                     f"connected_components: no fixpoint after "
                     f"{max_iterations} rounds — use algorithm='star' "
@@ -178,10 +184,16 @@ def connected_components(
             # auto: the budget being exhausted is the signal that the
             # topology wants the star variant — hand over wholesale
             release_frame(labels)
-            return _star_components(edges, nodes, id_col, max_iterations)
+            return own(
+                _star_components(edges, nodes, id_col, max_iterations),
+                pairs,
+            )
     finally:
         edges.unpersist()
-    return own(labels, labels)
+    # pairs rides along so a caller-supplied generator's own caches
+    # (e.g. a jaccard_pairs prefix persist) release with the result
+    # (the r5 generator-orphan convention)
+    return own(labels, labels, pairs)
 
 
 def _star_components(

@@ -255,20 +255,25 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         top_tok_n.alias("top_tok_n"),
     )
-    top_frac = (F.col("top_tok_n") * 10000).cast("long") / F.col("n_tokens")
-    # same int32-widening order as the ingest gate: cast, THEN ×10000
-    dup2_frac = (F.col("_n2") - F.col("_n2d")).cast("long") * 10000 / F.greatest(
-        F.col("_n2").cast("long"), F.lit(1)
-    )
-    return out.select(
+    # exact integer `div` (the repo convention, like quality_score /
+    # bpe_token_stats), with int32 operands widened BEFORE the ×10000:
+    # floor-of-double-division can flip against the oracle's `//`
+    # once the numerator passes 2^53
+    scored = out.select(
         F.col(id_col),
         F.col("n_tokens"),
         F.col("top_tok_n"),
-        F.floor(top_frac).cast("long").alias("top_frac_e4"),
-        F.floor(dup2_frac).cast("long").alias("dup2_frac_e4"),
-        (
-            (F.floor(top_frac) > 2000) | (F.floor(dup2_frac) > 2000)
-        ).alias("repetitive"),
+        F.expr(
+            "CAST(top_tok_n * 10000 div n_tokens AS BIGINT)"
+        ).alias("top_frac_e4"),
+        F.expr(
+            "CAST((CAST(_n2 AS BIGINT) - _n2d) * 10000"
+            " div greatest(CAST(_n2 AS BIGINT), 1) AS BIGINT)"
+        ).alias("dup2_frac_e4"),
+    )
+    return scored.withColumn(
+        "repetitive",
+        (F.col("top_frac_e4") > 2000) | (F.col("dup2_frac_e4") > 2000),
     )
 
 
@@ -291,15 +296,15 @@ def source_mix_weights(df: DataFrame, source_col: str) -> DataFrame:
     totals = counts.agg(
         F.sum("n_docs").alias("_total"), F.count("*").alias("_n_sources")
     )
+    # exact integer `div`, matching the oracle's `//` at any corpus
+    # size (floor-of-double diverges past 2^53 numerators)
     return counts.crossJoin(F.broadcast(totals)).select(
         "source",
         "n_docs",
-        F.floor((F.col("n_docs") * 10000) / F.col("_total"))
-        .cast("long")
-        .alias("frac_e4"),
-        F.floor((F.lit(10000) * F.col("_total")) / (F.col("_n_sources") * F.col("n_docs")))
-        .cast("long")
-        .alias("weight_e4"),
+        F.expr("CAST(n_docs * 10000 div _total AS BIGINT)").alias("frac_e4"),
+        F.expr(
+            "CAST(10000 * _total div (_n_sources * n_docs) AS BIGINT)"
+        ).alias("weight_e4"),
     )
 
 
@@ -509,9 +514,13 @@ def curriculum_order(
     from ..sources.io import with_row_index_distributed
     from .textops import quality_score
 
-    q = quality_score(df, text_col, id_col).select(
-        F.col(id_col), "quality_e4"
-    )
+    # NULL-text docs (NULL quality) are excluded: Spark sorts NULLs
+    # first ascending while DuckDB's DESC sorts them last, so leaving
+    # them in would shift every gidx/bucket/train_pos between engines
+    # — and a curriculum position for an unscoreable doc is meaningless
+    q = quality_score(
+        df.filter(F.col(text_col).isNotNull()), text_col, id_col
+    ).select(F.col(id_col), "quality_e4")
     scored = q.withColumn("_negq", -F.col("quality_e4"))
     idx = with_row_index_distributed(scored, ["_negq", id_col], name="_gidx")
     totals = idx.agg(F.count(F.lit(1)).alias("_n_docs"))

@@ -159,6 +159,11 @@ def ivf_add_documents(index: IvfIndex, new_corpus: DataFrame) -> IvfIndex:
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            # cosine assignment — must mirror ivf_build's kernel
+            # exactly or incremental-add ≢ rebuild
+            m /= np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-300
+            )
             scores = 2 * (m @ cts.T) - (cts * cts).sum(1)[None, :]
             out = pdf.copy()
             out["cluster_id"] = scores.argmax(1).astype("int32")

@@ -53,13 +53,19 @@ class IvfIndex:
 TRAIN_SAMPLE_CAP = 50_000
 
 
-def lloyd_gemm(x, k: int, seed: int, max_iter: int):
+def lloyd_gemm(x, k: int, seed: int, max_iter: int, spherical: bool = False):
     """Seeded Lloyd iterations with the (n,k)-GEMM distance identity
     argmin‖x−c‖² = argmin(‖c‖² − 2x·c) — shared by the IVF coarse
     quantizer and the PQ sub-quantizers (operators/pq.py). The naive
     broadcasted (n,k,dim) difference tensor materialized 1.6 GB per
     iteration at the 50k sample cap (38.7 s → ~1 s, r3 profile).
-    Deterministic: seeded init, fixed iteration count."""
+    Deterministic: seeded init, fixed iteration count.
+
+    ``spherical=True`` renormalizes centers to the unit sphere each
+    round (spherical k-means): with unit inputs, L2 argmin ≡ cosine
+    argmax, which is what a cosine-probed index (IVF) needs. PQ keeps
+    the plain L2 form — its sub-quantizers minimize reconstruction
+    error, not angular distance."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -71,6 +77,10 @@ def lloyd_gemm(x, k: int, seed: int, max_iter: int):
             pts = x[lab == j]
             if len(pts):
                 centers[j] = pts.mean(0)
+        if spherical:
+            centers /= np.maximum(
+                np.linalg.norm(centers, axis=1, keepdims=True), 1e-300
+            )
     return centers
 
 
@@ -107,7 +117,15 @@ def ivf_build(
     x = np.stack(
         [np.asarray(v, dtype=np.float64) for v in sampled.toPandas()[vec_col]]
     )
-    centers = lloyd_gemm(x, k_clusters, seed, max_iter)
+    # SPHERICAL k-means over normalized vectors: the index is probed
+    # by cosine (ivf_search ranks centroids by cosine), so assignment
+    # must use the same metric — plain L2 argmin over unnormalized
+    # vectors can put a vector's cluster outside its own query's
+    # top-nprobe when magnitudes vary (an exact duplicate missed at
+    # cos=1). For unit-norm corpora (the embeddings fixture) the two
+    # metrics coincide and this is a no-op.
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    centers = lloyd_gemm(x, k_clusters, seed, max_iter, spherical=True)
 
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
@@ -127,7 +145,12 @@ def ivf_build(
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            # argmin of ||v-c||² = argmax of 2v·c - ||c||²
+            # cosine assignment (matching the spherical training and
+            # the cosine probe): normalize, then argmin ||v-c||² over
+            # unit vectors ≡ argmax v·c
+            m /= np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-300
+            )
             scores = 2 * (m @ cts.T) - (cts * cts).sum(1)[None, :]
             out = pdf.copy()
             out["cluster_id"] = scores.argmax(1).astype("int32")

@@ -309,7 +309,7 @@ WITH t AS (
              (a, b) -> a + b) AS sum_len,
          CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT)
            AS n_stop
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 q AS (
   SELECT doc_id,
@@ -399,9 +399,16 @@ def q95_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle needs no side-channel table."""
     from ..operators.curation import token_budget_sample
 
-    budgets = {f"src{i}": 400 * (1 + i % 4) for i in range(20)}
+    docs = read_table(spark, sf_dir, "documents")
+    # one formula, applied to the ACTUAL sources (a tiny distinct
+    # collect) — a hardcoded src0..src19 dict would silently zero the
+    # budget of any source a regenerated driver dataset adds, while
+    # the oracle's expression computed one; a non-'srcN' name fails
+    # loudly on both sides (int() here, CAST there)
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    budgets = {s: 400 * (1 + int(s[3:]) % 4) for s in srcs}
     return token_budget_sample(
-        read_table(spark, sf_dir, "documents"),
+        docs,
         "text",
         "doc_id",
         "source",

@@ -21,7 +21,7 @@ from .registry import Query
 _TOKS = "string_split_regex(text, '\\s+')"
 
 # DuckDB twin of operators.curation._word_ngrams (n is inlined).
-def _grams_sql(n: int) -> str:
+def _grams_sql(n: int) -> tuple[str, str]:
     parts = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
     return (
         f"SELECT id, ts, unnest(generate_series(1, greatest(len(ts) - {n - 1}, 0))) AS i"
@@ -84,10 +84,15 @@ SELECT t.doc_id,
        CAST(t.n_tokens AS BIGINT) AS n_tokens,
        CAST(t.top_tok_n AS BIGINT) AS top_tok_n,
        CAST((t.top_tok_n * 10000) // t.n_tokens AS BIGINT) AS top_frac_e4,
-       CAST(((g.n2 - g.n2d) * 10000) // greatest(g.n2, 1) AS BIGINT) AS dup2_frac_e4,
+       CAST((COALESCE(g.n2, 0) - COALESCE(g.n2d, 0)) * 10000
+            // greatest(COALESCE(g.n2, 0), 1) AS BIGINT) AS dup2_frac_e4,
        ((t.top_tok_n * 10000) // t.n_tokens > 2000
-        OR ((g.n2 - g.n2d) * 10000) // greatest(g.n2, 1) > 2000) AS repetitive
-FROM tstat t JOIN gstat g USING (doc_id)
+        OR (COALESCE(g.n2, 0) - COALESCE(g.n2d, 0)) * 10000
+           // greatest(COALESCE(g.n2, 0), 1) > 2000) AS repetitive
+-- LEFT JOIN: a sub-2-token doc has a tstat row but no 2-grams; the
+-- Spark operator emits it with dup2=0, so an inner join would break
+-- row parity the first time the driver data contains a short doc
+FROM tstat t LEFT JOIN gstat g USING (doc_id)
 """
 
 
