@@ -652,3 +652,51 @@ def token_budget_sample(
         .select(id_col, "source", "n_tokens", "cum_tokens", "admit"),
         local,
     )
+
+
+def epoch_shards(
+    df: DataFrame,
+    id_col: str,
+    docs_per_shard: int,
+    salt: str = "epoch-0",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard manifest — the last step of
+    a trainer feed: visit the corpus in a salted-hash order (a global
+    no-RNG shuffle; a new salt draws an independent epoch) and assign
+    each document its dense ``epoch_pos`` plus the ``(shard_id,
+    pos_in_shard)`` a fixed-size shard writer would give it.
+    ``curriculum_order`` feeds quality-first; this is the plain
+    uniform epoch every pretraining run materializes.
+
+    Scale shape: the global position comes from the distributed
+    row-index device (range partition on (hash, id), per-partition
+    offsets — no single-partition window at any corpus size); the
+    shard arithmetic is per-row integer math against it. The
+    partition pin is attached to the result (``cache.own``).
+    """
+    from ..cache import own
+    from ..sources.io import with_row_index_distributed
+
+    if docs_per_shard <= 0:
+        raise ValueError(f"docs_per_shard must be positive, got {docs_per_shard}")
+    # md5 (like token_budget_sample's visit order), NOT the rolling
+    # char_poly_hash: the polynomial fold is nearly monotonic in a
+    # short numeric id's leading digits, so ORDERING by it barely
+    # shuffles small-id corpora — fine for mod-bucket devices
+    # (train_split), wrong for a permutation
+    h = F.md5(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    hashed = df.select(F.col(id_col)).withColumn("_h", h)
+    idx = with_row_index_distributed(hashed, ["_h", id_col], name="_pos")
+    out = idx.select(
+        F.col(id_col),
+        (F.col("_pos") - 1).cast("long").alias("epoch_pos"),
+        F.expr(f"CAST((_pos - 1) div {docs_per_shard} AS BIGINT)").alias(
+            "shard_id"
+        ),
+        F.expr(f"CAST((_pos - 1) % {docs_per_shard} AS BIGINT)").alias(
+            "pos_in_shard"
+        ),
+    )
+    return own(out, idx, df)

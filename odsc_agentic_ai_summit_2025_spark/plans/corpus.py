@@ -448,3 +448,42 @@ QUERIES.append(
     Query("q95_token_budget_sample", q95_token_budget_sample, _q95_sql(),
           ("A5", "O1", "F12"), "per-source token-budget mixture sampling")
 )
+
+
+def q96_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + fixed-size shard manifest — the
+    trainer-feed materialization step after admission/curriculum:
+    global salted-hash order via the distributed row index, then
+    per-row shard arithmetic."""
+    from ..operators.curation import epoch_shards
+
+    return epoch_shards(
+        read_table(spark, sf_dir, "documents"), "doc_id",
+        docs_per_shard=64, salt="epoch-1",
+    )
+
+
+def _q96_sql() -> str:
+    h = "md5('epoch-1|' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS h FROM documents),
+i AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS epoch_pos
+  FROM h
+)
+SELECT doc_id,
+       CAST(epoch_pos AS BIGINT) AS epoch_pos,
+       CAST(epoch_pos // 64 AS BIGINT) AS shard_id,
+       CAST(epoch_pos % 64 AS BIGINT) AS pos_in_shard
+FROM i
+"""
+
+
+# outside the 50-entry gate window (see registry.py TAIL_QUERIES):
+# a window slot now would displace q91's first driver row; the r6
+# rotation pulls this forward
+TAIL_QUERIES = [
+    Query("q96_epoch_shards", q96_epoch_shards, _q96_sql(),
+          ("O1", "F12"), "deterministic epoch shuffle + shard manifest"),
+]

@@ -69,8 +69,7 @@ def all_queries() -> dict[str, Query]:
     # (8+5+25=38) with room for any r6 additions; this round's window
     # (extended/extended2/observability/curation/textops/corpus) rotates
     # to the back.
-    out: dict[str, Query] = {}
-    for mod in (
+    mods = (
         extended,
         extended2,
         observability,
@@ -80,8 +79,20 @@ def all_queries() -> dict[str, Query]:
         dedup,
         retrieval,
         relational,
-    ):
+    )
+    out: dict[str, Query] = {}
+    for mod in mods:
         for q in mod.QUERIES:
+            if q.name in out:
+                raise ValueError(f"duplicate query name: {q.name}")
+            out[q.name] = q
+    # TAIL_QUERIES sit OUTSIDE the 50-entry gate window by
+    # construction: late-round additions whose window slot would
+    # displace a query still waiting for its first driver row. The
+    # local gate covers them at both SFs; the next rotation pulls
+    # them forward.
+    for mod in mods:
+        for q in getattr(mod, "TAIL_QUERIES", ()):
             if q.name in out:
                 raise ValueError(f"duplicate query name: {q.name}")
             out[q.name] = q

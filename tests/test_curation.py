@@ -200,3 +200,28 @@ def test_token_budget_sample_unknown_source_gets_zero_budget(spark):
     got = {r["doc_id"]: r["admit"] for r in out.collect()}
     release(out)
     assert got == {1: True, 2: False}
+
+
+def test_epoch_shards_dense_and_shard_arithmetic(spark):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(150)], ["doc_id", "text"]
+    )
+    out = ops.epoch_shards(docs, "doc_id", docs_per_shard=64, salt="e")
+    rows = out.collect()
+    release(out)
+    assert sorted(r["epoch_pos"] for r in rows) == list(range(150))
+    for r in rows:
+        assert r["shard_id"] == r["epoch_pos"] // 64
+        assert r["pos_in_shard"] == r["epoch_pos"] % 64
+    # a different salt draws a different permutation
+    out2 = ops.epoch_shards(docs, "doc_id", docs_per_shard=64, salt="f")
+    perm1 = {r["doc_id"]: r["epoch_pos"] for r in rows}
+    rows2 = out2.collect()
+    release(out2)
+    perm2 = {r["doc_id"]: r["epoch_pos"] for r in rows2}
+    assert perm1 != perm2
+
+    with pytest.raises(ValueError, match="docs_per_shard"):
+        ops.epoch_shards(docs, "doc_id", docs_per_shard=0)
