@@ -71,21 +71,12 @@ def main() -> None:
             # multi-consumer plan (FTS/IVF indexes, LSH inputs):
             # without this, 60 queries of leftovers accumulate in
             # executor memory and late queries pay GC for early
-            # queries' caches
-            spark.catalog.clearCache()
-            # clearCache only drops SQL-cached relations; RDD-level
-            # persists and localCheckpoint blocks (components,
-            # row-index, IVF) live in the block manager until their
-            # refs are GC'd. Drop Python refs, then unpersist every
-            # surviving RDD — measured 2-5x inflation on late queries
-            # without this (q36 8.8s in-suite vs 1.6s isolated, r3).
+            # queries' caches — measured 2-5x inflation on late
+            # queries (q36 8.8s in-suite vs 1.6s isolated, r3)
             df = None  # noqa: F841 — drop the plan ref before GC
-            import gc
+            from odsc_agentic_ai_summit_2025_spark.cache import sweep_blocks
 
-            gc.collect()
-            jrdds = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in list(jrdds.values()):
-                jrdd.unpersist()
+            sweep_blocks(spark)
     import statistics
 
     timings: dict[str, float] = {}
@@ -107,6 +98,9 @@ def main() -> None:
     # example uses "q1") so the line always fits, and write the
     # full-name detail to BENCH_LOCAL.json in the repo.
     short = {name.split("_", 1)[0]: v for name, v in timings.items()}
+    # a reused qNN prefix would silently drop a timing from the
+    # contract line while `value` still sums both medians
+    assert len(short) == len(timings), "duplicate qNN short keys"
     line = {
         "metric": "inventory_total_runtime",
         "value": round(total, 2),

@@ -199,3 +199,26 @@ def _prune() -> None:
     _REGISTRY[:] = [
         (p, hs) for p, hs in _REGISTRY if any(_is_live(h) for h in hs)
     ]
+
+
+def sweep_blocks(spark, keep: frozenset | set | tuple = ()) -> None:
+    """Inter-query hygiene sweep shared by bench.py,
+    scripts/profile_query.py and scripts/scale_smoke.py: drop every
+    SQL-cached relation, GC Python plan refs, then unpersist every
+    surviving block-manager RDD except ids in ``keep``.
+
+    One copy on purpose: the keep-set protection (an eagerly
+    localCheckpointed corpus has NO lineage — unpersisting it kills
+    every later stage) and the GC-before-census ordering are the two
+    subtleties that drifted when each script carried its own sweep.
+    Callers drop their own DataFrame refs before calling (the GC here
+    only collects refs already released).
+    """
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet()):
+        if rid not in keep:
+            jmap.get(rid).unpersist()

@@ -19,8 +19,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
+    # round is REQUIRED (argv or SPARK_GRAFT_ROUND): a stale default
+    # would silently overwrite a historical round's artifact
+    rnd = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_ROUND", "")
+    )
+    if not rnd:
+        sys.exit("usage: local_correctness.py ROUND [SF_DIR] "
+                 "(or set SPARK_GRAFT_ROUND)")
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # parse the SF BEFORE the multi-minute sweep (same guard as
+    # bench.py) — a non-sf path must fail in the first second, not
+    # after the inventory ran
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+    # artifact name derives from the SF: the canonical gate SF (0.01)
+    # owns the bare r{N} name, sf0.1 the established _sf01 suffix —
+    # two SFs can no longer overwrite each other's evidence
+    if sf == 0.01:
+        suffix = ""
+    elif sf == 0.1:
+        suffix = "_sf01"
+    else:
+        suffix = f"_sf{sf_raw.replace('.', '')}"
 
     from pyspark.sql import SparkSession
 
@@ -33,7 +56,7 @@ def main() -> None:
     )
     results = run_inventory(spark, sf_dir)
     out = {
-        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf": sf,
         "gate": (
             "fresh plain SparkSession + DuckDB, driver-equivalent "
             "compare (plans/oracle.py)"
@@ -47,7 +70,7 @@ def main() -> None:
             for name, (ok, detail) in results.items()
         },
     }
-    path = f"LOCAL_CORRECTNESS_r{rnd}.json"
+    path = f"LOCAL_CORRECTNESS_r{rnd}{suffix}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     n_bad = sum(1 for r in out["results"].values() if r["status"] != "match")

@@ -14,7 +14,6 @@ Prints per-run wall times + min/median per query as JSON lines.
 from __future__ import annotations
 
 import argparse
-import gc
 import json
 import os
 import statistics
@@ -34,6 +33,13 @@ def main() -> None:
     from odsc_agentic_ai_summit_2025_spark.plans.registry import all_queries
     from odsc_agentic_ai_summit_2025_spark.session import get_spark
 
+    # validate BEFORE paying session startup + warmups: a typo'd name
+    # must not KeyError ten seconds in (same guard as run_inventory)
+    known = all_queries()
+    unknown = sorted(set(args.queries) - set(known))
+    if unknown:
+        sys.exit(f"unknown query names: {unknown}")
+
     spark = get_spark(app_name="profile")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
     # Arrow warmup: the python worker daemon starts on the first
@@ -41,7 +47,7 @@ def main() -> None:
     spark.range(64).mapInPandas(lambda it: it, "id long").selectExpr(
         "sum(id)"
     ).collect()
-    registry = all_queries()
+    registry = known
     from pyspark.sql import functions as F
 
     for name in args.queries:
@@ -54,13 +60,10 @@ def main() -> None:
                 F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
             ).agg(F.expr("bit_xor(_h)")).collect()
             runs.append(round(time.perf_counter() - t0, 3))
-            spark.catalog.clearCache()
-            df = None
-            gc.collect()
-            for jrdd in list(
-                dict(spark.sparkContext._jsc.getPersistentRDDs()).values()
-            ):
-                jrdd.unpersist()
+            df = None  # drop the plan ref before the sweep's GC
+            from odsc_agentic_ai_summit_2025_spark.cache import sweep_blocks
+
+            sweep_blocks(spark)
         print(
             json.dumps(
                 {
