@@ -385,3 +385,63 @@ def test_interval_join_fractional_second_window(spark):
         ).collect()
     )
     assert got == ["in"]
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 40),  # doc ids MAY repeat across rows
+            st.integers(1, 9),   # n_tokens
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    budgets=st.fixed_dictionaries(
+        {"s0": st.integers(0, 40), "s1": st.integers(0, 40)}
+    ),
+)
+@settings(**SETTINGS)
+def test_token_budget_sample_matches_reference(spark, docs, budgets):
+    """token_budget_sample ≡ a plain-Python greedy scan in the same
+    salted order, over random tiny corpora including DUPLICATE doc
+    ids (the total-order tiebreaks must keep the cumsum a pure
+    function of the input multiset); source s2 is deliberately
+    missing from budgets (defaults to 0)."""
+    import hashlib
+
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    MOD, MULT = 1_000_000_007, 31
+
+    def poly(s: str) -> int:
+        acc = 0
+        for c in s:
+            acc = (acc * MULT + ord(c)) % MOD
+        return acc
+
+    rows = [(i, " ".join(["w"] * n), src) for i, n, src in docs]
+    # reference greedy scan in the operator's total order:
+    # (source, h, id, n_tokens, md5(text))
+    ordered = sorted(
+        ((src, poly(f"{i}:t"), i, n,
+          hashlib.md5((" ".join(["w"] * n)).encode()).hexdigest())
+         for i, n, src in docs),
+    )
+    expect = []
+    run: dict[str, int] = {}
+    for src, _h, i, n, _ch in ordered:
+        run[src] = run.get(src, 0) + n
+        expect.append((i, src, n, run[src], run[src] <= budgets.get(src, 0)))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_budget_sample(df, "text", "doc_id", "source", budgets, salt="t")
+    got = sorted(
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"], r["admit"])
+        for r in out.collect()
+    )
+    release(out)
+    assert got == sorted(expect)
