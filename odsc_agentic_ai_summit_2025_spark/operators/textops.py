@@ -446,3 +446,155 @@ def vocab_coverage(
         ),
         local,
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    end_token: str = "</w>",
+    max_vocab: int = 200_000,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus — the
+    tokenizer-FITTING step beside :func:`vocab_coverage` (which sizes
+    the vocabulary) and :func:`bpe_token_stats` (which counts with a
+    fixed pre-tokenizer). Classic word-level BPE (Sennrich 2016):
+    words split into characters (+ ``end_token``), then repeatedly
+    merge the most frequent adjacent symbol pair. Returns
+    ``[(left, right, pair_count), ...]`` in merge order.
+
+    Deterministic: ties on count break lexicographically on
+    (left, right) — a total order, so the learned merges are a pure
+    function of the corpus word-count multiset (and of ``max_vocab``).
+
+    Scale shape: the corpus is read EXACTLY ONCE — it collapses into
+    a (word, count) table by one shuffle of partial counts (the
+    classic BPE trick: pair statistics depend only on word
+    frequencies, a vocabulary-sized object orders of magnitude
+    smaller than the corpus). The top ``max_vocab`` words by (count,
+    word) — a distributed TakeOrdered, not a full sort — come to the
+    driver, where the merge rounds run in plain Python over that
+    bounded table: the same bounded-driver-training legitimacy class
+    as IVF's Lloyd sample (operators/ivf.py). Truncation is stated,
+    not silent: words outside the cap (the extreme long tail) do not
+    vote on merges; their segmentation still follows the learned
+    rules in :func:`bpe_segment_stats`.
+    """
+    from ..functions.text import bpe_pieces
+    from ..sources.io import ensure_min_partitions
+
+    if n_merges <= 0:
+        return []
+    words = (
+        ensure_min_partitions(df)
+        .select(F.explode(bpe_pieces(F.col(text_col))).alias("w"))
+        .filter(F.col("w").rlike(r"^\s*$") == False)  # noqa: E712
+        .select(F.trim(F.col("w")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = (
+        words.orderBy(F.desc("n"), F.asc("w")).limit(max_vocab).collect()
+    )  # vocabulary-sized (capped), not corpus-sized
+    vocab = {r["w"]: int(r["n"]) for r in rows}
+    segs = {w: tuple(w) + (end_token,) for w in vocab}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, seg in segs.items():
+            n = vocab[w]
+            for a, b in zip(seg, seg[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        ab = a + b
+        for w, seg in segs.items():
+            out = []
+            i = 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str, int]],
+    end_token: str = "</w>",
+) -> DataFrame:
+    """Apply a learned merge list corpus-wide: per document, the
+    token count under the trained BPE segmentation (the number a
+    trainer's data loader would see) beside the raw piece count.
+    Broadcast rule list, Arrow-kernel map — no shuffle.
+    """
+    from pyspark.sql import types as T
+
+    from ..functions.text import BPE_SPLIT_RE
+    from ..sources.io import ensure_min_partitions
+
+    rules = [(a, b) for a, b, _ in merges]
+    bc = df.sparkSession.sparkContext.broadcast(rules)
+    pat, end = BPE_SPLIT_RE, end_token
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        rx = re.compile(pat)
+        rl = bc.value
+        cache: dict[str, int] = {}
+
+        def seg_len(word: str) -> int:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            seg = list(word) + [end]
+            for a, b in rl:
+                out, i = [], 0
+                while i < len(seg):
+                    if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(seg[i])
+                        i += 1
+                seg = out
+            cache[word] = len(seg)
+            return len(seg)
+
+        for pdf in batches:
+            ids, np_, nb = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                pieces = [p.strip() for p in rx.findall(t.lower())]
+                pieces = [p for p in pieces if p]
+                ids.append(i)
+                np_.append(len(pieces))
+                nb.append(sum(seg_len(p) for p in pieces))
+            yield pd.DataFrame(
+                {id_col: ids, "n_pieces": np_, "n_bpe_tokens": nb}
+            )
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
+        run, out_schema
+    )

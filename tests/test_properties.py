@@ -445,3 +445,78 @@ def test_token_budget_sample_matches_reference(spark, docs, budgets):
     )
     release(out)
     assert got == sorted(expect)
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int, end: str = "</w>"):
+    """Plain-Python reference BPE (Sennrich) with (count desc, pair
+    lexicographic) tie-break."""
+    segs = {w: tuple(w) + (end,) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for w, seg in segs.items():
+            for pair in zip(seg, seg[1:]):
+                counts[pair] = counts.get(pair, 0) + word_counts[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w, seg in segs.items():
+            out, i = [], 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges, segs
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_bpe_learn_merges_matches_reference(spark, texts, n_merges):
+    """Distributed word-count + driver merge rounds ≡ a plain-Python
+    BPE over the same word multiset, including the per-document
+    segment lengths from bpe_segment_stats."""
+    import re
+
+    from odsc_agentic_ai_summit_2025_spark.functions.text import BPE_SPLIT_RE
+    from odsc_agentic_ai_summit_2025_spark.operators.textops import (
+        bpe_learn_merges,
+        bpe_segment_stats,
+    )
+
+    rx = re.compile(BPE_SPLIT_RE)
+    wc: dict[str, int] = {}
+    per_doc_pieces = []
+    for t in texts:
+        pieces = [p.strip() for p in rx.findall(t.lower()) if p.strip()]
+        per_doc_pieces.append(pieces)
+        for p in pieces:
+            wc[p] = wc.get(p, 0) + 1
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_learn_merges(df, "text", n_merges)
+    expect_merges, segs = _ref_bpe(wc, n_merges) if wc else ([], {})
+    assert got == expect_merges
+
+    stats = {
+        r["doc_id"]: (r["n_pieces"], r["n_bpe_tokens"])
+        for r in bpe_segment_stats(df, "text", "doc_id", got).collect()
+    }
+    for i, pieces in enumerate(per_doc_pieces):
+        assert stats[i] == (
+            len(pieces),
+            sum(len(segs[p]) for p in pieces),
+        )
