@@ -149,13 +149,19 @@ def ingest_gate(
     g = F.array_distinct(_word_ngrams(toks, n))
     g2 = _word_ngrams(toks, 2)
     bench = F.lit(bench_grams).cast("array<string>")
-    # widen BEFORE the ×10000: size() is int32, and under ANSI mode
-    # (pyspark 4 default) an int overflow on a ~215k-dup-gram document
-    # kills the job instead of wrapping — cast-after-multiply is too late
-    dup2 = F.floor(
-        ((F.size(g2) - F.size(F.array_distinct(g2))).cast("long") * 10000)
-        / F.greatest(F.size(g2).cast("long"), F.lit(1))
-    ).cast("long")
+    # exact integer `div` on pre-widened longs (the repo convention,
+    # same as repetition_stats): size() is int32 — unwidened, the
+    # ×10000 overflows under ANSI on a ~215k-dup-gram document; and
+    # floor-of-double would diverge from an exact `//` past 2^53.
+    # The helper columns stay within one stateless projection chain
+    # (Catalyst collapses it), so the identical plan still runs over
+    # readStream — the property the streaming twin depends on.
+    base = docs.withColumn(
+        "_gn2", F.size(g2).cast("long")
+    ).withColumn("_gn2d", F.size(F.array_distinct(g2)).cast("long"))
+    dup2 = F.expr(
+        "CAST((_gn2 - _gn2d) * 10000 div greatest(_gn2, 1) AS BIGINT)"
+    )
     contaminated = F.arrays_overlap(g, bench)
     signals = [
         F.size(toks).alias("n_tokens"),
@@ -168,8 +174,10 @@ def ingest_gate(
         # (quality filter) consume the admitted TEXT without the
         # gate→docs join the batch pipeline uses — a join a stream
         # cannot express statelessly
-        return docs.select("*", *signals)
-    return docs.select(F.col(id_col), *signals)
+        return base.select(
+            *[c for c in docs.columns], *signals
+        )
+    return base.select(F.col(id_col), *signals)
 
 
 def curation_prefix(
@@ -612,6 +620,10 @@ def token_budget_sample(
         F.col("source"), F.col("_h"), F.col(id_col),
         F.col("n_tokens"), F.col("_ch"),
     ]
+    # persist before repartitionByRange: the RangePartitioner runs a
+    # SAMPLING job over its input first, which would evaluate the
+    # tokenize+hash+md5 projection over the full corpus twice
+    base = base.persist()
     part = base.repartitionByRange(*order_cols)
     local = (
         part.withColumn("_pid", F.spark_partition_id())
@@ -625,6 +637,7 @@ def token_budget_sample(
         )
         .localCheckpoint(eager=True)
     )
+    base.unpersist()  # the eager checkpoint materialized everything
     totals = local.groupBy("_pid", "source").agg(
         F.max("_lsum").alias("_t")
     ).collect()

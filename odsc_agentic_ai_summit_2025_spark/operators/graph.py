@@ -265,8 +265,18 @@ def variable_length_paths(
             F.col("v").alias("end"),
             F.lit(0).alias("hops"),
         )
+    # length-prefixed edge key: plain 'start->end' concat collides
+    # when a vertex id itself contains the separator (ids here are
+    # arbitrary string slugs) — ('a->b', 'c') and ('a', 'b->c') must
+    # not suppress each other's trails. Length prefixes make the
+    # encoding injective for any id content.
     e1 = e.distinct().withColumn(
-        "_ek", F.concat_ws("->", F.col("start"), F.col("end"))
+        "_ek",
+        F.concat(
+            F.length("start").cast("string"), F.lit(":"), F.col("start"),
+            F.lit(">"), F.length("end").cast("string"), F.lit(":"),
+            F.col("end"),
+        ),
     )
     frontier = e1.select("start", "end", F.array("_ek").alias("_path"))
     if min_hops <= 1 and max_hops >= 1:

@@ -448,6 +448,20 @@ def vocab_coverage(
     )
 
 
+def _clean_bpe_pieces(text_col: str) -> Column:
+    """``bpe_pieces`` + whitespace-piece drop + trim as ONE JVM-side
+    expression — shared by fit (:func:`bpe_learn_merges`) and apply
+    (:func:`bpe_segment_stats`) so both see the identical piece
+    stream (two regex engines' ``\\s`` classes disagree on characters
+    like U+00A0; one pipeline means no fit/apply divergence)."""
+    from ..functions.text import bpe_pieces
+
+    trimmed = F.transform(bpe_pieces(F.col(text_col)), lambda p: F.trim(p))
+    return F.filter(
+        trimmed, lambda p: (F.length(p) > 0) & ~p.rlike(r"^\s*$")
+    )
+
+
 def bpe_learn_merges(
     df: DataFrame,
     text_col: str,
@@ -480,17 +494,13 @@ def bpe_learn_merges(
     vote on merges; their segmentation still follows the learned
     rules in :func:`bpe_segment_stats`.
     """
-    from ..functions.text import bpe_pieces
     from ..sources.io import ensure_min_partitions
 
     if n_merges <= 0:
         return []
     words = (
         ensure_min_partitions(df)
-        .select(F.explode(bpe_pieces(F.col(text_col))).alias("w"))
-        .filter(F.col("w").rlike(r"^\s*$") == False)  # noqa: E712
-        .select(F.trim(F.col("w")).alias("w"))
-        .filter(F.length("w") > 0)
+        .select(F.explode(_clean_bpe_pieces(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -536,16 +546,25 @@ def bpe_segment_stats(
     token count under the trained BPE segmentation (the number a
     trainer's data loader would see) beside the raw piece count.
     Broadcast rule list, Arrow-kernel map — no shuffle.
+
+    Pre-tokenization runs JVM-side through the SAME expression
+    pipeline the learner used (``bpe_pieces`` + the whitespace
+    filter/trim) — re-tokenizing in the kernel with Python ``re``
+    would silently diverge on characters the two engines' ``\\s``
+    classes disagree about (e.g. U+00A0), making the counts not
+    reflect the learned segmentation.
     """
     from pyspark.sql import types as T
 
-    from ..functions.text import BPE_SPLIT_RE
     from ..sources.io import ensure_min_partitions
 
     rules = [(a, b) for a, b, _ in merges]
     bc = df.sparkSession.sparkContext.broadcast(rules)
-    pat, end = BPE_SPLIT_RE, end_token
+    end = end_token
 
+    base = ensure_min_partitions(
+        df.select(F.col(id_col), _clean_bpe_pieces(text_col).alias("_pieces"))
+    )
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -555,11 +574,8 @@ def bpe_segment_stats(
     )
 
     def run(batches):
-        import re
-
         import pandas as pd
 
-        rx = re.compile(pat)
         rl = bc.value
         cache: dict[str, int] = {}
 
@@ -583,11 +599,9 @@ def bpe_segment_stats(
 
         for pdf in batches:
             ids, np_, nb = [], [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                if t is None:
+            for i, pieces in zip(pdf[id_col], pdf["_pieces"]):
+                if pieces is None:
                     continue
-                pieces = [p.strip() for p in rx.findall(t.lower())]
-                pieces = [p for p in pieces if p]
                 ids.append(i)
                 np_.append(len(pieces))
                 nb.append(sum(seg_len(p) for p in pieces))
@@ -595,6 +609,4 @@ def bpe_segment_stats(
                 {id_col: ids, "n_pieces": np_, "n_bpe_tokens": nb}
             )
 
-    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
-        run, out_schema
-    )
+    return base.mapInPandas(run, out_schema)

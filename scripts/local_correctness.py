@@ -34,7 +34,12 @@ def main() -> None:
     # bench.py) — a non-sf path must fail in the first second, not
     # after the inventory ran
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+    if not (sf_raw and sf_raw.replace(".", "").isdigit()):
+        sys.exit(
+            f"sf_dir must end in sf<number> (got {sf_dir!r}) — the "
+            "artifact name derives from it"
+        )
+    sf = float(sf_raw)
     # artifact name derives from the SF: the canonical gate SF (0.01)
     # owns the bare r{N} name, sf0.1 the established _sf01 suffix —
     # two SFs can no longer overwrite each other's evidence

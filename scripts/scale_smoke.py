@@ -251,13 +251,17 @@ def main() -> None:
             )
             for name, rec in old.items():
                 mine = matrix.get(name)
-                if mine is None or rec["sec"] < mine["sec"]:
-                    merged = dict(rec)
-                    if mine is not None:
-                        merged["passes"] = sorted(
-                            rec.get("passes", []) + mine.get("passes", [])
-                        )
-                    matrix[name] = merged
+                if mine is None:
+                    matrix[name] = dict(rec)
+                    continue
+                # keep the faster record, but the pass history from
+                # BOTH runs either way — noise evidence must not
+                # depend on which side won
+                merged = dict(rec if rec["sec"] < mine["sec"] else mine)
+                merged["passes"] = sorted(
+                    rec.get("passes", []) + mine.get("passes", [])
+                )
+                matrix[name] = merged
         artifact.write_text(
             json.dumps({"n_docs": n_docs, "stages": matrix}, indent=1)
         )
