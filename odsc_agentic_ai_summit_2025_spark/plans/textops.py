@@ -171,10 +171,12 @@ c AS (
          ), 0) AS tok_offset
   FROM t
 )
-SELECT doc_id, n_tokens, tok_offset,
-       tok_offset // 512 AS first_chunk,
-       (tok_offset + n_tokens - 1) // 512 AS last_chunk,
-       (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1 AS n_chunks
+SELECT doc_id, n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // 512 AS BIGINT) AS first_chunk,
+       CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS last_chunk,
+       CAST((tok_offset + n_tokens - 1) // 512
+            - tok_offset // 512 + 1 AS BIGINT) AS n_chunks
 FROM c
 """
 
