@@ -36,15 +36,34 @@ and release would silently leak, ``own`` ALSO records
 ``(result plan, handles)`` in a module-level registry, and
 ``release`` falls back to matching the released frame's analyzed
 plan against registered RESULT plans — walking down only through
-TRANSPARENT single-child wrapper nodes (Project/Filter/Sort/Limit/
-SubqueryAlias), i.e. exactly the ``.select``-between-return-and-
-release shapes the fallback exists for. A frame merely *derived*
+TRANSPARENT single-child wrapper nodes (Project/SubqueryAlias),
+i.e. exactly the ``.select``/``.alias``-between-return-and-release
+shapes the fallback exists for. A ``.filter()``/``.sort()``/
+``.limit()`` view deliberately does NOT match: those are routinely
+built as previews of a result the caller still holds, and releasing
+a preview must never yank the live base's caches — release the base
+frame itself. A frame merely *derived*
 from an owned result (an aggregate, a join) does not match, so
 releasing it cannot yank a cache another live frame still needs —
 ``release`` on a frame that owns nothing stays a no-op. Registry
 entries are pruned whenever none of their handles still hold
 storage, so caches released by any other path (``clearCache``,
 direct ``unpersist``) cannot linger as stale match targets.
+
+Generator-orphan convention (r5) — and its multi-consumer hazard:
+operators that consume a caller-supplied frame which may itself be a
+cached generator output (``triangle_counts``/``pagerank_fixed`` over
+a pair list, ``epoch_shards``/``embedding_neardup_pairs`` over a doc
+frame) append that INPUT frame to their result's handles, so
+``release(result)`` also releases the upstream generator's caches.
+That is correct for the single-consumer composition the registry
+queries use (each rebuilds its own input), but it means releasing the
+FIRST analytics result unpersists a frame the caller may still hold —
+and if that input is ``localCheckpoint``-backed (e.g. a
+``connected_components`` output reused as a pair list), the shared
+frame is DEAD for any second consumer (lineage truncated). When one
+input fans out to several consumers, release only after the LAST
+consumer materializes, or hand each consumer a plain uncached copy.
 """
 
 from __future__ import annotations

@@ -681,5 +681,8 @@ def _interval_seconds(interval: str) -> int:
         raise ValueError(f"bad interval {interval!r}")
     total = 0
     for qty, unit in zip(parts[::2], parts[1::2]):
-        total += int(qty) * mult[unit.lower()]
+        m = mult.get(unit.lower())
+        if m is None:
+            raise ValueError(f"bad interval unit {unit!r} in {interval!r}")
+        total += int(qty) * m
     return total

@@ -648,3 +648,19 @@ def test_sample_frames_ffmpeg_skips_audio_payloads(spark):
     assert [f.name for f in out.schema.fields] == [
         "media_id", "frame_idx", "frame_digest",
     ]
+
+
+def test_interval_grammar_errors():
+    """Malformed gap strings fail with ValueError uniformly — an
+    unknown unit must not surface as a bare KeyError (r5 ADVICE)."""
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        _interval_seconds,
+    )
+
+    assert _interval_seconds("1 hour 30 minutes") == 5400
+    with pytest.raises(ValueError, match="bad interval unit 'hrs'"):
+        _interval_seconds("2 hrs")
+    with pytest.raises(ValueError, match="bad interval unit 'ms'"):
+        _interval_seconds("500 ms")
+    with pytest.raises(ValueError, match="bad interval"):
+        _interval_seconds("90")
