@@ -181,9 +181,96 @@ FROM c
 """
 
 
+# Frozen BPE merge table: bpe_learn_merges(documents@sf0.001, "text",
+# n_merges=16) — learned once and pinned so q97 is a pure map query
+# (the driver runs at sf0.01, the local gate at sf0.01+sf0.1; a
+# per-SF re-fit would make the oracle unserializable). Merge LEARNING
+# itself stays pytest-verified (iterative argmax, not
+# SQL-expressible); this covers the APPLY half with a driver row.
+FROZEN_BPE_MERGES = [
+    ("e", "r", 4650), ("e", "</w>", 4644), ("n", "</w>", 2898),
+    ("o", "r", 2880), ("t", "</w>", 2850), ("er", "</w>", 2781),
+    ("o", "w", 2763), ("ow", "</w>", 2763), ("l", "u", 1928),
+    ("i", "n", 1922), ("y", "</w>", 1879), ("a", "r", 1873),
+    ("p", "ar", 1873), ("g", "</w>", 1843), ("a", "s", 1836),
+    ("h", "</w>", 1833),
+]
+
+
+def q97_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under the FROZEN trained BPE merge table —
+    the number a trainer's data loader would see. The Spark side is
+    the broadcast-rules Arrow kernel (operators/textops.py
+    bpe_segment_stats); the oracle UNROLLS the 16 merge rules into
+    nested list_reduce folds (a left-fold replacing (a,b) suffixes is
+    provably equivalent to the kernel's single greedy left-to-right
+    scan per rule: a merged token a||b can never re-match a, b
+    non-empty). Corpus is ASCII with no U+001F, so chr(31) is a safe
+    symbol separator."""
+    return ops.bpe_segment_stats(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id",
+        FROZEN_BPE_MERGES,
+    )
+
+
+def bpe_seg_len_sql(
+    merges: list[tuple], word_expr: str = "w", end_token: str = "</w>"
+) -> str:
+    """DuckDB expression for the trained-BPE token count of one word:
+    the merge rules UNROLLED into nested list_reduce folds. Each fold
+    is one greedy left-to-right scan of rule (a, b) — merge when the
+    accumulator's LAST symbol is exactly ``a`` (suffix check on the
+    chr(31) separator boundary) and the next symbol is ``b``. A fold
+    is equivalent to the kernel's index scan because a merged token
+    ``a||b`` can never re-match ``a`` (``b`` non-empty) — property-
+    tested against the Python scan in tests/test_properties.py.
+    Symbols must not contain U+001F (the separator)."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    seg = (
+        f"array_to_string(list_append(string_split({word_expr}, ''),"
+        f" {lit(end_token)}), chr(31))"
+    )
+    for a, b, *_ in merges:
+        seg = (
+            f"list_reduce(string_split({seg}, chr(31)), (acc, x) -> "
+            f"CASE WHEN (acc = {lit(a)} OR ends_with(acc, chr(31) || {lit(a)}))"
+            f" AND x = {lit(b)} THEN acc || {lit(b)}"
+            f" ELSE acc || chr(31) || x END)"
+        )
+    return f"len(string_split({seg}, chr(31)))"
+
+
+def _q97_sql() -> str:
+    from ..functions.text import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    pieces = (
+        f"list_filter(list_transform(regexp_extract_all(lower(text), '{pat}'),"
+        " p -> trim(p)),"
+        " p -> len(p) > 0 AND NOT regexp_matches(p, '^\\s+$'))"
+    )
+    seg_len = bpe_seg_len_sql(FROZEN_BPE_MERGES, word_expr="w")
+    return f"""
+WITH p AS (
+  SELECT doc_id, {pieces} AS pieces FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(pieces, w -> CAST({seg_len} AS BIGINT))),
+            (a, b) -> a + b) AS BIGINT) AS n_bpe_tokens
+FROM p
+"""
+
+
 QUERIES = [
     Query("q30_token_stats", q30_token_stats, Q30_SQL,
           ("A10", "F6"), "per-doc token counting"),
+    Query("q97_bpe_segment", q97_bpe_segment, _q97_sql(),
+          ("A10", "F6"), "trained-BPE segmentation counts, frozen merge table"),
     Query("q77_bpe_tokens", q77_bpe_tokens, _q77_sql(),
           ("A10", "F6"), "BPE-ish pre-tokenizer piece counting"),
     Query("q80_pack_sequences", q80_pack_sequences, Q80_SQL,

@@ -520,3 +520,50 @@ def test_bpe_learn_merges_matches_reference(spark, texts, n_merges):
             len(pieces),
             sum(len(segs[p]) for p in pieces),
         )
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcx'<>/", min_size=1, max_size=10),
+        min_size=1, max_size=6,
+    ),
+    merges=st.lists(
+        st.tuples(
+            st.text(alphabet="abcx'", min_size=1, max_size=2),
+            st.text(alphabet="abcx'", min_size=1, max_size=2),
+        ),
+        min_size=0, max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_bpe_fold_sql_matches_greedy_scan(words, merges):
+    """The q97 oracle's nested list_reduce fold ≡ the Arrow kernel's
+    single greedy left-to-right scan per rule, for arbitrary words
+    and merge tables (including rules like (x, x) and symbols with
+    SQL-quote characters)."""
+    import duckdb
+
+    from odsc_agentic_ai_summit_2025_spark.plans.textops import (
+        bpe_seg_len_sql,
+    )
+
+    def scan_len(word: str) -> int:
+        seg = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(seg):
+                if i + 1 < len(seg) and seg[i] == a and seg[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            seg = out
+        return len(seg)
+
+    con = duckdb.connect()
+    vals = ", ".join("('" + w.replace("'", "''") + "')" for w in words)
+    got = con.execute(
+        f"SELECT w, {bpe_seg_len_sql(merges)} AS n FROM (VALUES {vals}) t(w)"
+    ).fetchall()
+    assert dict(got) == {w: scan_len(w) for w in words}
