@@ -18,6 +18,10 @@ def main() -> None:
     from odsc_agentic_ai_summit_2025_spark.plans.registry import all_queries
     from odsc_agentic_ai_summit_2025_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.cache import sweep_blocks
+
     spark = get_spark(app_name="bench")
     # JVM/codegen warmup outside any query's timing: one tiny job
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -30,6 +34,38 @@ def main() -> None:
     ).selectExpr("sum(id)").collect()
 
     queries = all_queries()
+
+    def hash_collect(df) -> None:
+        # force EVERY output column to be computed: a bare count()
+        # lets Catalyst prune unreferenced projection expressions, so
+        # projection-only queries (masking, fingerprints, string
+        # batteries) would be timed as bare scan+count. Hashing all
+        # columns into one aggregated value defeats pruning while
+        # keeping driver transfer at one row.
+        df.select(
+            F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
+        ).agg(F.expr("bit_xor(_h)")).collect()
+
+    # Full-stage-mix warmup (r5 verdict): the tiny jobs above leave
+    # whole-stage-codegen JIT, the vectorized parquet reader, shuffle
+    # writer/reader classes, and broadcast exchange cold, so pass 1
+    # of the first timed queries measured 3-4x inflated (BENCH_r05
+    # queries_passes: q01 3.28/0.84/0.87). One UNTIMED run of four
+    # cheap queries spanning that mix — scan+hash-agg, equi-join,
+    # window, documents-table scan — through the same hash-collect
+    # harness moves the warm-once costs outside every timed pass.
+    for wname in (
+        "q01_pricing_summary",
+        "q08_join_agg",
+        "q03_row_number",
+        "q30_token_stats",
+    ):
+        if wname in queries:
+            try:
+                hash_collect(queries[wname].spark(spark, sf_dir))
+            except Exception:
+                pass  # timed loop will surface any real failure
+            sweep_blocks(spark)
     passes: dict[str, list[float]] = {}
     # N interleaved runs per query: this host shows hypervisor
     # steal-time spikes (single-shot timings varied 1.8s..39s for the
@@ -49,18 +85,7 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 df = q.spark(spark, sf_dir)
-                # force EVERY output column to be computed: a bare
-                # count() lets Catalyst prune unreferenced projection
-                # expressions, so projection-only queries (masking,
-                # fingerprints, string batteries) would be timed as
-                # bare scan+count. Hashing all columns into one
-                # aggregated value defeats pruning while keeping
-                # driver transfer at one row.
-                from pyspark.sql import functions as F
-
-                df.select(
-                    F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h")
-                ).agg(F.expr("bit_xor(_h)")).collect()
+                hash_collect(df)
                 dt = time.perf_counter() - t0
             except Exception as e:  # keep benching even if one breaks
                 print(f"bench error {name}: {e}", file=sys.stderr)
@@ -74,8 +99,6 @@ def main() -> None:
             # queries' caches — measured 2-5x inflation on late
             # queries (q36 8.8s in-suite vs 1.6s isolated, r3)
             df = None  # noqa: F841 — drop the plan ref before GC
-            from odsc_agentic_ai_summit_2025_spark.cache import sweep_blocks
-
             sweep_blocks(spark)
     import statistics
 

@@ -403,6 +403,7 @@ def pagerank_fixed(
     *,
     iterations: int = 3,
     scale: int = 10**9,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Exact-integer PageRank over the symmetric closure of an
     undirected pair list: ``iterations`` unrolled power steps in e9
@@ -420,9 +421,15 @@ def pagerank_fixed(
     one edge⋈pr join (vertex-keyed, partial-combined sum). Unrolled
     because the iteration count is a small constant — no driver loop
     state, one linear plan; Catalyst pipelines the joins. At 100 TB
-    each step is the standard vertex-partitioned join; a persisted/
-    checkpointed pr frame per step would bound plan growth for large
-    ``iterations`` (not needed at 3).
+    each step is the standard vertex-partitioned join.
+
+    ``checkpoint_every=k`` localCheckpoints the pr frame every k
+    steps (never the final one), bounding plan depth/analysis cost
+    for large ``iterations`` — the default linear unroll is right at
+    3, quadratic-planning pain starts around 10+. Checkpoint blocks
+    ride the result's ownership handles, so ``cache.release(result)``
+    frees them; as with every localCheckpoint, the released result is
+    dead afterwards (release only after materializing).
 
     Output: ``[id, pr_e9]``.
     """
@@ -440,7 +447,8 @@ def pagerank_fixed(
     teleport = (15 * base) // 100
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     pr = verts.select("id", F.lit(base).cast("long").alias("pr_e9"))
-    for _ in range(iterations):
+    ckpts: list[DataFrame] = []
+    for step in range(1, iterations + 1):
         contrib = (
             sym.join(pr.withColumnRenamed("id", "src"), "src")
             .join(deg, "src")
@@ -461,4 +469,11 @@ def pagerank_fixed(
                 ).cast("long").alias("pr_e9"),
             )
         )
-    return own(pr, sym, verts, pairs, vertices)
+        if (
+            checkpoint_every
+            and step % checkpoint_every == 0
+            and step < iterations  # final frame stays a live plan
+        ):
+            pr = pr.localCheckpoint(eager=True)
+            ckpts.append(pr)
+    return own(pr, sym, verts, pairs, vertices, *ckpts)

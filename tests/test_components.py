@@ -249,3 +249,39 @@ def test_pagerank_fixed_star_and_determinism(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_pagerank_checkpoint_every_bounds_plan_and_matches(spark):
+    """iterations=12 with checkpoint_every=3 returns the exact same
+    fixed-point ranks as the pure unrolled plan, with analysis-plan
+    size bounded (lineage cut at the checkpoints) and all storage —
+    persists AND checkpoint blocks — freed by release."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        pagerank_fixed,
+    )
+
+    random.seed(91)
+    edges = list({(random.randrange(30), random.randrange(30)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    verts = spark.createDataFrame([(i,) for i in range(30)], "id long")
+
+    plain = pagerank_fixed(pairs, verts, iterations=12)
+    want = {r["id"]: r["pr_e9"] for r in plain.collect()}
+    plain_depth = plain._jdf.queryExecution().analyzed().treeString().count("\n")
+    release(plain)
+
+    ck = pagerank_fixed(pairs, verts, iterations=12, checkpoint_every=3)
+    got = {r["id"]: r["pr_e9"] for r in ck.collect()}
+    ck_depth = ck._jdf.queryExecution().analyzed().treeString().count("\n")
+    assert got == want
+    # 12 unrolled joins vs a plan rooted at the step-9 checkpoint:
+    # the checkpointed analysis plan must be a small fraction
+    assert ck_depth < plain_depth / 3, (ck_depth, plain_depth)
+
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    release(ck)
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) < len(before), "release freed nothing"
+    assert len(after) <= max(len(before) - 3, 0)
