@@ -163,20 +163,35 @@ def bm25_scores_indexed(
     n_docs, avgdl = index.n_docs, index.avgdl
 
     # bag semantics: a repeated query term weights its score by its
-    # query-term frequency (tantivy/LanceDB score each occurrence) —
-    # the set-semantics filter silently underweighted repeats
-    qtf = postings.sparkSession.createDataFrame(
-        sorted(Counter(query_terms).items()), "term string, qtf long"
+    # query-term frequency (tantivy/LanceDB score each occurrence).
+    # The weights ride as a LITERAL map lookup, not a joined table:
+    # the r5 createDataFrame+broadcast form added two
+    # BroadcastExchange/ExistingRDD scans per query (isolated-profiled
+    # as the real part of the q40/q43 r5 uptick), while a literal map
+    # over a query-sized term list stays inside whole-stage codegen
+    # and keeps the serving plan identical to the set-semantics one.
+    counts = sorted(Counter(query_terms).items())
+    if not counts:
+        # no query terms → no hits, same [doc, score] schema
+        return (
+            postings.join(dls, "doc")
+            .filter(F.lit(False))
+            .select("doc", F.lit(0.0).alias("score"))
+        )
+    qterms = F.array(*[F.lit(t) for t, _ in counts])
+    qtf = F.element_at(
+        F.create_map(*[x for t, c in counts for x in (F.lit(t), F.lit(c))]),
+        F.col("term"),
     )
 
     # df(term) comes from the index (computed once at build); only the
     # query-term slice of it joins here, and that slice is tiny →
     # broadcast, so serving touches no postings-wide aggregate
     hit = (
-        postings.join(F.broadcast(qtf), "term")
+        postings.filter(F.array_contains(qterms, F.col("term")))
         .join(
             F.broadcast(
-                index.dfreq.join(F.broadcast(qtf.select("term")), "term")
+                index.dfreq.filter(F.array_contains(qterms, F.col("term")))
             ),
             "term",
         )
@@ -191,7 +206,7 @@ def bm25_scores_indexed(
         + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     )
     return (
-        hit.withColumn("term_score", idf * tf_norm * F.col("qtf"))
+        hit.withColumn("term_score", idf * tf_norm * qtf)
         .groupBy("doc")
         .agg(F.sum("term_score").alias("score"))
     )
