@@ -230,25 +230,40 @@ def pii_trace_df(
     and appends one result each)."""
     masked = mask_pii(F.col(text_col))
     counts = pii_counts(F.col(text_col))
-    per_rule = [
-        F.struct(
-            F.lit(rule).alias("rule"),
-            F.when(n >= block_threshold, F.lit("BLOCK"))
-            .when(n >= warn_threshold, F.lit("WARN"))
-            .otherwise(F.lit("LOG"))
-            .alias("action"),
-            (n > 0).alias("triggered"),
-            n.cast("int").alias("n_matches"),
+    # Stage the per-rule counts as plain columns BELOW the explode:
+    # each count appears three times in its rule struct (two CASE
+    # thresholds + n_matches), and generator expressions get no
+    # subexpression elimination, so inlining them ran every PII regex
+    # 3x per row (isolated-profiled as the bulk of q67's r5 cost —
+    # the r5 boundary-guarded patterns are ~3x pricier to evaluate).
+    # A named column computes once per row; the explode restructures.
+    staged = df.select(
+        F.col(id_col),
+        *[n.cast("int").alias(f"_n_{rule}") for rule, n in counts.items()],
+        F.length(text_col).cast("int").alias("original_length"),
+        F.length(masked).cast("int").alias("masked_length"),
+    )
+    per_rule = []
+    for rule in counts:
+        n = F.col(f"_n_{rule}")
+        per_rule.append(
+            F.struct(
+                F.lit(rule).alias("rule"),
+                F.when(n >= block_threshold, F.lit("BLOCK"))
+                .when(n >= warn_threshold, F.lit("WARN"))
+                .otherwise(F.lit("LOG"))
+                .alias("action"),
+                (n > 0).alias("triggered"),
+                n.alias("n_matches"),
+            )
         )
-        for rule, n in counts.items()
-    ]
     return (
-        df.select(
+        staged.select(
             F.col(id_col),
             F.lit(validation_type).alias("validation_type"),
             F.explode(F.array(*per_rule)).alias("r"),
-            F.length(text_col).cast("int").alias("original_length"),
-            F.length(masked).cast("int").alias("masked_length"),
+            "original_length",
+            "masked_length",
         )
         .select(
             id_col,
