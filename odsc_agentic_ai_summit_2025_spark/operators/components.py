@@ -342,6 +342,48 @@ def dedup_decisions(
     )
 
 
+def quality_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "quality_e4",
+) -> DataFrame:
+    """``[id, cluster_id] ⋈ [id, score]`` → per-doc keep/drop where
+    the survivor is the cluster's argmax on ``(score, then min id)``
+    — the quality-aware variant of :func:`dedup_decisions`. Real
+    fuzzy-dedup pipelines keep the BEST near-duplicate (the cleanest
+    crawl of a page, the highest-quality revision), not the first-by-
+    id one; composing components with a quality table makes that
+    policy a one-join step.
+
+    Deterministic: ``max_by`` on the struct ``(score, -id)`` is a
+    total order (ids unique), so ties on score keep the smallest id.
+    Same groupBy-aggregate + join-back shape as ``dedup_decisions``
+    (NO window over ``cluster_id``) for the same giant-cluster skew
+    reasons: the per-cluster stats table partial-combines map-side
+    and stays one row per cluster.
+
+    Output: ``[id, cluster_id, <score_col>, keep, cluster_size]``.
+    """
+    labeled = components.join(scores, id_col)
+    stats = labeled.groupBy("cluster_id").agg(
+        F.max_by(
+            id_col, F.struct(F.col(score_col), (-F.col(id_col)).alias("_n"))
+        ).alias("_rep"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return own(
+        labeled.join(stats, "cluster_id").select(
+            id_col,
+            "cluster_id",
+            score_col,
+            (F.col(id_col) == F.col("_rep")).alias("keep"),
+            "cluster_size",
+        ),
+        components,
+    )
+
+
 def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
     """Per-vertex triangle participation over an undirected pair list
     (``a_id < b_id``) — the clustering-coefficient numerator, and for

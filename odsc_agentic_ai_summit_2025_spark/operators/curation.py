@@ -100,6 +100,108 @@ def contamination_pairs(
     )
 
 
+def dsir_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    target_source: str,
+    *,
+    n: int = 2,
+    cap_e4: int = 10**8,
+) -> DataFrame:
+    """Data Selection via Importance Resampling, integer-exact: score
+    every document by how much its word ``n``-gram distribution looks
+    like the ``target_source`` slice of the corpus versus the rest
+    (DSIR, Xie et al. 2023, arXiv:2302.03169 — hashed-n-gram
+    importance weights for selecting pretraining data that matches a
+    target domain). The published method takes a log-likelihood
+    ratio; IEEE ``log`` differs across engines in the last ulp, so
+    this keeps the per-gram evidence as an add-one-smoothed integer
+    basis-point ratio instead:
+
+        term(g)        = min(((t(g)+1) * 10000) div (r(g)+1), cap_e4)
+        importance_e4  = (Σ_g c_doc(g) · term(g)) div n_grams
+
+    where t/r are the gram's occurrence counts in the target /
+    background slices and c_doc its count in this document —
+    engine-portable, partition-order-free, and monotone in the same
+    direction as the likelihood ratio. ``cap_e4`` bounds a
+    target-only gram's term (r=0) so the int64 accumulator cannot
+    overflow at any corpus size (term ≤ 1e8, counts ≤ 1e11 stay
+    under 2^63 through the final sum).
+
+    Output: ``[id, n_grams, importance_e4]`` for EVERY input row
+    (gram-less docs score 0). Feed into :func:`weighted_resample` /
+    :func:`token_budget_sample` for the selection step.
+
+    Scale shape: one corpus pass fans out to pre-aggregated
+    (gram, doc, count) rows; the target/background count table is ONE
+    gram-keyed partial agg (both slices via conditional sums, no
+    second pass); the score join is gram-keyed at deduped-gram volume
+    (AQE handles hot-gram skew) and the final agg is doc-keyed. At
+    100 TB the count table can be replaced by the Count-Min sketch in
+    operators/sketches.py at the cost of one-sided overestimation.
+    """
+    base = ensure_min_partitions(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.col(source_col),
+            _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
+        )
+    )
+    from ..cache import own
+
+    # persisted: per_doc feeds BOTH the count table and the score
+    # join probe — without the pin the explode fan-out (the one
+    # corpus-sized computation here) runs twice. Caller releases via
+    # cache.release(result) per the repo convention.
+    per_doc = (
+        base.select(id_col, source_col, F.explode("_grams").alias("gram"))
+        .groupBy(id_col, source_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    gram_counts = per_doc.groupBy("gram").agg(
+        F.sum(
+            F.when(F.col(source_col) == target_source, F.col("_c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_t"),
+        F.sum(
+            F.when(F.col(source_col) != target_source, F.col("_c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_r"),
+    )
+    scored = (
+        per_doc.join(gram_counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(
+                F.expr(
+                    f"_c * least(((_t + 1) * 10000) div (_r + 1), {cap_e4}L)"
+                )
+            ).alias("_s"),
+        )
+    )
+    return own(
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.expr(
+                "coalesce(_s, 0) div greatest(coalesce(n_grams, 0), 1)"
+            )
+            .cast("long")
+            .alias("importance_e4"),
+        ),
+        per_doc,
+    )
+
+
 def benchmark_gram_set(
     benchmark: DataFrame, text_col: str, *, n: int = 3
 ) -> list[str]:

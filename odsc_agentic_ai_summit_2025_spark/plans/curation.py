@@ -235,9 +235,45 @@ SELECT doc_id, COUNT(*) AS n_suspect FROM hits GROUP BY 1
 """
 
 
+def q98_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores toward the 'src1' slice: the data-
+    selection weight table a pipeline feeds into weighted_resample.
+    Integer add-one-smoothed bigram frequency ratios (see
+    operators/curation.py:dsir_scores for the log-ratio rationale)."""
+    return ops.dsir_scores(
+        read_table(spark, sf_dir, "documents"),
+        "text", "doc_id", "source", "src1", n=2,
+    )
+
+
+def _q98_sql(target: str = "src1", cap_e4: int = 10**8) -> str:
+    head, parts = _grams_sql(2)
+    return f"""
+WITH d AS (SELECT doc_id AS id, source, {_TOKS} AS ts
+           FROM documents WHERE text IS NOT NULL),
+g0 AS ({head}, source FROM d),
+pd AS (SELECT id AS doc_id, source, {parts} AS gram, COUNT(*) AS c
+       FROM g0 GROUP BY 1, 2, 3),
+gc AS (SELECT gram,
+              SUM(CASE WHEN source = '{target}' THEN c ELSE 0 END) AS t,
+              SUM(CASE WHEN source <> '{target}' THEN c ELSE 0 END) AS r
+       FROM pd GROUP BY 1),
+s AS (SELECT doc_id, SUM(c) AS n_grams,
+             SUM(c * least(((t + 1) * 10000) // (r + 1), {cap_e4})) AS sc
+      FROM pd JOIN gc USING (gram) GROUP BY 1)
+SELECT d0.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(sc, 0) // GREATEST(COALESCE(n_grams, 0), 1) AS BIGINT)
+           AS importance_e4
+FROM documents d0 LEFT JOIN s USING (doc_id)
+"""
+
+
 QUERIES = [
     Query("q71_decontamination", q71_decontamination, _q71_sql(),
           ("U2", "P4"), "benchmark n-gram decontamination (broadcast eval set)"),
+    Query("q98_dsir_importance", q98_dsir_importance, _q98_sql(),
+          ("A5", "F12"), "DSIR importance weights toward a target source"),
     Query("q72_repetition_stats", q72_repetition_stats, Q72_SQL,
           ("A5", "F6"), "Gopher-style repetition quality signals"),
     Query("q73_source_mix", q73_source_mix, Q73_SQL,

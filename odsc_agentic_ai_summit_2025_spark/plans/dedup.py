@@ -109,6 +109,88 @@ FROM comp
 """
 
 
+def q99_quality_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup survivor selection by QUALITY: near-dup pairs →
+    components → per cluster keep the argmax-(quality_e4, min id)
+    document — the policy real pipelines want (keep the cleanest
+    near-duplicate, not the first-by-id; q66 is the min-id variant).
+    Composes three oracled tiers: q35 pairs, q66 components, q31
+    quality."""
+    from ..operators import textops as tops
+    from ..operators.components import (
+        connected_components,
+        quality_representatives,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ops.jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    comp = connected_components(
+        pairs.select("a_id", "b_id"),
+        vertices=docs.select(F.col("doc_id").alias("id")),
+    )
+    quality = tops.quality_score(docs, "text", "doc_id").select(
+        F.col("doc_id").alias("id"), "quality_e4"
+    )
+    return quality_representatives(comp, quality).select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        "quality_e4",
+        "keep",
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
+
+
+Q99_SQL = f"""
+WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, unnest({_UTOKS}) AS tok FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE (n_inter * 10000) // (sa.n + sb.n - n_inter) >= 8000
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+qbase AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
+             (a, b) -> a + b) AS sum_len,
+         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT)
+             AS n_stop
+  FROM docs
+),
+quality AS (
+  SELECT doc_id,
+         ((n_tokens - n_stop) * LEAST(sum_len, n_tokens * 10) * 10000)
+             // (n_tokens * n_tokens * 10) AS quality_e4
+  FROM qbase
+)
+SELECT c.id AS doc_id, c.cluster_id, q.quality_e4,
+       c.id = FIRST_VALUE(c.id) OVER (
+           PARTITION BY c.cluster_id ORDER BY q.quality_e4 DESC, c.id ASC
+       ) AS keep,
+       CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS INT) AS cluster_size
+FROM comp c JOIN quality q ON q.doc_id = c.id
+"""
+
+
 def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.minhash_candidate_pairs(
         read_table(spark, sf_dir, "documents"), "text", "doc_id"
@@ -325,6 +407,8 @@ QUERIES = [
           ("V2", "O2"), "embedding cosine near-dup pairs"),
     Query("q66_dedup_clusters", q66_dedup_clusters, Q66_SQL,
           ("U2", "A2"), "connected-component dedup clusters + keep/drop"),
+    Query("q99_quality_reps", q99_quality_reps, Q99_SQL,
+          ("U2", "A7"), "quality-argmax survivor selection per dedup cluster"),
     Query("q63_neardup_lsh", q63_neardup_lsh, _q63_sql(),
           ("V2", "V1"), "banded-LSH near-dup with exact verification"),
 ]

@@ -102,15 +102,18 @@ def all_queries() -> dict[str, Query]:
 # r5) and q80 (driver-red r4+r5; the oracle HUGEINT cast fix lands
 # this round) lead, followed by the 41 queries whose last driver row
 # is r4 — dedup q34-q37/q78/q38/q66/q63, retrieval q39-q43 cohort,
-# relational q01-q25 — plus q97 (new this round: trained-BPE
-# segmentation under the frozen merge table, needs its first driver
-# row). 44 head entries + 6 module-order fillers (extended q44-q49,
-# all r5-green) = the 50-slot window; every registered query stays
-# ≤1 round old.
+# relational q01-q25 — plus the three queries new this round, which
+# need their first driver rows: q97 (trained-BPE segmentation under
+# the frozen merge table), q98 (DSIR importance weights), q99
+# (quality-argmax dedup survivors). 46 head entries + 4 module-order
+# fillers (extended q44-q47, all r5-green) = the 50-slot window;
+# every registered query stays ≤1 round old.
 _GATE_HEAD = (
     "q96_epoch_shards",
     "q80_pack_sequences",
     "q97_bpe_segment",
+    "q98_dsir_importance",
+    "q99_quality_reps",
     "q34_dedup_exact",
     "q35_jaccard_pairs",
     "q36_minhash_lsh",

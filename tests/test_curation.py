@@ -225,3 +225,72 @@ def test_epoch_shards_dense_and_shard_arithmetic(spark):
 
     with pytest.raises(ValueError, match="docs_per_shard"):
         ops.epoch_shards(docs, "doc_id", docs_per_shard=0)
+
+
+def test_dsir_scores_match_reference(spark):
+    """dsir_scores == a plain-Python bigram importance reference
+    (add-one-smoothed integer ratio, per-doc count weighting, cap)."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        dsir_scores,
+    )
+
+    rows = [
+        (0, "a b a b c", "tgt"),
+        (1, "a b x y", "bg"),
+        (2, "x y x y", "bg"),
+        (3, "a b", "bg"),
+        (4, "", "bg"),          # gram-less: scores 0
+        (5, "q", "tgt"),        # single token: no bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_scores(df, "text", "doc_id", "source", "tgt", n=2)
+    got = {r["doc_id"]: (r["n_grams"], r["importance_e4"]) for r in out.collect()}
+    release(out)
+
+    # reference
+    def bigrams(t):
+        ws = t.split()
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    t_counts: dict[str, int] = {}
+    r_counts: dict[str, int] = {}
+    for _, t, s in rows:
+        for g in bigrams(t):
+            d = t_counts if s == "tgt" else r_counts
+            d[g] = d.get(g, 0) + 1
+    cap = 10**8
+    for i, t, _ in rows:
+        gs = bigrams(t)
+        n = len(gs)
+        s = sum(
+            min(((t_counts.get(g, 0) + 1) * 10000) // (r_counts.get(g, 0) + 1), cap)
+            for g in gs
+        )
+        assert got[i] == (n, s // max(n, 1)), (i, got[i])
+
+
+def test_quality_representatives_argmax_and_ties(spark):
+    """Survivor = max quality, ties -> min id; singletons keep."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        quality_representatives,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 8), (8, 8)],
+        "id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, 10), (8, 40), (9, 40)],
+        "id long, quality_e4 long",
+    )
+    out = quality_representatives(comp, scores)
+    got = {r["id"]: (r["keep"], r["cluster_size"]) for r in out.collect()}
+    release(out)
+    # cluster 1: 2 and 3 tie at 90 -> min id 2 survives
+    assert got == {
+        1: (False, 3), 2: (True, 3), 3: (False, 3),
+        7: (True, 1),
+        8: (True, 2), 9: (False, 2),  # tie at 40 -> min id 8
+    }
