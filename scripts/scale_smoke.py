@@ -4,9 +4,14 @@ expressions — no files), to demonstrate the plans hold beyond the
 test scale: linear-ish runtime, bounded executor memory, no
 collect()-driven driver blowup.
 
-Usage: python scripts/scale_smoke.py [n_docs] [round] [runs]
+Usage: python scripts/scale_smoke.py [n_docs] [round] [runs] [stages]
 (defaults 300_000 — sf0.1 has 5_000 docs — $SPARK_GRAFT_ROUND or
-none, and 1 run per stage). Prints one JSON line per stage. With
+none, 1 run per stage, and all stages; ``stages`` is a
+comma-separated stage-name filter, also readable from
+$SPARK_GRAFT_SMOKE_STAGES — re-checking one flagged stage should not
+cost a 12-minute full matrix). A filtered run merges into the same
+round's existing artifact, so partial re-measures keep the full
+matrix. Prints one JSON line per stage. With
 runs > 1 each stage repeats back-to-back and the artifact records
 min + median + every pass — the r4 verdict's protocol for telling a
 real trend from a hypervisor steal burst (the per-stage MIN is the
@@ -74,6 +79,15 @@ def main() -> None:
         else os.environ.get("SPARK_GRAFT_ROUND", "")
     )
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    only = {
+        s
+        for s in (
+            sys.argv[4]
+            if len(sys.argv) > 4
+            else os.environ.get("SPARK_GRAFT_SMOKE_STAGES", "")
+        ).split(",")
+        if s
+    }
     from pyspark.sql import functions as F
 
     from odsc_agentic_ai_summit_2025_spark.session import get_spark
@@ -99,6 +113,8 @@ def main() -> None:
     def stage(name, fn):
         import statistics
 
+        if only and name not in only:
+            return
         secs, out = [], None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -165,6 +181,19 @@ def main() -> None:
         return n_admit
 
     stage("token_budget_sample", budget_stage)
+
+    def dsir_stage():
+        # DSIR importance toward the "0" source slice (q98's operator):
+        # gram fan-out ~39 bigrams/doc → ~11.7M (gram, doc) rows through
+        # one persisted agg, one gram-keyed count agg, one score join
+        from odsc_agentic_ai_summit_2025_spark.cache import release
+
+        out = cu.dsir_scores(docs, "text", "doc_id", "source", "0", n=2)
+        got = out.agg(F.sum("importance_e4").alias("s")).collect()[0]["s"]
+        release(out)
+        return got
+
+    stage("dsir_importance", dsir_stage)
     stage(
         "train_split",
         lambda: tx.train_split(docs, "doc_id")
