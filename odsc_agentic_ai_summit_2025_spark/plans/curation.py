@@ -269,9 +269,108 @@ FROM documents d0 LEFT JOIN s USING (doc_id)
 """
 
 
+def q100_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation sequence (pipeline.build_curation_pipeline)
+    as one hash-verified query: ingest gate (benchmark 3-gram
+    decontamination + 2-gram repetition) → exact content dedup →
+    MinHash-LSH near-dup clusters keep/drop → C4-style quality filter
+    → deterministic train/val/test split. Every stage is an operator
+    with its own oracled query (q71/q72, q34, q36, q66, q70, q69);
+    this entry proves the COMPOSITION end-to-end — the oracle chains
+    the same CTEs, including the recursive-CTE components over the
+    minhash pair graph (hence the doc_id<200 gate bound, same as
+    q66/q99; scale behavior of each stage is the smoke's job).
+    Output: the surviving corpus with its split assignment."""
+    from ..cache import own
+    from ..pipeline import build_curation_pipeline
+
+    allb = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bench = allb.filter(F.col("doc_id") % 97 == 0)
+    corpus = allb.filter(F.col("doc_id") % 97 != 0)
+    pipe = build_curation_pipeline(corpus, bench)
+    return own(
+        pipe.final.select("doc_id", "split"), *pipe.cache_sources
+    )
+
+
+def _q100_sql() -> str:
+    from ..functions.text import char_poly_hash_sql
+    from ..operators import textops as tx
+    from .dedup import minhash_pairs_ctes
+
+    head3, parts3 = _grams_sql(3)
+    head2, parts2 = _grams_sql(2)
+    split_hash = char_poly_hash_sql("CAST(doc_id AS VARCHAR) || ':split'")
+    return f"""
+WITH RECURSIVE allb AS (SELECT * FROM documents WHERE doc_id < 200),
+bench AS (SELECT * FROM allb WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM allb WHERE doc_id % 97 <> 0),
+bt AS (SELECT doc_id AS id, {_TOKS} AS ts FROM bench),
+bg AS (SELECT DISTINCT {parts3} AS gram FROM ({head3} FROM bt)),
+ct AS (SELECT doc_id AS id, {_TOKS} AS ts FROM corpus),
+g3 AS (SELECT DISTINCT id, {parts3} AS gram FROM ({head3} FROM ct)),
+g2 AS (SELECT id, {parts2} AS gram FROM ({head2} FROM ct)),
+dup2 AS (SELECT id, COUNT(*) AS n2, COUNT(DISTINCT gram) AS n2d
+         FROM g2 GROUP BY 1),
+contam AS (SELECT DISTINCT g3.id FROM g3 JOIN bg USING (gram)),
+admitted AS (
+  SELECT c.* FROM corpus c
+  LEFT JOIN dup2 d ON d.id = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT id FROM contam)
+    AND COALESCE((d.n2 - d.n2d) * 10000 // GREATEST(d.n2, 1), 0) <= 2000
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM admitted GROUP BY sha256(text)),
+uniq AS (SELECT a.* FROM admitted a JOIN keepers USING (doc_id)),
+{minhash_pairs_ctes('uniq')},
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+  UNION SELECT b_id, a_id FROM mh_pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM uniq
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+nd_keep AS (SELECT MIN(id) AS doc_id FROM comp GROUP BY cluster_id),
+kept1 AS (SELECT u.* FROM uniq u JOIN nd_keep USING (doc_id)),
+qbase AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
+             (a, b) -> a + b) AS sum_len,
+         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT)
+             AS n_stop
+  FROM kept1
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         (n_stop * 10000) // n_tokens AS stop_ratio_e4,
+         (sum_len * 10000) // n_tokens AS avg_token_len_e4
+  FROM qbase
+),
+final AS (
+  SELECT doc_id FROM scored
+  WHERE n_tokens >= {tx.FILTER_MIN_TOKENS}
+    AND stop_ratio_e4 <= {tx.FILTER_MAX_STOP_RATIO_E4}
+    AND avg_token_len_e4 BETWEEN {tx.FILTER_MIN_AVG_LEN_E4}
+        AND {tx.FILTER_MAX_AVG_LEN_E4}
+)
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {split_hash} % 100 AS b FROM final)
+"""
+
+
 QUERIES = [
     Query("q71_decontamination", q71_decontamination, _q71_sql(),
           ("U2", "P4"), "benchmark n-gram decontamination (broadcast eval set)"),
+    Query("q100_curation_pipeline", q100_curation_pipeline, _q100_sql(),
+          ("U2", "A2", "F12", "P8"),
+          "end-to-end curation pipeline: gate→dedup→near-dup→quality→split"),
     Query("q98_dsir_importance", q98_dsir_importance, _q98_sql(),
           ("A5", "F12"), "DSIR importance weights toward a target source"),
     Query("q72_repetition_stats", q72_repetition_stats, Q72_SQL,

@@ -197,7 +197,12 @@ def q36_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def minhash_pairs_ctes(src: str) -> str:
+    """The MinHash-LSH candidate-pair machinery as a reusable CTE
+    chain over relation ``src`` (needs ``doc_id, text``), ending in
+    ``mh_pairs(a_id, b_id, n_shared_bands)``. Shared by the q36
+    oracle and the q100 end-to-end pipeline oracle — one restated
+    copy of the signature/banding constants would drift."""
     p = ops.MINHASH_P
     sig_exprs = ", ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
@@ -210,25 +215,33 @@ def _minhash_sql() -> str:
         for band in range(ops.N_BANDS)
     )
     band_ids = ", ".join(f"({b})" for b in range(ops.N_BANDS))
-    return f"""
-WITH toks AS (SELECT doc_id, {_HASHES} AS hs FROM documents
+    return f"""mh_toks AS (SELECT doc_id, {_HASHES} AS hs FROM {src}
               WHERE text IS NOT NULL),
-sigs AS (SELECT doc_id, [{sig_exprs}] AS sig FROM toks),
-bands AS (
+mh_sigs AS (SELECT doc_id, [{sig_exprs}] AS sig FROM mh_toks),
+mh_bands AS (
   SELECT doc_id, band_id,
          CASE band_id {band_cases} END AS bucket_key
-  FROM sigs, (VALUES {band_ids}) AS b(band_id)
+  FROM mh_sigs, (VALUES {band_ids}) AS b(band_id)
 ),
-small AS (
-  SELECT band_id, bucket_key FROM bands
+mh_small AS (
+  SELECT band_id, bucket_key FROM mh_bands
   GROUP BY 1, 2 HAVING COUNT(*) <= {ops.MAX_BUCKET}
 ),
-kept AS (SELECT bands.* FROM bands JOIN small USING (band_id, bucket_key))
-SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared_bands
-FROM kept a
-JOIN kept b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
-            AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+mh_kept AS (SELECT mh_bands.* FROM mh_bands
+            JOIN mh_small USING (band_id, bucket_key)),
+mh_pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared_bands
+  FROM mh_kept a
+  JOIN mh_kept b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+                AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {minhash_pairs_ctes('documents')}
+SELECT a_id, b_id, n_shared_bands FROM mh_pairs
 """
 
 

@@ -102,18 +102,20 @@ def all_queries() -> dict[str, Query]:
 # r5) and q80 (driver-red r4+r5; the oracle HUGEINT cast fix lands
 # this round) lead, followed by the 41 queries whose last driver row
 # is r4 — dedup q34-q37/q78/q38/q66/q63, retrieval q39-q43 cohort,
-# relational q01-q25 — plus the three queries new this round, which
+# relational q01-q25 — plus the four queries new this round, which
 # need their first driver rows: q97 (trained-BPE segmentation under
 # the frozen merge table), q98 (DSIR importance weights), q99
-# (quality-argmax dedup survivors). 46 head entries + 4 module-order
-# fillers (extended q44-q47, all r5-green) = the 50-slot window;
-# every registered query stays ≤1 round old.
+# (quality-argmax dedup survivors), q100 (end-to-end curation
+# pipeline). 47 head entries + 3 module-order fillers (extended
+# q44-q46, all r5-green) = the 50-slot window; every registered
+# query stays ≤1 round old.
 _GATE_HEAD = (
     "q96_epoch_shards",
     "q80_pack_sequences",
     "q97_bpe_segment",
     "q98_dsir_importance",
     "q99_quality_reps",
+    "q100_curation_pipeline",
     "q34_dedup_exact",
     "q35_jaccard_pairs",
     "q36_minhash_lsh",
