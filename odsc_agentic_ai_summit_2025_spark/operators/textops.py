@@ -340,6 +340,59 @@ def tfidf_top_terms(
     )
 
 
+def distinct_ngram_diversity(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    ns: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity per corpus slice (Li et al. 2016,
+    arXiv:1510.03055 "distinct-1/distinct-2"): for each group and
+    each n, the count of n-gram occurrences, the count of DISTINCT
+    n-grams, and their basis-point ratio — the standard
+    repetitiveness/diversity dashboard a curation pipeline watches
+    per source (a source whose distinct-2 collapses is template spam;
+    :func:`~..operators.dedup.ngram_novelty` is the cross-document
+    per-DOC complement).
+
+    Integer-exact (count, count-distinct, e4 integer div). One
+    explode + group agg per n; the distinct count shuffles
+    (group, gram) pairs — the same volume class as the gram dedup
+    tiers, partial-combined map-side.
+
+    Output: ``[<group_col>, n, n_grams, n_distinct, distinct_e4]``.
+    """
+    from .curation import _word_ngrams
+
+    toks = tokens(F.col(text_col))
+    parts = []
+    for n in ns:
+        parts.append(
+            df.select(
+                F.col(group_col),
+                F.explode(_word_ngrams(toks, n)).alias("gram"),
+            )
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.countDistinct("gram").alias("n_distinct"),
+            )
+            .select(
+                group_col,
+                F.lit(n).cast("int").alias("n"),
+                F.col("n_grams").cast("long").alias("n_grams"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.expr("n_distinct * 10000 div greatest(n_grams, 1)")
+                .cast("long")
+                .alias("distinct_e4"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Canonicalize text ahead of exact dedup (the standard trick that
     turns trivially-reformatted copies into exact duplicates):

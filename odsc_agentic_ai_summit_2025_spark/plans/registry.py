@@ -106,9 +106,9 @@ def all_queries() -> dict[str, Query]:
 # need their first driver rows: q97 (trained-BPE segmentation under
 # the frozen merge table), q98 (DSIR importance weights), q99
 # (quality-argmax dedup survivors), q100 (end-to-end curation
-# pipeline). 47 head entries + 3 module-order fillers (extended
-# q44-q46, all r5-green) = the 50-slot window; every registered
-# query stays ≤1 round old.
+# pipeline), q101 (distinct-n diversity). 48 head entries + 2
+# module-order fillers (extended q44-q45, both r5-green) = the
+# 50-slot window; every registered query stays ≤1 round old.
 _GATE_HEAD = (
     "q96_epoch_shards",
     "q80_pack_sequences",
@@ -116,6 +116,7 @@ _GATE_HEAD = (
     "q98_dsir_importance",
     "q99_quality_reps",
     "q100_curation_pipeline",
+    "q101_distinct_ngrams",
     "q34_dedup_exact",
     "q35_jaccard_pairs",
     "q36_minhash_lsh",

@@ -266,9 +266,35 @@ FROM p
 """
 
 
+def q101_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.distinct_ngram_diversity(
+        read_table(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+def _q101_sql(ns: tuple = (1, 2, 3)) -> str:
+    from .curation import _grams_sql
+
+    selects = []
+    for n in ns:
+        head, parts = _grams_sql(n)
+        selects.append(f"""
+SELECT id AS source, CAST({n} AS INT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST(COUNT(DISTINCT gram) * 10000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS distinct_e4
+FROM (SELECT id, {parts} AS gram
+      FROM ({head} FROM (SELECT source AS id, {_TOKS} AS ts FROM documents)))
+GROUP BY id""")
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES = [
     Query("q30_token_stats", q30_token_stats, Q30_SQL,
           ("A10", "F6"), "per-doc token counting"),
+    Query("q101_distinct_ngrams", q101_distinct_ngrams, _q101_sql(),
+          ("A4", "A10"), "distinct-n diversity per source slice"),
     Query("q97_bpe_segment", q97_bpe_segment, _q97_sql(),
           ("A10", "F6"), "trained-BPE segmentation counts, frozen merge table"),
     Query("q77_bpe_tokens", q77_bpe_tokens, _q77_sql(),
