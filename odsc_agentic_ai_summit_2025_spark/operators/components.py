@@ -363,12 +363,27 @@ def quality_representatives(
     reasons: the per-cluster stats table partial-combines map-side
     and stays one row per cluster.
 
-    Output: ``[id, cluster_id, <score_col>, keep, cluster_size]``.
+    The score table may be PARTIAL (scores joined LEFT): every
+    component member keeps its row — a missing score must not
+    silently drop a doc from the keep/drop table or deflate
+    ``cluster_size`` — unscored members just can't win (``max_by``
+    skips null orderings); a cluster with NO scored member falls
+    back to the ``dedup_decisions`` min-id survivor.
+
+    Output: ``[id, cluster_id, <score_col>, keep, cluster_size]``
+    (``score_col`` null for unscored members).
     """
-    labeled = components.join(scores, id_col)
+    labeled = components.join(scores, id_col, "left")
     stats = labeled.groupBy("cluster_id").agg(
-        F.max_by(
-            id_col, F.struct(F.col(score_col), (-F.col(id_col)).alias("_n"))
+        F.coalesce(
+            F.max_by(
+                id_col,
+                F.when(
+                    F.col(score_col).isNotNull(),
+                    F.struct(F.col(score_col), (-F.col(id_col)).alias("_n")),
+                ),
+            ),
+            F.min(id_col),
         ).alias("_rep"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
@@ -517,5 +532,12 @@ def pagerank_fixed(
             and step < iterations  # final frame stays a live plan
         ):
             pr = pr.localCheckpoint(eager=True)
+            if ckpts:
+                # the new checkpoint is fully materialized (eager), so
+                # the predecessor's blocks are unreachable — free them
+                # NOW instead of holding iterations/checkpoint_every
+                # vertex tables until release (the point of the knob
+                # is LARGE iteration counts)
+                release_frame(ckpts.pop())
             ckpts.append(pr)
     return own(pr, sym, verts, pairs, vertices, *ckpts)

@@ -355,42 +355,47 @@ def distinct_ngram_diversity(
     :func:`~..operators.dedup.ngram_novelty` is the cross-document
     per-DOC complement).
 
-    Integer-exact (count, count-distinct, e4 integer div). One
-    explode + group agg per n; the distinct count shuffles
-    (group, gram) pairs — the same volume class as the gram dedup
-    tiers, partial-combined map-side.
+    Integer-exact (count, count-distinct, e4 integer div). ONE corpus
+    scan: every n's grams are tagged ``struct(n, gram)`` in a single
+    projection, concatenated, and exploded once (a per-n union would
+    re-scan and re-tokenize the corpus per n); the (group, n)-keyed
+    distinct shuffles (group, n, gram) tuples — the same volume class
+    as the gram dedup tiers, partial-combined map-side.
 
     Output: ``[<group_col>, n, n_grams, n_distinct, distinct_e4]``.
     """
     from .curation import _word_ngrams
 
     toks = tokens(F.col(text_col))
-    parts = []
-    for n in ns:
-        parts.append(
-            df.select(
-                F.col(group_col),
-                F.explode(_word_ngrams(toks, n)).alias("gram"),
-            )
-            .groupBy(group_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_grams"),
-                F.countDistinct("gram").alias("n_distinct"),
-            )
-            .select(
-                group_col,
-                F.lit(n).cast("int").alias("n"),
-                F.col("n_grams").cast("long").alias("n_grams"),
-                F.col("n_distinct").cast("long").alias("n_distinct"),
-                F.expr("n_distinct * 10000 div greatest(n_grams, 1)")
-                .cast("long")
-                .alias("distinct_e4"),
-            )
+    def _tag(n: int):
+        # single-param lambda on purpose: pyspark reads a 2-param
+        # transform lambda as (element, index) — a `lambda g, n=n`
+        # closure trick would silently bind the array INDEX to n
+        nlit = F.lit(n).cast("int")
+        return F.transform(
+            _word_ngrams(toks, n),
+            lambda g: F.struct(nlit.alias("n"), g.alias("gram")),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    tagged = F.concat(*[_tag(n) for n in ns])
+    return (
+        df.select(F.col(group_col), F.explode(tagged).alias("_s"))
+        .select(group_col, F.col("_s.n").alias("n"), F.col("_s.gram").alias("gram"))
+        .groupBy(group_col, "n")
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.countDistinct("gram").alias("_nd"),
+        )
+        .select(
+            group_col,
+            "n",
+            F.col("_ng").cast("long").alias("n_grams"),
+            F.col("_nd").cast("long").alias("n_distinct"),
+            F.expr("_nd * 10000 div greatest(_ng, 1)")
+            .cast("long")
+            .alias("distinct_e4"),
+        )
+    )
 
 
 def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

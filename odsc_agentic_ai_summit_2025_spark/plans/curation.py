@@ -296,7 +296,8 @@ def q100_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q100_sql() -> str:
     from ..functions.text import char_poly_hash_sql
     from ..operators import textops as tx
-    from .dedup import minhash_pairs_ctes
+    from .dedup import components_ctes, minhash_pairs_ctes
+    from .textops import quality_ctes
 
     head3, parts3 = _grams_sql(3)
     head2, parts2 = _grams_sql(2)
@@ -322,36 +323,12 @@ admitted AS (
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM admitted GROUP BY sha256(text)),
 uniq AS (SELECT a.* FROM admitted a JOIN keepers USING (doc_id)),
 {minhash_pairs_ctes('uniq')},
-edges AS (
-  SELECT a_id AS src, b_id AS dst FROM mh_pairs
-  UNION SELECT b_id, a_id FROM mh_pairs
-),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM uniq
-  UNION
-  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-),
-comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+{components_ctes('uniq', 'mh_pairs')},
 nd_keep AS (SELECT MIN(id) AS doc_id FROM comp GROUP BY cluster_id),
 kept1 AS (SELECT u.* FROM uniq u JOIN nd_keep USING (doc_id)),
-qbase AS (
-  SELECT doc_id,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
-             (a, b) -> a + b) AS sum_len,
-         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT)
-             AS n_stop
-  FROM kept1
-),
-scored AS (
-  SELECT doc_id, n_tokens,
-         (n_stop * 10000) // n_tokens AS stop_ratio_e4,
-         (sum_len * 10000) // n_tokens AS avg_token_len_e4
-  FROM qbase
-),
+{quality_ctes('kept1')},
 final AS (
-  SELECT doc_id FROM scored
+  SELECT doc_id FROM quality
   WHERE n_tokens >= {tx.FILTER_MIN_TOKENS}
     AND stop_ratio_e4 <= {tx.FILTER_MAX_STOP_RATIO_E4}
     AND avg_token_len_e4 BETWEEN {tx.FILTER_MIN_AVG_LEN_E4}

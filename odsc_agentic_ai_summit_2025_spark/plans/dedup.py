@@ -55,6 +55,25 @@ WHERE (n_inter * 10000) // (sa.n + sb.n - n_inter) >= 8000
 """
 
 
+def components_ctes(vertices_src: str, pairs_cte: str = "pairs") -> str:
+    """The connected-components recursion as a reusable CTE chain —
+    ``edges``/``reach``/``comp(id, cluster_id)`` over an (a_id, b_id)
+    pair CTE and a vertex relation carrying ``doc_id``. Shared by the
+    q66/q99/q100 oracles (same rationale as ``minhash_pairs_ctes``:
+    one restated recursion would drift). The enclosing query must
+    open with ``WITH RECURSIVE``."""
+    return f"""edges AS (
+  SELECT a_id AS src, b_id AS dst FROM {pairs_cte}
+  UNION SELECT b_id, a_id FROM {pairs_cte}
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM {vertices_src}
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1)"""
+
+
 def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive dedup clusters + keep/drop
     decisions (connected components over the q35 pair graph; docs
@@ -75,8 +94,9 @@ def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q66_SQL = f"""
-WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < 200),
+# the q35 jaccard-pair CTEs over the bounded corpus, shared by the
+# q66/q99 oracles (ends in pairs(a_id, b_id))
+_JACCARD_PAIR_CTES = f"""docs AS (SELECT * FROM documents WHERE doc_id < 200),
 toks AS (SELECT doc_id, unnest({_UTOKS}) AS tok FROM docs),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
 inter AS (
@@ -90,17 +110,11 @@ pairs AS (
   JOIN sizes sa ON a_id = sa.doc_id
   JOIN sizes sb ON b_id = sb.doc_id
   WHERE (n_inter * 10000) // (sa.n + sb.n - n_inter) >= 8000
-),
-edges AS (
-  SELECT a_id AS src, b_id AS dst FROM pairs
-  UNION SELECT b_id, a_id FROM pairs
-),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM docs
-  UNION
-  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-),
-comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+)"""
+
+Q66_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIR_CTES},
+{components_ctes('docs')}
 SELECT id AS doc_id,
        cluster_id,
        id = MIN(id) OVER (PARTITION BY cluster_id) AS keep,
@@ -140,48 +154,13 @@ def q99_quality_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q99_SQL = f"""
-WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < 200),
-toks AS (SELECT doc_id, unnest({_UTOKS}) AS tok FROM docs),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT a_id, b_id
-  FROM inter
-  JOIN sizes sa ON a_id = sa.doc_id
-  JOIN sizes sb ON b_id = sb.doc_id
-  WHERE (n_inter * 10000) // (sa.n + sb.n - n_inter) >= 8000
-),
-edges AS (
-  SELECT a_id AS src, b_id AS dst FROM pairs
-  UNION SELECT b_id, a_id FROM pairs
-),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM docs
-  UNION
-  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-),
-comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
-qbase AS (
-  SELECT doc_id,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
-             (a, b) -> a + b) AS sum_len,
-         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT)
-             AS n_stop
-  FROM docs
-),
-quality AS (
-  SELECT doc_id,
-         ((n_tokens - n_stop) * LEAST(sum_len, n_tokens * 10) * 10000)
-             // (n_tokens * n_tokens * 10) AS quality_e4
-  FROM qbase
-)
+def _q99_sql() -> str:
+    from .textops import quality_ctes
+
+    return f"""
+WITH RECURSIVE {_JACCARD_PAIR_CTES},
+{components_ctes('docs')},
+{quality_ctes('docs')}
 SELECT c.id AS doc_id, c.cluster_id, q.quality_e4,
        c.id = FIRST_VALUE(c.id) OVER (
            PARTITION BY c.cluster_id ORDER BY q.quality_e4 DESC, c.id ASC
@@ -420,7 +399,7 @@ QUERIES = [
           ("V2", "O2"), "embedding cosine near-dup pairs"),
     Query("q66_dedup_clusters", q66_dedup_clusters, Q66_SQL,
           ("U2", "A2"), "connected-component dedup clusters + keep/drop"),
-    Query("q99_quality_reps", q99_quality_reps, Q99_SQL,
+    Query("q99_quality_reps", q99_quality_reps, _q99_sql(),
           ("U2", "A7"), "quality-argmax survivor selection per dedup cluster"),
     Query("q63_neardup_lsh", q63_neardup_lsh, _q63_sql(),
           ("V2", "V1"), "banded-LSH near-dup with exact verification"),

@@ -102,7 +102,7 @@ def all_queries() -> dict[str, Query]:
 # r5) and q80 (driver-red r4+r5; the oracle HUGEINT cast fix lands
 # this round) lead, followed by the 41 queries whose last driver row
 # is r4 — dedup q34-q37/q78/q38/q66/q63, retrieval q39-q43 cohort,
-# relational q01-q25 — plus the four queries new this round, which
+# relational q01-q25 — plus the FIVE queries new this round, which
 # need their first driver rows: q97 (trained-BPE segmentation under
 # the frozen merge table), q98 (DSIR importance weights), q99
 # (quality-argmax dedup survivors), q100 (end-to-end curation

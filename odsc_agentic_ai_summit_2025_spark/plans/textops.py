@@ -30,22 +30,37 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.quality_score(read_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-Q31_SQL = f"""
-WITH t AS (
+def quality_ctes(src: str) -> str:
+    """The q31 quality arithmetic as a reusable CTE chain over a
+    relation with ``doc_id, text`` — ends in ``quality(doc_id,
+    n_tokens, stop_ratio_e4, avg_token_len_e4, quality_e4)``. Shared
+    by the q31/q70/q99/q100 oracles so the fixed-point formula exists
+    in exactly one SQL rendering (the ``minhash_pairs_ctes``
+    anti-drift rationale)."""
+    return f"""qbase AS (
   SELECT doc_id,
          CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
              list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
              (a, b) -> a + b) AS sum_len,
-         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
-  FROM documents
-)
-SELECT doc_id, n_tokens,
-       (n_stop * 10000) // n_tokens AS stop_ratio_e4,
-       (sum_len * 10000) // n_tokens AS avg_token_len_e4,
-       ((n_tokens - n_stop) * LEAST(sum_len, n_tokens * 10) * 10000)
-           // (n_tokens * n_tokens * 10) AS quality_e4
-FROM t
+         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT)
+             AS n_stop
+  FROM {src}
+),
+quality AS (
+  SELECT doc_id, n_tokens,
+         (n_stop * 10000) // n_tokens AS stop_ratio_e4,
+         (sum_len * 10000) // n_tokens AS avg_token_len_e4,
+         ((n_tokens - n_stop) * LEAST(sum_len, n_tokens * 10) * 10000)
+             // (n_tokens * n_tokens * 10) AS quality_e4
+  FROM qbase
+)"""
+
+
+Q31_SQL = f"""
+WITH {quality_ctes('documents')}
+SELECT doc_id, n_tokens, stop_ratio_e4, avg_token_len_e4, quality_e4
+FROM quality
 """
 
 
@@ -93,23 +108,7 @@ def q70_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q70_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
-             (a, b) -> a + b) AS sum_len,
-         CAST(len(list_filter({_TOKS}, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
-  FROM documents
-),
-scored AS (
-  SELECT doc_id, n_tokens,
-         (n_stop * 10000) // n_tokens AS stop_ratio_e4,
-         (sum_len * 10000) // n_tokens AS avg_token_len_e4,
-         ((n_tokens - n_stop) * LEAST(sum_len, n_tokens * 10) * 10000)
-             // (n_tokens * n_tokens * 10) AS quality_e4
-  FROM t
-)
+WITH {quality_ctes('documents')}
 SELECT doc_id, n_tokens, stop_ratio_e4, avg_token_len_e4, quality_e4,
        n_tokens >= {ops.FILTER_MIN_TOKENS} AS len_ok,
        stop_ratio_e4 <= {ops.FILTER_MAX_STOP_RATIO_E4} AS stop_ok,
@@ -119,7 +118,7 @@ SELECT doc_id, n_tokens, stop_ratio_e4, avg_token_len_e4, quality_e4,
         AND stop_ratio_e4 <= {ops.FILTER_MAX_STOP_RATIO_E4}
         AND avg_token_len_e4 BETWEEN {ops.FILTER_MIN_AVG_LEN_E4}
             AND {ops.FILTER_MAX_AVG_LEN_E4}) AS kept
-FROM scored
+FROM quality
 """
 
 

@@ -110,9 +110,12 @@ def main() -> None:
     def sweep():
         sweep_blocks(spark, keep)
 
+    seen_stages: set[str] = set()
+
     def stage(name, fn):
         import statistics
 
+        seen_stages.add(name)
         if only and name not in only:
             return
         secs, out = [], None
@@ -258,6 +261,16 @@ def main() -> None:
 
     stage("pq_build_and_search", pq_stage)
 
+    # a typo'd stage filter must not masquerade as a completed
+    # re-measure: zero stages would run, the artifact would be
+    # rewritten from prior records only, and exit 0 would say "done"
+    unknown = only - seen_stages
+    if unknown:
+        sys.exit(
+            f"unknown stage name(s) {sorted(unknown)}; "
+            f"known: {sorted(seen_stages)}"
+        )
+
     if rnd:
         import glob
         import pathlib
@@ -273,11 +286,18 @@ def main() -> None:
             prior_doc = json.loads(artifact.read_text())
             # min-merge only across runs of the SAME corpus size —
             # stage times at different n are not comparable
-            old = (
-                prior_doc.get("stages", {})
-                if prior_doc.get("n_docs") == n_docs
-                else {}
-            )
+            same_n = prior_doc.get("n_docs") == n_docs
+            if only and not same_n:
+                # a FILTERED run at a different n would replace the
+                # full matrix with a partial one — refuse instead of
+                # destroying the round's baseline
+                sys.exit(
+                    f"stage-filtered run at n_docs={n_docs} would "
+                    f"clobber {artifact.name} (n_docs="
+                    f"{prior_doc.get('n_docs')}); rerun unfiltered "
+                    "or match the artifact's corpus size"
+                )
+            old = prior_doc.get("stages", {}) if same_n else {}
             for name, rec in old.items():
                 mine = matrix.get(name)
                 if mine is None:

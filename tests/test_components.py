@@ -272,6 +272,7 @@ def test_pagerank_checkpoint_every_bounds_plan_and_matches(spark):
     plain_depth = plain._jdf.queryExecution().analyzed().treeString().count("\n")
     release(plain)
 
+    baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
     ck = pagerank_fixed(pairs, verts, iterations=12, checkpoint_every=3)
     got = {r["id"]: r["pr_e9"] for r in ck.collect()}
     ck_depth = ck._jdf.queryExecution().analyzed().treeString().count("\n")
@@ -280,7 +281,11 @@ def test_pagerank_checkpoint_every_bounds_plan_and_matches(spark):
     # the checkpointed analysis plan must be a small fraction
     assert ck_depth < plain_depth / 3, (ck_depth, plain_depth)
 
+    # storage stays O(1) in iterations: intermediate checkpoints are
+    # freed as soon as their successor materializes, so only sym +
+    # verts + the LAST checkpoint hold blocks (not iterations/k frames)
     before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(before) <= baseline + 3, (baseline, len(before))
     release(ck)
     after = dict(spark.sparkContext._jsc.getPersistentRDDs())
     assert len(after) < len(before), "release freed nothing"

@@ -294,3 +294,19 @@ def test_quality_representatives_argmax_and_ties(spark):
         7: (True, 1),
         8: (True, 2), 9: (False, 2),  # tie at 40 -> min id 8
     }
+
+    # PARTIAL score table: unscored members keep their rows and the
+    # full cluster_size; a cluster with no scored member falls back
+    # to the min-id survivor (the dedup_decisions rule)
+    partial = spark.createDataFrame([(1, 50)], "id long, quality_e4 long")
+    out = quality_representatives(comp, partial)
+    got = {
+        r["id"]: (r["keep"], r["cluster_size"], r["quality_e4"])
+        for r in out.collect()
+    }
+    release(out)
+    assert got == {
+        1: (True, 3, 50), 2: (False, 3, None), 3: (False, 3, None),
+        7: (True, 1, None),            # all-unscored: min id keeps
+        8: (True, 2, None), 9: (False, 2, None),
+    }
