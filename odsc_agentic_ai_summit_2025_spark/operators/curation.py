@@ -202,6 +202,109 @@ def dsir_scores(
     )
 
 
+def dsir_model(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    target_source: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Fit the DSIR count model alone: ``[gram, _t, _r]`` — target /
+    background occurrence counts per word n-gram (the ``gram_counts``
+    table :func:`dsir_scores` builds internally, exposed for the
+    fit-once / score-many serving path and its streaming twin)."""
+    return (
+        ensure_min_partitions(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(source_col),
+                _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
+            )
+        )
+        .select(source_col, F.explode("_grams").alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.sum(
+                F.when(F.col(source_col) == target_source, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("_t"),
+            F.sum(
+                F.when(F.col(source_col) != target_source, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("_r"),
+        )
+    )
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 2,
+    cap_e4: int = 10**8,
+) -> DataFrame:
+    """Score documents against a PRE-FIT DSIR count model — the
+    serving half of :func:`dsir_scores` (which fits and scores the
+    same corpus in one pass). ``model`` is a ``[gram, _t, _r]`` count
+    table (the ``gram_counts`` shape dsir_scores builds); grams the
+    model has never seen contribute the NEUTRAL term
+    ``min((0+1)*10000 div (0+1), cap) = 10000`` (a 1:1 ratio — no
+    evidence either way), so scoring an out-of-corpus delivery is
+    well-defined. On the fitting corpus itself this equals
+    :func:`dsir_scores` row-for-row (every gram is in the model;
+    asserted in tests).
+
+    Stateless given the model — per delivery it is one gram fan-out,
+    one gram-keyed join against the (static) model, one doc-keyed
+    agg, which is why the streaming twin
+    (``streaming/pipeline.py:dsir_score_stream``) can run it
+    unchanged per micro-batch.
+
+    Output: ``[id, n_grams, importance_e4]`` for every input row.
+    """
+    per_doc = (
+        ensure_min_partitions(
+            docs.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col),
+                _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
+            )
+        )
+        .select(id_col, F.explode("_grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    scored = (
+        per_doc.join(model, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(
+                F.expr(
+                    "_c * least(((coalesce(_t, 0L) + 1) * 10000)"
+                    f" div (coalesce(_r, 0L) + 1), {cap_e4}L)"
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.expr(
+                "coalesce(_s, 0) div greatest(coalesce(n_grams, 0), 1)"
+            )
+            .cast("long")
+            .alias("importance_e4"),
+        )
+    )
+
+
 def benchmark_gram_set(
     benchmark: DataFrame, text_col: str, *, n: int = 3
 ) -> list[str]:

@@ -536,6 +536,54 @@ def pack_sequences_stream(
     )
 
 
+def dsir_score_stream(
+    spark: SparkSession,
+    docs_path: str,
+    model: DataFrame,
+    sink,
+    *,
+    n: int = 2,
+    cap_e4: int = 10**8,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming twin of DSIR importance scoring in its SERVING shape:
+    the count model is FIT once in batch (``curation.dsir_model`` —
+    the same pattern as the gate's benchmark gram set and the
+    resample twin's weight table) and each ingest micro-batch is
+    scored against it with ``curation.dsir_score_with_model``
+    unchanged — one gram fan-out, one stream-static gram-keyed join,
+    one doc-keyed agg per delivery; no state store (the only state is
+    the file-source progress log). Out-of-corpus grams score the
+    neutral 1:1 term by the operator's definition, so arbitrary
+    future deliveries are well-defined. Parity with the batch scorer
+    over the concatenated corpus is row-for-row by construction
+    (scoring is per-doc given a fixed model) and asserted in tests
+    shard-for-shard.
+
+    ``sink(scored_df, batch_id)`` must materialize what it is given.
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from ..operators.curation import dsir_score_with_model
+
+    stream = _docs_stream(
+        spark, docs_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            dsir_score_with_model(
+                batch_df, model, "text", "doc_id", n=n, cap_e4=cap_e4
+            ),
+            batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_score)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ngram_novelty_stream(
     spark: SparkSession,
     docs_path: str,

@@ -349,3 +349,74 @@ def test_ngram_novelty_stream_sketch_bounded(spark, sf_dir, tmp_path):
     # bitmap the classic (1-e^(-kn/m))^k is a few percent; observed
     # ~1.7% on this corpus (deterministic hash → stable run-to-run)
     assert tot_approx >= 0.95 * tot_exact and tot_approx > 0
+
+
+def test_dsir_model_and_score_match_one_pass(spark, sf_dir):
+    """dsir_score_with_model(df, dsir_model(df)) == dsir_scores(df)
+    on the fitting corpus (every gram is in the model), and an
+    out-of-corpus delivery scores the neutral 1:1 term per gram."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        dsir_model,
+        dsir_score_with_model,
+        dsir_scores,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    one_pass = dsir_scores(docs, "text", "doc_id", "source", "src1")
+    want = sorted(map(tuple, one_pass.collect()))
+    release(one_pass)
+
+    model = dsir_model(docs, "text", "source", "src1")
+    got = sorted(
+        map(tuple, dsir_score_with_model(docs, model, "text", "doc_id").collect())
+    )
+    assert got == want
+
+    # unseen grams: 3 bigrams never in the corpus -> each term
+    # (0+1)*10000 div (0+1) = 10000 -> importance exactly 10000
+    novel = spark.createDataFrame(
+        [(10_000_001, "zq zz qz yy")], "doc_id long, text string"
+    )
+    r = dsir_score_with_model(novel, model, "text", "doc_id").collect()[0]
+    assert (r["n_grams"], r["importance_e4"]) == (3, 10000)
+
+
+def test_dsir_score_stream_parity(spark, sf_dir, tmp_path):
+    """Each streamed shard's scores equal the batch scorer on that
+    shard under the SAME fixed model (fit once over the full corpus)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        dsir_model,
+        dsir_score_with_model,
+    )
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        dsir_score_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = dsir_model(docs, "text", "source", "src1").localCheckpoint(eager=True)
+    shards = [
+        docs.filter(F.col("doc_id") % 2 == i).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(2)
+    ]
+    d = tmp_path / "dsir_stream_in"
+    d.mkdir()
+    for i, s in enumerate(shards):
+        s.toPandas().to_parquet(d / f"shard-{i}.parquet", index=False)
+
+    got_batches = []
+
+    def sink(df, batch_id):
+        got_batches.append(sorted(map(tuple, df.collect())))
+
+    q = dsir_score_stream(spark, str(d), model, sink)
+    q.awaitTermination(120)
+    assert len(got_batches) == 2
+
+    want_batches = [
+        sorted(map(tuple, dsir_score_with_model(s, model, "text", "doc_id").collect()))
+        for s in shards
+    ]
+    assert sorted(got_batches) == sorted(want_batches)
