@@ -337,23 +337,32 @@ def ingest_gate(
     *,
     n: int = 3,
     keep_input: bool = False,
+    literal_max: int = 4096,
 ) -> DataFrame:
     """Stateless per-document ingest gate: benchmark-contamination
     flag plus in-row repetition signals, with an ``admit`` verdict.
 
     Columns out: ``{id_col}, n_tokens, dup2_frac_e4, contaminated,
-    admit``. Every expression is per-row (array ops against the
-    broadcast gram set; no join, no aggregation, no state), so the
-    exact same plan runs over ``readStream`` — see
+    admit``. Every expression is per-row (no join, no aggregation,
+    no state), so the exact same plan runs over ``readStream`` — see
     ``streaming/pipeline.py:ingest_gate_stream`` — and over batch,
     and the two are compared by a parity test. This is the shape a
     100 TB/day ingest pipeline needs: per-record decisions at full
     map parallelism, benchmark set shipped once per executor.
+
+    The contamination check picks its mechanism by gram-set size
+    (identical semantics, parity-tested): up to ``literal_max`` grams
+    it is a literal-array ``arrays_overlap`` (pure codegen, zero
+    Python); above that it is an Arrow-vectorized set-membership
+    kernel over a broadcast frozenset — ``arrays_overlap`` against a
+    large literal is a per-row NESTED LOOP, O(|doc grams| × |bench|):
+    a 128k-gram benchmark cost 108 s over 297k docs at the r6 smoke,
+    vs O(|doc grams|) hash probes for the kernel. Both are per-row
+    projections, so the streaming-twin property holds on either path.
     """
     toks = tokens(F.col(text_col))
     g = F.array_distinct(_word_ngrams(toks, n))
     g2 = _word_ngrams(toks, 2)
-    bench = F.lit(bench_grams).cast("array<string>")
     # exact integer `div` on pre-widened longs (the repo convention,
     # same as repetition_stats): size() is int32 — unwidened, the
     # ×10000 overflows under ANSI on a ~215k-dup-gram document; and
@@ -367,7 +376,27 @@ def ingest_gate(
     dup2 = F.expr(
         "CAST((_gn2 - _gn2d) * 10000 div greatest(_gn2, 1) AS BIGINT)"
     )
-    contaminated = F.arrays_overlap(g, bench)
+    if len(bench_grams) <= literal_max:
+        bench = F.lit(list(bench_grams)).cast("array<string>")
+        contaminated = F.arrays_overlap(g, bench)
+    else:
+        from pyspark.sql import types as T
+
+        bc = docs.sparkSession.sparkContext.broadcast(
+            frozenset(bench_grams)
+        )
+
+        def _hits(gram_arrays):
+            s = bc.value
+            # isdisjoint probes in one C loop (no per-gram Python
+            # frame) — same exact string-set membership
+            return gram_arrays.map(
+                lambda gs: None if gs is None else not s.isdisjoint(gs)
+            )
+
+        contaminated = F.pandas_udf(
+            _hits, T.BooleanType(), F.PandasUDFType.SCALAR
+        )(g)
     signals = [
         F.size(toks).alias("n_tokens"),
         dup2.alias("dup2_frac_e4"),

@@ -171,7 +171,18 @@ def build_curation_pipeline(
     keepers = exact_dedup_groups(admitted, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    exact_unique = admitted.join(keepers, id_col, "left_semi")
+    # persisted: exact_unique is the fan-in the whole tail shares —
+    # the minhash pair generation, the near-dup keep join, and the
+    # quality branch each re-evaluate it otherwise, and its OWN
+    # lineage evaluates `admitted` (the full ingest gate) twice
+    # (probe + keepers build). Unpersisted, one final.count() at the
+    # 300k-doc smoke re-ran the gate ~5x — 540 of the composition's
+    # 790 s (r6). Released via cache_sources with the rest
+    # (own(x, x): the frame is its own release handle).
+    from .cache import own
+
+    exact_unique = admitted.join(keepers, id_col, "left_semi").persist()
+    exact_unique = own(exact_unique, exact_unique)
 
     pairs = minhash_candidate_pairs(exact_unique, text_col, id_col)
     comp = connected_components(
@@ -199,7 +210,7 @@ def build_curation_pipeline(
         # cache handles live on the DataFrames the OPERATORS returned
         # (.filter/.select wrappers shed them), so capture at the
         # operator boundary
-        cache_sources=(pairs, decisions),
+        cache_sources=(pairs, decisions, exact_unique),
     )
 
 

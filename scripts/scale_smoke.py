@@ -203,6 +203,25 @@ def main() -> None:
         .groupBy("split").count().count(),
     )
 
+    def pipeline_stage():
+        # the COMPOSED q100 sequence at smoke scale: gate -> exact
+        # dedup -> minhash near-dup clusters -> quality -> split as
+        # one lazy program (its per-stage shapes are the stages
+        # above; this measures the composition's end-to-end cost,
+        # dominated by minhash banding + the components iterations)
+        from odsc_agentic_ai_summit_2025_spark.pipeline import (
+            build_curation_pipeline,
+        )
+
+        bench = docs.filter(F.pmod(F.col("doc_id"), 89) == 0)
+        corpus = docs.filter(F.pmod(F.col("doc_id"), 89) != 0)
+        pipe = build_curation_pipeline(corpus, bench)
+        n = pipe.final.count()
+        pipe.release()
+        return n
+
+    stage("curation_pipeline_e2e", pipeline_stage)
+
     # vector tier: synthetic unit-ish embeddings, planted exact dups
     # (every 61st vector equals its neighbor's → cosine 1 pairs)
     from odsc_agentic_ai_summit_2025_spark.operators import similarity as sim

@@ -420,3 +420,34 @@ def test_dsir_score_stream_parity(spark, sf_dir, tmp_path):
         for s in shards
     ]
     assert sorted(got_batches) == sorted(want_batches)
+
+
+def test_ingest_gate_kernel_path_matches_literal(spark, sf_dir):
+    """The large-gram-set Arrow kernel path and the literal
+    arrays_overlap path must agree row-for-row (same exact string-set
+    membership, different mechanism)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        benchmark_gram_set,
+        ingest_gate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    grams = benchmark_gram_set(bench, "text", n=3)
+    assert grams  # non-degenerate fixture
+
+    lit = sorted(
+        map(tuple, ingest_gate(corpus, grams, "text", "doc_id").collect())
+    )
+    # literal_max=0 forces the broadcast-frozenset kernel
+    kern = sorted(
+        map(
+            tuple,
+            ingest_gate(
+                corpus, grams, "text", "doc_id", literal_max=0
+            ).collect(),
+        )
+    )
+    assert kern == lit
+    assert any(r[3] for r in lit)  # some contaminated rows exercised
