@@ -2,12 +2,16 @@
 benchmark decontamination, repetition-based quality (Gopher-style
 rules), source-mix reweighting, and embedding outlier detection.
 
-Everything is a pure DataFrame program (no Python UDFs): tokenize /
+Everything is a pure DataFrame program with ONE carve-out: tokenize /
 n-gram / ratio math stays in whole-stage codegen, the benchmark side
-of decontamination is broadcast (eval sets are small by construction
-— that is the real-world shape at 100 TB too), and the per-label
-centroid aggregation ships only (label, dim) partial sums through the
-shuffle, never the vectors themselves.
+of decontamination is broadcast, and the per-label centroid
+aggregation ships only (label, dim) partial sums through the shuffle,
+never the vectors themselves. The carve-out (r6): ``ingest_gate``
+over a LARGE benchmark gram set (> ``literal_max``) runs its
+membership check as an Arrow-vectorized kernel against a broadcast
+frozenset — a literal-array ``arrays_overlap`` there is a per-row
+nested loop (see the function docstring); small sets keep the
+zero-Python literal path.
 
 Determinism: ratios are integer e4 fixed-point (``x*10000 // y``),
 centroids are exact DECIMAL sums divided once at the end, and
@@ -174,20 +178,45 @@ def dsir_scores(
             )
         ).alias("_r"),
     )
+    # score through the SAME tail the serving path uses (parity by
+    # shared construction, not by two hand-kept copies of the
+    # formula): every gram is in the counts here, so the tail's
+    # left-join coalesce reduces to the inner form
+    return own(
+        _dsir_score_tail(df, per_doc, gram_counts, id_col, cap_e4),
+        per_doc,
+    )
+
+
+def _dsir_score_tail(
+    docs: DataFrame,
+    per_doc: DataFrame,
+    counts: DataFrame,
+    id_col: str,
+    cap_e4: int,
+) -> DataFrame:
+    """The one rendering of the importance formula: per-doc gram
+    counts ⋈ (gram → _t, _r) counts, add-one-smoothed capped ratio,
+    weighted sum, per-doc normalize. Grams absent from ``counts``
+    take the NEUTRAL 1:1 term (coalesce to 0). Shared by
+    :func:`dsir_scores` (fit+score one pass) and
+    :func:`dsir_score_with_model` (serving / streaming twin)."""
     scored = (
-        per_doc.join(gram_counts, "gram")
+        per_doc.select(id_col, "gram", "_c")
+        .join(counts, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.sum("_c").alias("n_grams"),
             F.sum(
                 F.expr(
-                    f"_c * least(((_t + 1) * 10000) div (_r + 1), {cap_e4}L)"
+                    "_c * least(((coalesce(_t, 0L) + 1) * 10000)"
+                    f" div (coalesce(_r, 0L) + 1), {cap_e4}L)"
                 )
             ).alias("_s"),
         )
     )
-    return own(
-        df.select(id_col)
+    return (
+        docs.select(id_col)
         .join(scored, id_col, "left")
         .select(
             id_col,
@@ -197,8 +226,7 @@ def dsir_scores(
             )
             .cast("long")
             .alias("importance_e4"),
-        ),
-        per_doc,
+        )
     )
 
 
@@ -277,32 +305,7 @@ def dsir_score_with_model(
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    scored = (
-        per_doc.join(model, "gram", "left")
-        .groupBy(id_col)
-        .agg(
-            F.sum("_c").alias("n_grams"),
-            F.sum(
-                F.expr(
-                    "_c * least(((coalesce(_t, 0L) + 1) * 10000)"
-                    f" div (coalesce(_r, 0L) + 1), {cap_e4}L)"
-                )
-            ).alias("_s"),
-        )
-    )
-    return (
-        docs.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.expr(
-                "coalesce(_s, 0) div greatest(coalesce(n_grams, 0), 1)"
-            )
-            .cast("long")
-            .alias("importance_e4"),
-        )
-    )
+    return _dsir_score_tail(docs, per_doc, model, id_col, cap_e4)
 
 
 def benchmark_gram_set(
@@ -376,6 +379,7 @@ def ingest_gate(
     dup2 = F.expr(
         "CAST((_gn2 - _gn2d) * 10000 div greatest(_gn2, 1) AS BIGINT)"
     )
+    bc = None
     if len(bench_grams) <= literal_max:
         bench = F.lit(list(bench_grams)).cast("array<string>")
         contaminated = F.arrays_overlap(g, bench)
@@ -408,10 +412,20 @@ def ingest_gate(
         # (quality filter) consume the admitted TEXT without the
         # gate→docs join the batch pipeline uses — a join a stream
         # cannot express statelessly
-        return base.select(
-            *[c for c in docs.columns], *signals
-        )
-    return base.select(F.col(id_col), *signals)
+        out = base.select(*[c for c in docs.columns], *signals)
+    else:
+        out = base.select(F.col(id_col), *signals)
+    if bc is not None:
+        # the kernel's broadcast frozenset rides the result as a
+        # release handle: Broadcast.unpersist() duck-types through
+        # cache.release_frame, so cache.release(result) (and the
+        # pipeline's cache_sources) frees the executor-side copies —
+        # without this it is invisible to the repo's block hygiene
+        # (getPersistentRDDs census sees RDD/SQL blocks only)
+        from ..cache import own
+
+        out = own(out, bc)  # type: ignore[arg-type]
+    return out
 
 
 def curation_prefix(

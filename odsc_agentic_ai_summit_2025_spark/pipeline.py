@@ -210,7 +210,10 @@ def build_curation_pipeline(
         # cache handles live on the DataFrames the OPERATORS returned
         # (.filter/.select wrappers shed them), so capture at the
         # operator boundary
-        cache_sources=(pairs, decisions, exact_unique),
+        # gate included for its broadcast handle (the large-gram-set
+        # kernel's frozenset rides the gate frame; release() unpersists
+        # the executor copies)
+        cache_sources=(pairs, decisions, exact_unique, gate),
     )
 
 

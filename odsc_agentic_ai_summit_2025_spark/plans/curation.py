@@ -342,6 +342,56 @@ FROM (SELECT doc_id, {split_hash} % 100 AS b FROM final)
 """
 
 
+def q102_dsir_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR fit-once/score-many SERVING split: model fit on the
+    doc_id<250 slice, every document scored against it — so documents
+    outside the fit slice exercise the left-join NEUTRAL-term path
+    (grams the model never saw score 1:1), which the one-pass q98
+    can never reach. This is the batch form of the streaming twin
+    (streaming/pipeline.py:dsir_score_stream)."""
+    docs = read_table(spark, sf_dir, "documents")
+    model = ops.dsir_model(
+        docs.filter(F.col("doc_id") < 250), "text", "source", "src1", n=2
+    )
+    return ops.dsir_score_with_model(docs, model, "text", "doc_id", n=2)
+
+
+def _q102_sql(target: str = "src1", cap_e4: int = 10**8) -> str:
+    head, parts = _grams_sql(2)
+    return f"""
+WITH f AS (SELECT doc_id AS id, source, {_TOKS} AS ts
+           FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+fg AS (SELECT id, source, {parts} AS gram FROM ({head}, source FROM f)),
+mc AS (SELECT gram,
+              SUM(CASE WHEN source = '{target}' THEN 1 ELSE 0 END) AS t,
+              SUM(CASE WHEN source <> '{target}' THEN 1 ELSE 0 END) AS r
+       FROM fg GROUP BY 1),
+d AS (SELECT doc_id AS id, {_TOKS} AS ts
+      FROM documents WHERE text IS NOT NULL),
+pd AS (SELECT id AS doc_id, {parts} AS gram, COUNT(*) AS c
+       FROM ({head} FROM d) GROUP BY 1, 2),
+s AS (SELECT doc_id, SUM(c) AS n_grams,
+             SUM(c * least(((COALESCE(t, 0) + 1) * 10000)
+                 // (COALESCE(r, 0) + 1), {cap_e4})) AS sc
+      FROM pd LEFT JOIN mc USING (gram) GROUP BY 1)
+SELECT d0.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(sc, 0) // GREATEST(COALESCE(n_grams, 0), 1) AS BIGINT)
+           AS importance_e4
+FROM documents d0 LEFT JOIN s USING (doc_id)
+"""
+
+
+# late-round addition: sits OUTSIDE the 50-entry gate window (the r6
+# window is full; displacing a filler would be fine but the TAIL
+# convention keeps rotations explicit) — local-gate verified at both
+# SFs, rotates into the r7 window
+TAIL_QUERIES = [
+    Query("q102_dsir_serving", q102_dsir_serving, _q102_sql(),
+          ("A5", "F12"), "DSIR fit-once/score-many serving split"),
+]
+
+
 QUERIES = [
     Query("q71_decontamination", q71_decontamination, _q71_sql(),
           ("U2", "P4"), "benchmark n-gram decontamination (broadcast eval set)"),

@@ -560,11 +560,21 @@ def dsir_score_stream(
     (scoring is per-doc given a fixed model) and asserted in tests
     shard-for-shard.
 
+    The model frame is PERSISTED here (the first batch materializes
+    it once) — unpinned, every micro-batch's join would re-run the
+    model's whole fit lineage: the same lazy-composition re-execution
+    class the r6 pipeline fix closed. Long-lived sessions release it
+    after ``awaitTermination`` via
+    ``cache.release_frame(query.dsirModelHandle)`` (set on the
+    returned query; harmless if the caller manages its own
+    already-materialized frame).
+
     ``sink(scored_df, batch_id)`` must materialize what it is given.
     Returns the started StreamingQuery (availableNow trigger).
     """
     from ..operators.curation import dsir_score_with_model
 
+    model = model.persist()
     stream = _docs_stream(
         spark, docs_path, max_files_per_trigger=max_files_per_trigger
     )
@@ -577,11 +587,13 @@ def dsir_score_stream(
             batch_id,
         )
 
-    return (
+    query = (
         stream.writeStream.foreachBatch(_score)
         .trigger(availableNow=True)
         .start()
     )
+    query.dsirModelHandle = model
+    return query
 
 
 def ngram_novelty_stream(

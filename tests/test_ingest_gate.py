@@ -421,6 +421,13 @@ def test_dsir_score_stream_parity(spark, sf_dir, tmp_path):
     ]
     assert sorted(got_batches) == sorted(want_batches)
 
+    # hygiene: the checkpointed model must not outlive the test (the
+    # stream exposes its pinned handle for exactly this)
+    from odsc_agentic_ai_summit_2025_spark.cache import release_frame
+
+    release_frame(q.dsirModelHandle)
+    release_frame(model)
+
 
 def test_ingest_gate_kernel_path_matches_literal(spark, sf_dir):
     """The large-gram-set Arrow kernel path and the literal
