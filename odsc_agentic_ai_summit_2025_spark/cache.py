@@ -72,6 +72,14 @@ from pyspark.sql import DataFrame
 
 _ATTR = "_spark_graft_owned_caches"
 
+# Marker set on a NON-DataFrame handle (e.g. a Broadcast riding a
+# result as its release handle) once release_frame has unpersisted
+# it. Such handles expose no storage census API, so _is_live treats
+# them as live until this marker appears — without it, _prune would
+# drop the registry entry immediately and the wrapper-loss fallback
+# could never free the broadcast (r6 ADVICE, cache.py:194).
+_RELEASED_ATTR = "_spark_graft_handle_released"
+
 # (analyzed result plan, handles) for every own() call whose handles
 # may still hold storage — the wrapper-loss fallback's search space.
 # Bounded: _prune() drops entries with no live handle on every
@@ -122,6 +130,15 @@ def release_frame(cached: DataFrame) -> None:
         cached.unpersist()
     except Exception:  # already released / session gone
         pass
+    if not hasattr(cached, "_jdf"):
+        # duck-typed non-DataFrame handle (Broadcast): no storage
+        # census exists for it, so record the release explicitly —
+        # _is_live consults this marker
+        try:
+            setattr(cached, _RELEASED_ATTR, True)
+        except Exception:
+            pass
+        return
     try:
         jlp = cached._jdf.logicalPlan()
         if jlp.getClass().getSimpleName() == "LogicalRDD":
@@ -193,7 +210,15 @@ def _find_registered(df: DataFrame) -> list[DataFrame]:
 
 def _is_live(h: DataFrame) -> bool:
     """Does this handle still hold storage (CacheManager entry or a
-    persisted localCheckpoint RDD)?"""
+    persisted localCheckpoint RDD)? Non-DataFrame handles (a
+    Broadcast riding a result) expose no census API — they count as
+    live until release_frame stamps them released, so the registry
+    entry that would free them through the wrapper-loss fallback
+    survives pruning."""
+    if not hasattr(h, "_jdf"):
+        return hasattr(h, "unpersist") and not getattr(
+            h, _RELEASED_ATTR, False
+        )
     try:
         lvl = h.storageLevel
         if lvl.useMemory or lvl.useDisk:

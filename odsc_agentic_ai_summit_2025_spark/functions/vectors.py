@@ -35,11 +35,12 @@ def cosine_vectorized():
     float64 row-wise dot — 10-100× the interpreted fold. Use where
     only the resulting RANKING is emitted (GEMM summation order
     differs from the sequential fold in last-ulp ways)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def _cos(a, b):
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
-        import pandas as pd
 
         ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
         mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
@@ -47,4 +48,4 @@ def cosine_vectorized():
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(num / np.maximum(den, 1e-300))
 
-    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)
+    return _cos

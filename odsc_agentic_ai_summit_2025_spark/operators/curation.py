@@ -27,6 +27,7 @@ explicit and scalable, per the task's training-pipeline mandate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -357,7 +358,9 @@ def ingest_gate(
     (identical semantics, parity-tested): up to ``literal_max`` grams
     it is a literal-array ``arrays_overlap`` (pure codegen, zero
     Python); above that it is an Arrow-vectorized set-membership
-    kernel over a broadcast frozenset — ``arrays_overlap`` against a
+    kernel (flatten → one ``is_in`` hash-probe pass → segmented ANY
+    by prefix sums, zero per-row Python frames) over a broadcast
+    sorted gram tuple — ``arrays_overlap`` against a
     large literal is a per-row NESTED LOOP, O(|doc grams| × |bench|):
     a 128k-gram benchmark cost 108 s over 297k docs at the r6 smoke,
     vs O(|doc grams|) hash probes for the kernel. Both are per-row
@@ -384,23 +387,52 @@ def ingest_gate(
         bench = F.lit(list(bench_grams)).cast("array<string>")
         contaminated = F.arrays_overlap(g, bench)
     else:
-        from pyspark.sql import types as T
-
         bc = docs.sparkSession.sparkContext.broadcast(
-            frozenset(bench_grams)
+            tuple(sorted(set(bench_grams)))
         )
+        # per-task memo for the Arrow value-set (workers are
+        # single-use here — spark.python.worker.reuse=false — so this
+        # rebuilds once per task, not once per Arrow batch)
+        _state: dict = {}
 
-        def _hits(gram_arrays):
-            s = bc.value
-            # isdisjoint probes in one C loop (no per-gram Python
-            # frame) — same exact string-set membership
-            return gram_arrays.map(
-                lambda gs: None if gs is None else not s.isdisjoint(gs)
+        @F.pandas_udf("boolean")
+        def _hits(gram_arrays: pd.Series) -> pd.Series:
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            vs = _state.get("vs")
+            if vs is None:
+                vs = pa.array(bc.value, type=pa.string())
+                _state["vs"] = vs
+            # fully vectorized membership: flatten every row's gram
+            # list into one string column, one C-level hash-probe
+            # pass (is_in), then a segmented ANY via prefix sums —
+            # zero per-row Python frames (the r6 form paid a
+            # Series.map lambda per document)
+            arr = pa.array(gram_arrays, type=pa.list_(pa.string()))
+            nulls = arr.is_null().to_numpy(zero_copy_only=False)
+            lens = (
+                pc.fill_null(pc.list_value_length(arr), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
+            hits = (
+                pc.fill_null(
+                    pc.is_in(pc.list_flatten(arr), value_set=vs),
+                    False,
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            csum = np.concatenate(([0], np.cumsum(hits)))
+            ends = np.cumsum(lens)
+            any_hit = csum[ends] > csum[ends - lens]
+            # null gram array (null text) stays NULL, matching the
+            # literal path's arrays_overlap(NULL, bench) semantics
+            return pd.Series(pd.arrays.BooleanArray(any_hit, nulls))
 
-        contaminated = F.pandas_udf(
-            _hits, T.BooleanType(), F.PandasUDFType.SCALAR
-        )(g)
+        contaminated = _hits(g)
     signals = [
         F.size(toks).alias("n_tokens"),
         dup2.alias("dup2_frac_e4"),

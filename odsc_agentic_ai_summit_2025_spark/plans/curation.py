@@ -318,6 +318,7 @@ admitted AS (
   SELECT c.* FROM corpus c
   LEFT JOIN dup2 d ON d.id = c.doc_id
   WHERE c.doc_id NOT IN (SELECT id FROM contam)
+    AND c.text IS NOT NULL
     AND COALESCE((d.n2 - d.n2d) * 10000 // GREATEST(d.n2, 1), 0) <= 2000
 ),
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM admitted GROUP BY sha256(text)),

@@ -98,64 +98,64 @@ def all_queries() -> dict[str, Query]:
     return ordered
 
 
-# Round-6 gate window head: q96 (never driver-checked, TAIL slot from
-# r5) and q80 (driver-red r4+r5; the oracle HUGEINT cast fix lands
-# this round) lead, followed by the 41 queries whose last driver row
-# is r4 — dedup q34-q37/q78/q38/q66/q63, retrieval q39-q43 cohort,
-# relational q01-q25 — plus the FIVE queries new this round, which
-# need their first driver rows: q97 (trained-BPE segmentation under
-# the frozen merge table), q98 (DSIR importance weights), q99
-# (quality-argmax dedup survivors), q100 (end-to-end curation
-# pipeline), q101 (distinct-n diversity). 48 head entries + 2
-# module-order fillers (extended q44-q45, both r5-green) = the
-# 50-slot window; every registered query stays ≤1 round old.
+# Round-7 gate window head: q102 leads (the ONLY query never driver-
+# checked — r6 TAIL slot), q103 second (new this round: variable-
+# length trail paths, J3's second half, first driver row needed),
+# then the 47 queries whose last driver row is r5 — extended
+# q46-q54, extended2 q55-q62, observability q64-q68, curation
+# q71-q75, textops q30-q33/q69-q70/q77, corpus q83-q88/q92-q95,
+# dedup q82/q89-q91 — plus one r6-green filler (q100, the flagship
+# composed pipeline). 50 head entries; after this round every
+# registered query's last driver row is ≤1 round old.
 _GATE_HEAD = (
-    "q96_epoch_shards",
-    "q80_pack_sequences",
-    "q97_bpe_segment",
-    "q98_dsir_importance",
-    "q99_quality_reps",
+    "q102_dsir_serving",
+    "q103_variable_paths",
+    "q46_frame_sample",
+    "q47_ivf_knn",
+    "q48_sessionize",
+    "q49_guardrail_mask",
+    "q50_email_stats",
+    "q51_hash_embed_knn",
+    "q52_percentiles",
+    "q53_cube",
+    "q54_asof_join",
+    "q55_rolling_revenue",
+    "q56_decile_stats",
+    "q57_approx_distinct",
+    "q58_heavy_hitters",
+    "q59_salted_agg",
+    "q60_corr_moments",
+    "q61_chunk_docs",
+    "q62_window_join",
+    "q64_guardrail_trace",
+    "q65_judge_scores",
+    "q67_pii_trace",
+    "q68_extract_usage",
+    "q71_decontamination",
+    "q72_repetition_stats",
+    "q73_source_mix",
+    "q74_embedding_outliers",
+    "q75_bloom_decontam",
+    "q30_token_stats",
+    "q77_bpe_tokens",
+    "q31_quality_score",
+    "q32_lang_id",
+    "q33_fingerprint",
+    "q69_train_split",
+    "q70_quality_filter",
+    "q83_substring_dupes",
+    "q84_tfidf_top_terms",
+    "q85_weighted_resample",
+    "q86_dedup_admit",
+    "q87_stratified_sample",
+    "q88_normalize_text",
+    "q92_ngram_novelty",
+    "q93_curriculum_order",
+    "q94_vocab_coverage",
+    "q95_token_budget_sample",
+    "q82_semantic_dedup",
+    "q89_editdist_pairs",
+    "q90_triangle_counts",
+    "q91_pagerank",
     "q100_curation_pipeline",
-    "q101_distinct_ngrams",
-    "q34_dedup_exact",
-    "q35_jaccard_pairs",
-    "q36_minhash_lsh",
-    "q37_simhash",
-    "q78_simhash_pairs",
-    "q38_embedding_neardup",
-    "q66_dedup_clusters",
-    "q63_neardup_lsh",
-    "q39_knn_bruteforce",
-    "q81_knn_self_join",
-    "q76_pq_knn",
-    "q79_ivfpq_knn",
-    "q40_bm25_topk",
-    "q41_fts_postings",
-    "q42_lsh_buckets",
-    "q43_hybrid_rrf",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_row_number",
-    "q04_case_when",
-    "q05_coalesce",
-    "q06_string_ops",
-    "q07_date_parts",
-    "q08_join_agg",
-    "q09_multihop_revenue",
-    "q10_semijoin",
-    "q11_antijoin",
-    "q12_having",
-    "q13_count_distinct",
-    "q14_argmax",
-    "q15_distinct_enum",
-    "q16_range_count",
-    "q17_topk",
-    "q18_union",
-    "q19_window_running",
-    "q20_window_rank",
-    "q21_json_extract",
-    "q22_pivot",
-    "q23_rollup",
-    "q24_time_bucket",
-    "q25_above_avg",
 )

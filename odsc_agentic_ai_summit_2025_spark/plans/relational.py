@@ -650,6 +650,60 @@ WHERE o_totalprice > cust_avg
 """
 
 
+# ---------------------------------------------------------------------------
+# q103 — variable-length trail paths (J3 second half: the reference's
+# Cypher `-[r*1..4]-` bounded pattern, README.md:137)
+# ---------------------------------------------------------------------------
+
+def q103_variable_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ``*1..3`` variable-length pattern with TRAIL semantics
+    (no relationship reuse), over a deliberately cyclic directed
+    graph: intra-region nation adjacency — every pair of same-region
+    nations is a mutual edge, so edge-reuse pruning is genuinely
+    exercised (a→b→a at hops=2 is legal, two distinct directed
+    edges; a→b→a→b is not). Renders the reference's Kuzu
+    ``MATCH (a)-[r*1..4]-(b)`` capability (README.md:137) on the
+    testdata graph; the oracle is a DuckDB recursive CTE carrying
+    the visited-edge list — the same determinism discipline as
+    q66's components oracle."""
+    from ..operators.graph import variable_length_paths
+
+    nation = _t(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = a.join(
+        F.broadcast(b),
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+    )
+    return variable_length_paths(edges, "src", "dst", 1, 3)
+
+
+Q103_SQL = """
+WITH RECURSIVE e AS (
+  SELECT CAST(a.n_nationkey AS VARCHAR) AS src,
+         CAST(b.n_nationkey AS VARCHAR) AS dst,
+         CAST(a.n_nationkey AS VARCHAR) || '>' ||
+         CAST(b.n_nationkey AS VARCHAR) AS ek
+  FROM nation a
+  JOIN nation b
+    ON a.n_regionkey = b.n_regionkey
+   AND a.n_nationkey <> b.n_nationkey
+),
+walk(start, cur, hops, path) AS (
+  SELECT src, dst, 1, [ek] FROM e
+  UNION ALL
+  SELECT w.start, e.dst, w.hops + 1, list_append(w.path, e.ek)
+  FROM walk w
+  JOIN e ON w.cur = e.src
+  WHERE w.hops < 3 AND NOT list_contains(w.path, e.ek)
+)
+SELECT DISTINCT start, cur AS "end", hops FROM walk
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
           ("P1", "P13", "A3", "F12"), "TPC-H Q1-shape aggregate battery"),
@@ -701,4 +755,6 @@ QUERIES = [
           ("F10", "A3"), "hourly event buckets"),
     Query("q25_above_avg", q25_above_avg, Q25_SQL,
           ("A5", "J1", "F12"), "orders above customer average"),
+    Query("q103_variable_paths", q103_variable_paths, Q103_SQL,
+          ("J3",), "Cypher *1..3 trail paths (recursive-CTE oracle)"),
 ]

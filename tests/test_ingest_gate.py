@@ -444,17 +444,20 @@ def test_ingest_gate_kernel_path_matches_literal(spark, sf_dir):
     grams = benchmark_gram_set(bench, "text", n=3)
     assert grams  # non-degenerate fixture
 
+    from odsc_agentic_ai_summit_2025_spark import cache
+
     lit = sorted(
         map(tuple, ingest_gate(corpus, grams, "text", "doc_id").collect())
     )
-    # literal_max=0 forces the broadcast-frozenset kernel
-    kern = sorted(
-        map(
-            tuple,
-            ingest_gate(
-                corpus, grams, "text", "doc_id", literal_max=0
-            ).collect(),
-        )
-    )
+    # literal_max=0 forces the broadcast set-membership kernel; its
+    # broadcast rides the frame as a release handle, so release it
+    # like any pipeline caller would (the handle now counts as LIVE
+    # in the cache registry until released — r7 _is_live fix)
+    n_reg = len(cache._REGISTRY)
+    kern_df = ingest_gate(corpus, grams, "text", "doc_id", literal_max=0)
+    kern = sorted(map(tuple, kern_df.collect()))
+    assert len(cache._REGISTRY) == n_reg + 1  # broadcast handle is live
+    cache.release(kern_df)
+    assert len(cache._REGISTRY) == n_reg  # released + pruned
     assert kern == lit
     assert any(r[3] for r in lit)  # some contaminated rows exercised
