@@ -145,8 +145,10 @@ def dsir_scores(
     gram-keyed partial agg (both slices via conditional sums, no
     second pass); the score join is gram-keyed at deduped-gram volume
     (AQE handles hot-gram skew) and the final agg is doc-keyed. At
-    100 TB the count table can be replaced by the Count-Min sketch in
-    operators/sketches.py at the cost of one-sided overestimation.
+    100 TB swap the unbounded count table for the FIXED-SIZE paired
+    Count-Min model (:func:`dsir_model_cms` +
+    :func:`dsir_score_with_cms_model`, oracled as q104) at the cost
+    of one-sided count overestimation.
     """
     base = ensure_min_partitions(
         df.filter(F.col(text_col).isNotNull()).select(
@@ -307,6 +309,126 @@ def dsir_score_with_model(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     return _dsir_score_tail(docs, per_doc, model, id_col, cap_e4)
+
+
+def dsir_model_cms(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    target_source: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Count-Min twin of :func:`dsir_model` — the documented 100-TB
+    model swap (the exact ``[gram, _t, _r]`` table has unbounded key
+    cardinality; this is a FIXED-SIZE paired sketch). Output:
+    ``[row_idx, col_idx, _t, _r]``, ≤ 3·65536 rows regardless of
+    corpus size — broadcastable to every executor, mergeable across
+    corpus shards by element-wise sum (algebraic, like
+    ``sketches.cms_build``, whose md5 hash family it shares).
+
+    Each gram OCCURRENCE increments its D counters in the slice's
+    column (_t for the target source, _r for the rest) — one corpus
+    pass, one bounded groupBy. Estimates read back through
+    :func:`dsir_score_with_cms_model` are classic CMS one-sided:
+    ``est ≥ true`` per gram and slice, never under (bound asserted
+    in tests against the exact model)."""
+    from .sketches import _cms_pairs
+
+    grams = ensure_min_partitions(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(source_col),
+            _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
+        )
+    ).select(source_col, F.explode("_grams").alias("gram"))
+    is_t = (
+        F.when(F.col(source_col) == target_source, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        grams.select(
+            is_t.alias("_it"),
+            F.explode(_cms_pairs(F.col("gram"))).alias("_p"),
+        )
+        .select("_it", "_p.row_idx", "_p.col_idx")
+        .groupBy("row_idx", "col_idx")
+        .agg(
+            F.sum("_it").cast("long").alias("_t"),
+            F.sum(F.lit(1) - F.col("_it")).cast("long").alias("_r"),
+        )
+    )
+
+
+def _dsir_cms_counts(grams: DataFrame, cms: DataFrame) -> DataFrame:
+    """Point-query the paired DSIR sketch: per distinct ``gram``, the
+    column-wise minimum of its D counters — ``[gram, _t, _r]``, the
+    exact shape :func:`_dsir_score_tail` consumes. Cells the sketch
+    never touched coalesce to 0, so an out-of-corpus gram estimates
+    (0, 0) → the tail's neutral 1:1 term, same as the exact model."""
+    from .sketches import _cms_pairs
+
+    return (
+        grams.select("gram")
+        .distinct()
+        .select("gram", F.explode(_cms_pairs(F.col("gram"))).alias("_p"))
+        .select("gram", "_p.row_idx", "_p.col_idx")
+        .join(F.broadcast(cms), ["row_idx", "col_idx"], "left")
+        .groupBy("gram")
+        .agg(
+            F.min(F.coalesce("_t", F.lit(0))).alias("_t"),
+            F.min(F.coalesce("_r", F.lit(0))).alias("_r"),
+        )
+    )
+
+
+def dsir_score_with_cms_model(
+    docs: DataFrame,
+    cms: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 2,
+    cap_e4: int = 10**8,
+) -> DataFrame:
+    """Score documents against the FIXED-SIZE Count-Min DSIR model
+    (:func:`dsir_model_cms`) — the 100-TB serving tier: the model
+    broadcast is ≤ 3·65536 rows whatever the fitting corpus was, so
+    the score join never shuffles the model side and the delivery
+    side stays one gram fan-out + one doc-keyed agg, identical in
+    shape to :func:`dsir_score_with_model`.
+
+    The formula rendering is the SAME shared tail
+    (:func:`_dsir_score_tail`) — only the count source changes, from
+    the exact gram table to sketch point-queries. Per-gram counts are
+    one-sided overestimates (CMS guarantee); the importance ratio
+    itself is NOT one-sided (overestimating the background count
+    lowers a term), so the tests assert the count bound plus exact
+    agreement wherever the sketch is collision-free.
+
+    The per-doc gram frame is persisted (it feeds both the distinct-
+    gram sketch probe and the score join); it rides the result as a
+    release handle — ``cache.release(result)`` after materializing,
+    per the repo convention.
+    """
+    from ..cache import own
+
+    per_doc = (
+        ensure_min_partitions(
+            docs.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col),
+                _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
+            )
+        )
+        .select(id_col, F.explode("_grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    counts = _dsir_cms_counts(per_doc, cms)
+    return own(
+        _dsir_score_tail(docs, per_doc, counts, id_col, cap_e4), per_doc
+    )
 
 
 def benchmark_gram_set(

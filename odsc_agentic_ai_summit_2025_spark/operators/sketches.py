@@ -203,6 +203,23 @@ CMS_W = BLOOM_BITS  # 2^16 columns per row — reuses the hash digits
 CMS_D = BLOOM_K  # 3 rows
 
 
+def _cms_pairs(value):  # noqa: ANN001 — Column in, Column out
+    """The D Count-Min cells of a value as an array of
+    ``(row_idx, col_idx)`` structs — one md5-derived 60-bit hash whose
+    base-2^16 digits are the D row hashes (the same family Bloom and
+    HLL use). Shared by :func:`cms_build`, :func:`cms_estimate` and
+    the DSIR CMS model tier (operators/curation.py)."""
+    h = F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("row_idx"), d.alias("col_idx"))
+            for i, d in enumerate(_bloom_h(h))
+        ]
+    )
+
+
 def cms_build(items: DataFrame, value_col: str) -> DataFrame:
     """Count-Min sketch over ``value_col`` occurrences as a
     ``(row_idx, col_idx, cnt)`` table (≤ 3·65536 rows, fixed size).
@@ -216,15 +233,7 @@ def cms_build(items: DataFrame, value_col: str) -> DataFrame:
     frequency structure a 100 TB pass ships around instead of a
     token→count table with unbounded key cardinality.
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    pairs = F.array(
-        *[
-            F.struct(F.lit(i).alias("row_idx"), d.alias("col_idx"))
-            for i, d in enumerate(_bloom_h(h))
-        ]
-    )
+    pairs = _cms_pairs(F.col(value_col))
     return (
         items.select(F.explode(pairs).alias("_p"))
         .select("_p.row_idx", "_p.col_idx")
@@ -238,23 +247,10 @@ def cms_estimate(probes: DataFrame, cms: DataFrame, value_col: str) -> DataFrame
     of its D counters — ``(value_col, est)``, never an underestimate
     (missing counters coalesce to 0). The ≤196k-row sketch broadcasts;
     probes expand to D rows and never shuffle wide."""
-    h = F.conv(
-        F.substring(F.md5(F.col("_v").cast("string")), 1, 15), 16, 10
-    ).cast("long")
     expanded = (
         probes.select(F.col(value_col).alias("_v"))
         .distinct()
-        .select(
-            "_v",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(i).alias("row_idx"), d.alias("col_idx"))
-                        for i, d in enumerate(_bloom_h(h))
-                    ]
-                )
-            ).alias("_p"),
-        )
+        .select("_v", F.explode(_cms_pairs(F.col("_v"))).alias("_p"))
         .select("_v", "_p.row_idx", "_p.col_idx")
     )
     return (

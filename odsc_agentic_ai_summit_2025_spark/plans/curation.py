@@ -20,6 +20,18 @@ from .registry import Query
 
 _TOKS = "string_split_regex(text, '\\s+')"
 
+# DuckDB twin of the md5-derived 60-bit sketch hash
+# (operators/sketches.py: conv(substring(md5(x), 1, 15), 16, 10) —
+# fold 15 hex digits into a BIGINT; parity proven by q75/q57).
+def _hexfold_sql(col: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({col}), 1, 15), ''), "
+        "c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48 "
+        "ELSE ascii(c) - 87 END AS BIGINT))), (a, b) -> a * 16 + b)"
+    )
+
+
 # DuckDB twin of operators.curation._word_ngrams (n is inlined).
 def _grams_sql(n: int) -> tuple[str, str]:
     parts = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
@@ -199,12 +211,7 @@ def _q75_sql() -> str:
     from ..operators.sketches import BLOOM_BITS, BLOOM_K
 
     head, parts = _grams_sql(3)
-    hexfold = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(substr(md5(gram), 1, 15), ''), "
-        "c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48 "
-        "ELSE ascii(c) - 87 END AS BIGINT))), (a, b) -> a * 16 + b)"
-    )
+    hexfold = _hexfold_sql("gram")
     slots = ", ".join(
         f"((h // {BLOOM_BITS**i}) % {BLOOM_BITS})" for i in range(BLOOM_K)
     )
@@ -383,13 +390,65 @@ FROM documents d0 LEFT JOIN s USING (doc_id)
 """
 
 
-# late-round addition: sits OUTSIDE the 50-entry gate window (the r6
-# window is full; displacing a filler would be fine but the TAIL
-# convention keeps rotations explicit) — local-gate verified at both
-# SFs, rotates into the r7 window
+def q104_dsir_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR serving against the FIXED-SIZE Count-Min model — the
+    documented 100-TB model swap (operators/curation.py:dsir_scores
+    'Scale shape'), made a first-class oracled query rather than a
+    rows-only decision: the sketch is deterministic md5 arithmetic,
+    so DuckDB renders the identical paired CMS (same hash family as
+    the driver-green q75 Bloom / q57 HLL oracles). Same serving
+    split as q102: fit on doc_id<250, score every document — grams
+    outside the fit slice estimate (0,0) → the neutral 1:1 term."""
+    docs = read_table(spark, sf_dir, "documents")
+    cms = ops.dsir_model_cms(
+        docs.filter(F.col("doc_id") < 250), "text", "source", "src1", n=2
+    )
+    return ops.dsir_score_with_cms_model(docs, cms, "text", "doc_id", n=2)
+
+
+def _q104_sql(target: str = "src1", cap_e4: int = 10**8) -> str:
+    head, parts = _grams_sql(2)
+    hexfold = _hexfold_sql("gram")
+    return f"""
+WITH f AS (SELECT doc_id AS id, source, {_TOKS} AS ts
+           FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+fg AS (SELECT id, source, {parts} AS gram FROM ({head}, source FROM f)),
+mc AS (SELECT gram,
+              SUM(CASE WHEN source = '{target}' THEN 1 ELSE 0 END) AS t,
+              SUM(CASE WHEN source <> '{target}' THEN 1 ELSE 0 END) AS r
+       FROM fg GROUP BY 1),
+mh AS (SELECT t, r, {hexfold} AS h FROM mc),
+cms AS (SELECT i, (h >> CAST(16 * i AS INT)) & 65535 AS col,
+               CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(r) AS BIGINT) AS sr
+        FROM mh, range(3) tt(i) GROUP BY 1, 2),
+d AS (SELECT doc_id AS id, {_TOKS} AS ts
+      FROM documents WHERE text IS NOT NULL),
+pd AS (SELECT id AS doc_id, {parts} AS gram, COUNT(*) AS c
+       FROM ({head} FROM d) GROUP BY 1, 2),
+dh AS (SELECT gram, {hexfold} AS h FROM (SELECT DISTINCT gram FROM pd)),
+probes AS (SELECT gram, i, (h >> CAST(16 * i AS INT)) & 65535 AS col
+           FROM dh, range(3) tt(i)),
+est AS (SELECT gram, MIN(COALESCE(st, 0)) AS t, MIN(COALESCE(sr, 0)) AS r
+        FROM probes LEFT JOIN cms USING (i, col) GROUP BY 1),
+s AS (SELECT doc_id, SUM(c) AS n_grams,
+             SUM(c * least(((t + 1) * 10000) // (r + 1), {cap_e4})) AS sc
+      FROM pd JOIN est USING (gram) GROUP BY 1)
+SELECT d0.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(sc, 0) // GREATEST(COALESCE(n_grams, 0), 1) AS BIGINT)
+           AS importance_e4
+FROM documents d0 LEFT JOIN s USING (doc_id)
+"""
+
+
+# q102 joined as an r6 TAIL addition (window was full); the r7
+# rotation pins it first in plans/registry._GATE_HEAD. q104 is new
+# in r7 and likewise pinned into the r7 window by name.
 TAIL_QUERIES = [
     Query("q102_dsir_serving", q102_dsir_serving, _q102_sql(),
           ("A5", "F12"), "DSIR fit-once/score-many serving split"),
+    Query("q104_dsir_cms", q104_dsir_cms, _q104_sql(),
+          ("A5", "F12"), "DSIR serving vs fixed-size Count-Min model"),
 ]
 
 

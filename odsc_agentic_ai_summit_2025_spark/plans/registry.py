@@ -104,9 +104,10 @@ def all_queries() -> dict[str, Query]:
 # then the 47 queries whose last driver row is r5 — extended
 # q46-q54, extended2 q55-q62, observability q64-q68, curation
 # q71-q75, textops q30-q33/q69-q70/q77, corpus q83-q88/q92-q95,
-# dedup q82/q89-q91 — plus one r6-green filler (q100, the flagship
-# composed pipeline). 50 head entries; after this round every
-# registered query's last driver row is ≤1 round old.
+# dedup q82/q89-q91 — plus q104 (new this round: DSIR serving
+# against the fixed-size Count-Min model, first driver row needed).
+# 50 head entries; after this round every registered query's last
+# driver row is ≤1 round old (the 49 tail queries are all r6-green).
 _GATE_HEAD = (
     "q102_dsir_serving",
     "q103_variable_paths",
@@ -157,5 +158,5 @@ _GATE_HEAD = (
     "q89_editdist_pairs",
     "q90_triangle_counts",
     "q91_pagerank",
-    "q100_curation_pipeline",
+    "q104_dsir_cms",
 )

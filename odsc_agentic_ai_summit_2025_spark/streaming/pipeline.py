@@ -596,6 +596,54 @@ def dsir_score_stream(
     return query
 
 
+def dsir_score_cms_stream(
+    spark: SparkSession,
+    docs_path: str,
+    cms: DataFrame,
+    sink,
+    *,
+    n: int = 2,
+    cap_e4: int = 10**8,
+    max_files_per_trigger: int = 1,
+):
+    """CMS twin of :func:`dsir_score_stream` — the 100-TB serving
+    shape: the model is the FIXED-SIZE paired Count-Min sketch
+    (``curation.dsir_model_cms``, ≤ 3·65536 rows however large the
+    fitting corpus), broadcast into every micro-batch's score join,
+    so model size no longer grows with fit-corpus gram cardinality.
+    Each batch is scored with ``curation.dsir_score_with_cms_model``
+    unchanged; that scorer persists its per-batch gram frame (it
+    feeds both the sketch probe and the score join), so the batch
+    closure RELEASES the scored frame after the sink materializes it
+    — without that every micro-batch would leak one persisted frame.
+
+    Returns the started StreamingQuery (availableNow trigger); the
+    pinned sketch handle is exposed as ``query.dsirModelHandle`` for
+    the caller to release after ``awaitTermination``."""
+    from ..cache import release
+    from ..operators.curation import dsir_score_with_cms_model
+
+    cms = cms.persist()
+    stream = _docs_stream(
+        spark, docs_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        scored = dsir_score_with_cms_model(
+            batch_df, cms, "text", "doc_id", n=n, cap_e4=cap_e4
+        )
+        sink(scored, batch_id)
+        release(scored)
+
+    query = (
+        stream.writeStream.foreachBatch(_score)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.dsirModelHandle = cms
+    return query
+
+
 def ngram_novelty_stream(
     spark: SparkSession,
     docs_path: str,
