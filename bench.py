@@ -80,8 +80,16 @@ def main() -> None:
     # the systematic downward bias of min-of-N that round-3 used;
     # the min and the raw per-pass list live in BENCH_LOCAL.json.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # per-(query, pass) host-load evidence (r6 verdict #8): loadavg
+    # at query start + steal/total jiffy deltas across the query, so
+    # a noise adjudication cites the recorded window instead of
+    # reconstructing it from spreads after the fact
+    from odsc_agentic_ai_summit_2025_spark import hostload
+
+    loads: dict[str, list[dict]] = {}
     for _ in range(n_runs):
         for name, q in sorted(queries.items()):
+            ls0 = hostload.sample()
             t0 = time.perf_counter()
             try:
                 df = q.spark(spark, sf_dir)
@@ -92,6 +100,9 @@ def main() -> None:
                 dt = float("nan")
             if dt == dt:
                 passes.setdefault(name, []).append(round(dt, 4))
+                loads.setdefault(name, []).append(
+                    hostload.delta(ls0, hostload.sample())
+                )
             # release intermediates an operator persisted for its own
             # multi-consumer plan (FTS/IVF indexes, LSH inputs):
             # without this, 60 queries of leftovers accumulate in
@@ -147,6 +158,7 @@ def main() -> None:
             k: (min(v) if v else None) for k, v in sorted(passes.items())
         },
         "queries_passes": {k: v for k, v in sorted(passes.items())},
+        "queries_load": {k: v for k, v in sorted(loads.items())},
         "sf": sf_val,
     }
     try:

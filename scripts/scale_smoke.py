@@ -112,24 +112,32 @@ def main() -> None:
 
     seen_stages: set[str] = set()
 
+    from odsc_agentic_ai_summit_2025_spark import hostload
+
     def stage(name, fn):
         import statistics
 
         seen_stages.add(name)
         if only and name not in only:
             return
-        secs, out = [], None
+        secs, out, loads = [], None, []
         for _ in range(runs):
+            ls0 = hostload.sample()
             t0 = time.perf_counter()
             out = fn()
             secs.append(round(time.perf_counter() - t0, 2))
+            # per-pass host-load evidence (r6 verdict #8): an exit-3
+            # flag raised during a double-digit steal_pct pass is a
+            # noisy-window artifact by the recorded numbers
+            loads.append(hostload.delta(ls0, hostload.sample()))
             sweep()
         rec = {"stage": name, "n_docs": n_docs, "result": out,
                "sec": min(secs),
                "sec_median": round(statistics.median(secs), 2),
-               "passes": secs}
+               "passes": secs, "load": loads}
         matrix[name] = {"result": out, "sec": rec["sec"],
-                        "sec_median": rec["sec_median"], "passes": secs}
+                        "sec_median": rec["sec_median"], "passes": secs,
+                        "load": loads}
         print(json.dumps(rec), flush=True)
 
     stage(
@@ -329,6 +337,9 @@ def main() -> None:
                 merged["passes"] = sorted(
                     rec.get("passes", []) + mine.get("passes", [])
                 )
+                # load records from both runs too (unsorted — each
+                # entry belongs to its run, not to a ranked pass)
+                merged["load"] = rec.get("load", []) + mine.get("load", [])
                 matrix[name] = merged
         artifact.write_text(
             json.dumps({"n_docs": n_docs, "stages": matrix}, indent=1)
