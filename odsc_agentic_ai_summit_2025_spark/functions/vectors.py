@@ -9,6 +9,10 @@ accumulation semantics). No Python UDFs in the hot path.
 
 from __future__ import annotations
 
+# module-level (not function-local) on purpose: the type-hint pandas
+# UDF form resolves the stringified `pd.Series` annotations (PEP 563,
+# active via the __future__ import) against MODULE globals
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,7 +39,6 @@ def cosine_vectorized():
     float64 row-wise dot — 10-100× the interpreted fold. Use where
     only the resulting RANKING is emitted (GEMM summation order
     differs from the sequential fold in last-ulp ways)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
