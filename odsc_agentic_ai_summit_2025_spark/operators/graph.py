@@ -216,10 +216,22 @@ def read_graph(
 
 
 def variable_length_paths(
-    edges: DataFrame, src: str, dst: str, min_hops: int, max_hops: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    min_hops: int,
+    max_hops: int,
+    *,
+    undirected: bool = False,
 ) -> DataFrame:
     """Iterative self-join for Cypher ``-[r*min..max]-`` patterns
-    (README.md:137). Returns (start, end, hops) over directed edges.
+    (README.md:137). Returns (start, end, hops) over directed edges;
+    ``undirected=True`` renders Cypher's actual UNDIRECTED semantics:
+    the edge list is symmetrized and the trail key is the UNORDERED
+    endpoint pair, so traversing a—b and then b—a reuses the same
+    relationship and is pruned (directed mode treats a→b and b→a as
+    two distinct relationships and allows the 2-hop round trip —
+    both behaviors are tested against each other).
 
     TRAIL semantics, matching Cypher/Kuzu: a path may not reuse a
     relationship. Plain walk-reachability BFS would diverge on any
@@ -253,6 +265,15 @@ def variable_length_paths(
         F.col(src).cast("string").alias("start"),
         F.col(dst).cast("string").alias("end"),
     )
+    if undirected:
+        # symmetrize: an undirected relationship is traversable both
+        # ways; the unordered edge key below makes the two directions
+        # ONE relationship for the trail constraint
+        e = e.unionByName(
+            e.select(
+                F.col("end").alias("start"), F.col("start").alias("end")
+            )
+        )
     out = None
     if min_hops == 0:
         verts = (
@@ -270,12 +291,20 @@ def variable_length_paths(
     # arbitrary string slugs) — ('a->b', 'c') and ('a', 'b->c') must
     # not suppress each other's trails. Length prefixes make the
     # encoding injective for any id content.
+    if undirected:
+        # unordered endpoint pair: a—b and b—a share one key, so the
+        # trail constraint forbids reusing the relationship in either
+        # direction (least/greatest is binary-lexicographic in both
+        # Spark and DuckDB, so the oracle prunes identically)
+        _lo, _hi = F.least("start", "end"), F.greatest("start", "end")
+    else:
+        _lo, _hi = F.col("start"), F.col("end")
     e1 = e.distinct().withColumn(
         "_ek",
         F.concat(
-            F.length("start").cast("string"), F.lit(":"), F.col("start"),
-            F.lit(">"), F.length("end").cast("string"), F.lit(":"),
-            F.col("end"),
+            F.length(_lo).cast("string"), F.lit(":"), _lo,
+            F.lit(">"), F.length(_hi).cast("string"), F.lit(":"),
+            _hi,
         ),
     )
     frontier = e1.select("start", "end", F.array("_ek").alias("_path"))

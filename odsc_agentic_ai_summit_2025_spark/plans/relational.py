@@ -704,6 +704,63 @@ SELECT DISTINCT start, cur AS "end", hops FROM walk
 """
 
 
+def q105_undirected_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pattern's TRUE semantics: Cypher's ``-[r*1..3]-``
+    is UNDIRECTED — a trail may not reuse a relationship in either
+    direction, so the 2-hop round trip a—b—a that q103's directed
+    rendering legally emits (two distinct directed edges) is absent
+    here (one relationship, reused). Same nation adjacency graph;
+    the oracle symmetrizes with an unordered LEAST/GREATEST edge key."""
+    from ..operators.graph import variable_length_paths
+
+    nation = _t(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = a.join(
+        F.broadcast(b),
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"),
+        F.col("b.n_nationkey").alias("dst"),
+    )
+    return variable_length_paths(
+        edges, "src", "dst", 1, 3, undirected=True
+    )
+
+
+Q105_SQL = """
+WITH RECURSIVE e AS (
+  SELECT CAST(a.n_nationkey AS VARCHAR) AS src,
+         CAST(b.n_nationkey AS VARCHAR) AS dst,
+         LEAST(CAST(a.n_nationkey AS VARCHAR),
+               CAST(b.n_nationkey AS VARCHAR)) || '>' ||
+         GREATEST(CAST(a.n_nationkey AS VARCHAR),
+                  CAST(b.n_nationkey AS VARCHAR)) AS ek
+  FROM nation a
+  JOIN nation b
+    ON a.n_regionkey = b.n_regionkey
+   AND a.n_nationkey <> b.n_nationkey
+),
+walk(start, cur, hops, path) AS (
+  SELECT src, dst, 1, [ek] FROM e
+  UNION ALL
+  SELECT w.start, e.dst, w.hops + 1, list_append(w.path, e.ek)
+  FROM walk w
+  JOIN e ON w.cur = e.src
+  WHERE w.hops < 3 AND NOT list_contains(w.path, e.ek)
+)
+SELECT DISTINCT start, cur AS "end", hops FROM walk
+"""
+
+
+# q105 is a TAIL addition (the r7 window is full; the r8 rotation
+# pulls it forward) — local-gate verified at both SFs.
+TAIL_QUERIES = [
+    Query("q105_undirected_paths", q105_undirected_paths, Q105_SQL,
+          ("J3",), "Cypher undirected *1..3 trails (no edge reuse)"),
+]
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
           ("P1", "P13", "A3", "F12"), "TPC-H Q1-shape aggregate battery"),
