@@ -270,6 +270,38 @@ def main() -> None:
 
     stage("ingest_gate_kernel", gate_kernel_stage)
 
+    def trails_stage():
+        # variable-length trail expansion at graph scale (q103/q105's
+        # operator): bounded-degree synthetic digraph — n_docs nodes
+        # with 4 pseudo-random out-edges each (~1.2M edges), *1..3
+        # trails, full (start, end, hops) dedup. Frontier state is
+        # O(frontier · hops) edge keys; bounded degree d caps the
+        # hop-h frontier at n·d^h (~19M rows at h=3 here) — the shape
+        # Cypher's small-hop patterns assume. Hub-heavy graphs need
+        # the components/BFS tier instead (operator docstring).
+        from odsc_agentic_ai_summit_2025_spark.operators.graph import (
+            variable_length_paths,
+        )
+
+        nodes = docs.select(F.col("doc_id").alias("src"))
+        edges = nodes.select(
+            "src",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("src") * 7 + j),
+                            F.lit(n_docs),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        return variable_length_paths(edges, "src", "dst", 1, 3).count()
+
+    stage("variable_paths_3hop", trails_stage)
+
     # vector tier: synthetic unit-ish embeddings, planted exact dups
     # (every 61st vector equals its neighbor's → cosine 1 pairs)
     from odsc_agentic_ai_summit_2025_spark.operators import similarity as sim
