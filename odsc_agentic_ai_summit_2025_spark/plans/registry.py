@@ -98,6 +98,13 @@ def all_queries() -> dict[str, Query]:
     return ordered
 
 
+# Round-8 rotation plan: after r7 the tail is the 50 r6-green
+# queries (the whole r6 window: q96, q80, q97-q101, dedup/retrieval/
+# relational cohorts, q44-q45) plus q105 (TAIL, never driver-
+# checked). That is 51 candidates for 50 slots — lead with q105,
+# then the 50 r6-green minus ONE cheap always-green relational query
+# (q44 or q45; the displaced one ages to 2 rounds and leads r9).
+#
 # Round-7 gate window head: q102 leads (the ONLY query never driver-
 # checked — r6 TAIL slot), q103 second (new this round: variable-
 # length trail paths, J3's second half, first driver row needed),
