@@ -98,72 +98,73 @@ def all_queries() -> dict[str, Query]:
     return ordered
 
 
-# Round-8 rotation plan: after r7 the tail is the 50 r6-green
-# queries (the whole r6 window: q96, q80, q97-q101, dedup/retrieval/
-# relational cohorts, q44-q45) plus q105 (TAIL, never driver-
-# checked). That is 51 candidates for 50 slots — lead with q105,
-# then the 50 r6-green minus ONE cheap always-green relational query
-# (q44 or q45; the displaced one ages to 2 rounds and leads r9).
+# Round-9 rotation plan: after r8 the only 2-round-stale query is
+# q02_filter_project (bumped from the r8 window to make room for
+# q105 — 51 candidates, 50 slots). Lead r9 with q02, then the 50
+# r7-green queries (the whole r7 window above: q102-q104, q30-q33,
+# q46-q62, q64-q75, q77, q82-q95) — that is again 51 candidates for
+# 50 slots, so bump one trivially-derisked query (e.g. q52 or q53,
+# plain relational aggregates) and pin it first in the r10 note.
+# Steady-state invariant (COVERAGE.md): with 101 queries and a
+# 50-slot window, every query's last driver row is ≤2 rounds old.
 #
-# Round-7 gate window head: q102 leads (the ONLY query never driver-
-# checked — r6 TAIL slot), q103 second (new this round: variable-
-# length trail paths, J3's second half, first driver row needed),
-# then the 47 queries whose last driver row is r5 — extended
-# q46-q54, extended2 q55-q62, observability q64-q68, curation
-# q71-q75, textops q30-q33/q69-q70/q77, corpus q83-q88/q92-q95,
-# dedup q82/q89-q91 — plus q104 (new this round: DSIR serving
-# against the fixed-size Count-Min model, first driver row needed).
-# 50 head entries; after this round every registered query's last
-# driver row is ≤1 round old (the 49 tail queries are all r6-green).
+# Round-8 gate window head: q105 leads (the ONLY query never driver-
+# checked — r7 TAIL slot), then the 49 queries whose last driver row
+# is r6 — the full r6 window (q01-q25, q34-q45, q63, q66, q76,
+# q78-q81, q96-q101) minus q02_filter_project, the one bumped query
+# (cheap pure-relational filter+project whose operators every other
+# query exercises; it ages to 2 rounds and leads r9). 50 head
+# entries; after this round every query's last driver row is ≤2
+# rounds old and only q02 is at exactly 2.
 _GATE_HEAD = (
-    "q102_dsir_serving",
-    "q103_variable_paths",
-    "q46_frame_sample",
-    "q47_ivf_knn",
-    "q48_sessionize",
-    "q49_guardrail_mask",
-    "q50_email_stats",
-    "q51_hash_embed_knn",
-    "q52_percentiles",
-    "q53_cube",
-    "q54_asof_join",
-    "q55_rolling_revenue",
-    "q56_decile_stats",
-    "q57_approx_distinct",
-    "q58_heavy_hitters",
-    "q59_salted_agg",
-    "q60_corr_moments",
-    "q61_chunk_docs",
-    "q62_window_join",
-    "q64_guardrail_trace",
-    "q65_judge_scores",
-    "q67_pii_trace",
-    "q68_extract_usage",
-    "q71_decontamination",
-    "q72_repetition_stats",
-    "q73_source_mix",
-    "q74_embedding_outliers",
-    "q75_bloom_decontam",
-    "q30_token_stats",
-    "q77_bpe_tokens",
-    "q31_quality_score",
-    "q32_lang_id",
-    "q33_fingerprint",
-    "q69_train_split",
-    "q70_quality_filter",
-    "q83_substring_dupes",
-    "q84_tfidf_top_terms",
-    "q85_weighted_resample",
-    "q86_dedup_admit",
-    "q87_stratified_sample",
-    "q88_normalize_text",
-    "q92_ngram_novelty",
-    "q93_curriculum_order",
-    "q94_vocab_coverage",
-    "q95_token_budget_sample",
-    "q82_semantic_dedup",
-    "q89_editdist_pairs",
-    "q90_triangle_counts",
-    "q91_pagerank",
-    "q104_dsir_cms",
+    "q105_undirected_paths",
+    "q01_pricing_summary",
+    "q03_row_number",
+    "q04_case_when",
+    "q05_coalesce",
+    "q06_string_ops",
+    "q07_date_parts",
+    "q08_join_agg",
+    "q09_multihop_revenue",
+    "q10_semijoin",
+    "q11_antijoin",
+    "q12_having",
+    "q13_count_distinct",
+    "q14_argmax",
+    "q15_distinct_enum",
+    "q16_range_count",
+    "q17_topk",
+    "q18_union",
+    "q19_window_running",
+    "q20_window_rank",
+    "q21_json_extract",
+    "q22_pivot",
+    "q23_rollup",
+    "q24_time_bucket",
+    "q25_above_avg",
+    "q34_dedup_exact",
+    "q35_jaccard_pairs",
+    "q36_minhash_lsh",
+    "q37_simhash",
+    "q38_embedding_neardup",
+    "q39_knn_bruteforce",
+    "q40_bm25_topk",
+    "q41_fts_postings",
+    "q42_lsh_buckets",
+    "q43_hybrid_rrf",
+    "q44_blob_stats",
+    "q45_byte_histogram",
+    "q63_neardup_lsh",
+    "q66_dedup_clusters",
+    "q76_pq_knn",
+    "q78_simhash_pairs",
+    "q79_ivfpq_knn",
+    "q80_pack_sequences",
+    "q81_knn_self_join",
+    "q96_epoch_shards",
+    "q97_bpe_segment",
+    "q98_dsir_importance",
+    "q99_quality_reps",
+    "q100_curation_pipeline",
+    "q101_distinct_ngrams",
 )

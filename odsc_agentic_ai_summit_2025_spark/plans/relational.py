@@ -753,15 +753,12 @@ SELECT DISTINCT start, cur AS "end", hops FROM walk
 """
 
 
-# q105 is a TAIL addition (the r7 window is full; the r8 rotation
-# pulls it forward) — local-gate verified at both SFs.
-TAIL_QUERIES = [
+# q105 entered as an r7 TAIL addition (local-gate verified at both
+# SFs that round); the r8 rotation pulled it into the gate window
+# head, so it now lives in the regular QUERIES list.
+QUERIES = [
     Query("q105_undirected_paths", q105_undirected_paths, Q105_SQL,
           ("J3",), "Cypher undirected *1..3 trails (no edge reuse)"),
-]
-
-
-QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, Q01_SQL,
           ("P1", "P13", "A3", "F12"), "TPC-H Q1-shape aggregate battery"),
     Query("q02_filter_project", q02_filter_project, Q02_SQL,
