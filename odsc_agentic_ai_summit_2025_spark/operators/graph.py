@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 from . import normalize
 
 
+class FrontierExplosionError(RuntimeError):
+    """Raised by :func:`variable_length_paths` when the next hop's
+    trail frontier would exceed ``max_frontier_rows``.
+
+    Variable-length trail expansion grows as n·d^h; on a power-law
+    (hub-heavy) degree distribution that is combinatorial at h≥3 in
+    ANY engine — Cypher's ``*1..4`` patterns assume bounded degree.
+    The guard computes the exact row count of the NEXT expansion join
+    from the current frontier and the out-degree table (a cheap
+    aggregate, orders of magnitude cheaper than the expansion itself)
+    and fails fast instead of launching an effectively unbounded job.
+    """
+
+
 def _merge_nodes(df: DataFrame, key: str, order: list[str]) -> DataFrame:
     """MERGE-equivalent: last-write-wins per key in ARRIVAL order.
 
@@ -223,6 +237,7 @@ def variable_length_paths(
     max_hops: int,
     *,
     undirected: bool = False,
+    max_frontier_rows: int | None = None,
 ) -> DataFrame:
     """Iterative self-join for Cypher ``-[r*min..max]-`` patterns
     (README.md:137). Returns (start, end, hops) over directed edges;
@@ -250,6 +265,20 @@ def variable_length_paths(
     small ``max_hops`` Cypher patterns use (the reference's graph
     queries bound at 2-3); unbounded-hop reachability wants the
     components/BFS tier instead, which needs no trail constraint.
+
+    ``max_frontier_rows`` is the hub-graph guard: when set, the
+    operator eagerly checks — BEFORE launching each expansion join —
+    the exact number of rows that join would produce (Σ over frontier
+    rows of out-degree(end), an upper bound on the surviving trails
+    and the exact cost of the join itself) and raises
+    :class:`FrontierExplosionError` if it exceeds the cap. The check
+    is one small aggregate per hop against a persisted frontier, so a
+    ``MATCH (a)-[r*1..4]-(b)`` aimed at a power-law graph fails in
+    seconds with a clear message instead of running an effectively
+    unbounded job. ``None`` (default) preserves the fully lazy plan.
+    Remedies when it trips: lower ``max_hops``, pre-filter hub
+    vertices (degree cap on the edge list), or — for reachability
+    rather than path enumeration — the components/BFS tier.
 
     ``min_hops=0`` yields the Cypher ``*0..`` zero-length paths — one
     (v, v, 0) row per endpoint vertex.
@@ -307,6 +336,25 @@ def variable_length_paths(
             _hi,
         ),
     )
+    guarded = max_frontier_rows is not None
+    handles: list[DataFrame] = []
+    deg = None
+    if guarded:
+        from .. import cache as _cache
+
+        e1 = e1.persist()
+        handles.append(e1)
+        n_edges = e1.count()  # hop-1 frontier = one trail per edge
+        if n_edges > max_frontier_rows:
+            _cache.release_frame(e1)
+            raise FrontierExplosionError(
+                f"hop-1 frontier is {n_edges} rows > max_frontier_rows="
+                f"{max_frontier_rows}: the edge list alone exceeds the "
+                f"cap. Raise the cap or pre-filter the edge list."
+            )
+        deg = e1.groupBy(F.col("start").alias("_v")).agg(
+            F.count(F.lit(1)).alias("_deg")
+        )
     frontier = e1.select("start", "end", F.array("_ek").alias("_path"))
     if min_hops <= 1 and max_hops >= 1:
         hop1 = frontier.select(
@@ -314,6 +362,30 @@ def variable_length_paths(
         ).dropDuplicates(["start", "end"])
         out = hop1 if out is None else out.unionByName(hop1)
     for hop in range(2, max_hops + 1):
+        if guarded:
+            # exact row count of the expansion join below (before the
+            # reuse filter) — Σ outdeg(end) over the current frontier.
+            # One shuffle of (end, count) pairs + a scalar agg: cheap
+            # relative to materializing the expansion, and an upper
+            # bound on the surviving trail rows.
+            bound = (
+                frontier.groupBy("end")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .join(deg, F.col("end") == F.col("_v"))
+                .agg(F.sum(F.col("_n") * F.col("_deg")).alias("_b"))
+                .first()["_b"]
+            ) or 0
+            if bound > max_frontier_rows:
+                for h in handles:
+                    _cache.release_frame(h)
+                raise FrontierExplosionError(
+                    f"hop-{hop} expansion would produce {bound} trail "
+                    f"rows > max_frontier_rows={max_frontier_rows} "
+                    f"(power-law/hub-heavy degree distribution?). "
+                    f"Lower max_hops, pre-filter hub vertices with a "
+                    f"degree cap, or use the connected-components/BFS "
+                    f"tier for plain reachability."
+                )
         nxt = (
             frontier.alias("f")
             .join(e1.alias("e"), F.col("f.end") == F.col("e.start"))
@@ -329,6 +401,12 @@ def variable_length_paths(
             .dropDuplicates(["start", "end", "_pkey"])
             .drop("_pkey")
         )
+        if guarded and hop < max_hops:
+            # the next bound check aggregates this frontier; persist
+            # so the trail expansion computes once, not once per
+            # remaining hop's guard
+            nxt = nxt.persist()
+            handles.append(nxt)
         frontier = nxt
         if hop >= min_hops:
             hops_out = nxt.select(
@@ -337,4 +415,7 @@ def variable_length_paths(
             out = hops_out if out is None else out.unionByName(hops_out)
     if out is None:  # min_hops == max_hops == 0 handled above; this
         raise ValueError("empty hop range")  # is unreachable
-    return out.dropDuplicates(["start", "end", "hops"])
+    out = out.dropDuplicates(["start", "end", "hops"])
+    if guarded:
+        out = _cache.own(out, *handles)
+    return out

@@ -302,6 +302,39 @@ def main() -> None:
 
     stage("variable_paths_3hop", trails_stage)
 
+    def hub_guard_stage():
+        # the r8 hub-graph guard (VERDICT r7 #2): a star graph — every
+        # node tied to one hub — is the worst case the reference's
+        # `MATCH (a)-[r*1..4]-(b)` pattern can be aimed at. Undirected
+        # hop-2 expansion is deg(hub)^2 ≈ n^2 trail rows (9e10 here);
+        # max_frontier_rows must refuse BEFORE launching that join, in
+        # seconds (this stage's `sec` IS the fail-fast evidence), and
+        # leave no persisted frontier behind.
+        from odsc_agentic_ai_summit_2025_spark.operators.graph import (
+            FrontierExplosionError,
+            variable_length_paths,
+        )
+
+        star = docs.select(
+            F.col("doc_id").alias("src"), F.lit(0).alias("dst")
+        ).filter(F.col("src") != 0)
+        blocks0 = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+        try:
+            variable_length_paths(
+                star, "src", "dst", 1, 3,
+                undirected=True, max_frontier_rows=50_000_000,
+            )
+        except FrontierExplosionError as e:
+            assert "hop-2" in str(e), e
+            blocks1 = len(
+                dict(spark.sparkContext._jsc.getPersistentRDDs())
+            )
+            assert blocks1 <= blocks0, (blocks0, blocks1)
+            return 1  # guard tripped where it must
+        raise AssertionError("hub guard did not trip on the star graph")
+
+    stage("trails_hub_guard", hub_guard_stage)
+
     # vector tier: synthetic unit-ish embeddings, planted exact dups
     # (every 61st vector equals its neighbor's → cosine 1 pairs)
     from odsc_agentic_ai_summit_2025_spark.operators import similarity as sim

@@ -231,6 +231,55 @@ def test_variable_length_paths_undirected_vs_directed(spark):
     }
 
 
+def test_variable_length_paths_frontier_guard(spark):
+    """The hub-graph guard: max_frontier_rows must fail fast (before
+    launching the expansion join) on a star graph whose hop-2
+    frontier is quadratic in the hub degree, identify the offending
+    hop, and leave no persisted frontier behind."""
+    import pytest
+
+    from odsc_agentic_ai_summit_2025_spark import cache
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import (
+        FrontierExplosionError,
+        variable_length_paths,
+    )
+
+    # star: hub "h" — 200 leaves, undirected. Hop-1 frontier = 400
+    # directed trail rows; the hop-2 expansion joins every leaf→hub
+    # row against the hub's 200 out-edges → bound 200·200 + 200.
+    leaves = [(f"v{i}", "h") for i in range(200)]
+    star = spark.createDataFrame(leaves, "src string, dst string")
+    with pytest.raises(FrontierExplosionError, match="hop-2 .*40200"):
+        variable_length_paths(
+            star, "src", "dst", 1, 3, undirected=True,
+            max_frontier_rows=5_000,
+        )
+    # the edge list itself can trip the hop-1 check
+    with pytest.raises(FrontierExplosionError, match="hop-1"):
+        variable_length_paths(
+            star, "src", "dst", 1, 3, undirected=True,
+            max_frontier_rows=100,
+        )
+    # guard off the hot seat: under the cap, guarded ≡ unguarded, and
+    # releasing the result drops the persisted frontiers (block
+    # census back to the pre-run count)
+    baseline = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    guarded = variable_length_paths(
+        tri, "src", "dst", 1, 3, max_frontier_rows=1_000
+    )
+    plain = variable_length_paths(tri, "src", "dst", 1, 3)
+    rows_g = {(r.start, r.end, r.hops) for r in guarded.collect()}
+    rows_p = {(r.start, r.end, r.hops) for r in plain.collect()}
+    assert rows_g == rows_p and rows_g
+    assert cache.handles(guarded)
+    cache.release(guarded)
+    after = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after <= baseline, (baseline, after)
+
+
 # ---------------------------------------------------------------------------
 # Single-record debug diff (SURVEY §5, src/debug.py parity)
 # ---------------------------------------------------------------------------
