@@ -90,9 +90,11 @@ def connected_components(
             _star_components(edges, nodes, id_col, max_iterations), pairs
         )
     edges = edges.persist()
+    # lazy checkpoint: the convergence-sum collect below is the
+    # materializing action — 1 job for init, not 2
     labels = nodes.withColumn(
         "cluster_id", F.col(id_col)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def _label_sum(frame: DataFrame):
         # labels only ever decrease, so the exact decimal sum is a
@@ -117,7 +119,9 @@ def connected_components(
             )
             # checkpointed BEFORE the self-join below, which would
             # otherwise evaluate the step plan (a shuffle join + agg)
-            # once per side. This is the round's ONLY eager barrier:
+            # once per side. Lazy: the convergence sum right after is
+            # the materializing action, so the round has exactly 2
+            # job barriers (stepped sum + jump checkpoint).
             stepped = (
                 labels.join(neighbor_min, id_col, "left")
                 .select(
@@ -126,11 +130,27 @@ def connected_components(
                         F.col("cluster_id"), F.coalesce("_nmin", "cluster_id")
                     ).alias("cluster_id"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            cur_sum = _label_sum(stepped)
             # stepped is materialized → the previous round's label
             # blocks back nothing live; release them now
             release_frame(labels)
+            if cur_sum == prev_sum:
+                # the STEP changed nothing (sums of a pointwise-
+                # decreasing chain are equal ⇒ the frames are equal):
+                # over SYMMETRIC edges a step fixpoint forces equal
+                # labels across every edge, i.e. component-constant
+                # labels — and a component's constant label is the id
+                # of a member, which (labels only decrease from ids)
+                # must be the component minimum. Converged — the final
+                # round's pointer-jump join never runs (r8: this was
+                # previously detected one jump later, costing an extra
+                # self-join + checkpoint per clustering).
+                labels = stepped
+                converged = True
+                break
+            prev_sum = cur_sum
             # pointer jump: cluster_id ← label(cluster_id). Labels are
             # node ids, so the label table maps its own values; one
             # extra self-join per round turns O(diameter) convergence
@@ -140,7 +160,9 @@ def connected_components(
             # trips Catalyst's self-join disambiguation — the outer
             # join resolves against the inner alias, convergence
             # stalls, and planning time grows ~5× per round. One jump
-            # between checkpoints is the stable form.)
+            # between checkpoints is the stable form. stepped is
+            # materialized above, so its double consumption here reads
+            # blocks, never recomputes.)
             labels = (
                 stepped.alias("a")
                 .join(
@@ -158,18 +180,10 @@ def connected_components(
                         F.coalesce("_jlab", F.col("a.cluster_id")),
                     ).alias("cluster_id"),
                 )
-                # lazy: the convergence-sum collect below doubles as
-                # this checkpoint's materializing action — 2 job
-                # barriers per round, not 3
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
-            cur_sum = _label_sum(labels)
             # labels materialized → stepped's blocks are dead weight
             release_frame(stepped)
-            if cur_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = cur_sum
         if not converged:
             if algorithm == "minlabel":
                 # the raise abandons the final round's label table —
@@ -223,11 +237,13 @@ def _star_components(
     # star rounds double the iteration budget: each (large, small)
     # pair is one logical round and convergence is O(log² n) worst
     # case vs min-label's O(log d) typical
+    # lazy checkpoints throughout: the count right after each one is
+    # its materializing action — 1 job per round's state, not 2
     state = (
         edges.where(F.col("src") > F.col("dst"))
         .select(F.col("src").alias("c"), F.col("dst").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_n = state.count()
     converged = False
@@ -255,7 +271,7 @@ def _star_components(
             .unionAll(smins.select("c", F.col("_m").alias("p")))
             .where(F.col("c") != F.col("p"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = new_state.count()
         # exact set-equality fixpoint: equal cardinality + one-sided
