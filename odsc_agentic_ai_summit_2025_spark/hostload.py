@@ -37,6 +37,24 @@ def sample() -> dict:
     return out
 
 
+def jvm_gc_ms(spark) -> int | None:
+    """Cumulative JVM garbage-collection milliseconds (all collectors,
+    driver JVM == the whole cluster in local mode). Sampled
+    before/after a timed pass, the delta splits "stage-internal GC"
+    from actual shuffle/compute cost — the r7 verdict's open question
+    on minhash_candidates' quiet-window spread."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+    except Exception:
+        return None
+
+
 def delta(before: dict, after: dict) -> dict:
     """Per-pass load record: 1-min loadavg at pass start plus the
     pass's total/steal jiffy deltas and the steal percentage."""

@@ -69,15 +69,27 @@ def connected_components(
     """
     if algorithm not in ("auto", "minlabel", "star"):
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    # symmetrize with ONE scan of `pairs` (explode both orientations
+    # per row), not a self-union: the pair list is usually an
+    # UNPERSISTED generator (the MinHash bucket join, a Jaccard
+    # prefix-filter join), and a union's two legs re-run it twice
+    # during the edge persist's first materialization (r8 profile:
+    # the second scan was ~40% of the composed q100 pipeline's
+    # components phase)
     edges = (
         pairs.select(
-            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
-        .unionByName(
-            pairs.select(
-                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
-            )
-        )
+        .select("_e.src", "_e.dst")
         .distinct()
     )
     nodes = edges.select(F.col("src").alias(id_col)).distinct()
@@ -508,12 +520,18 @@ def pagerank_fixed(
     """
     # persisted: the edge list is consumed by the degree table AND by
     # every iteration's join — without the pin an expensive pair
-    # GENERATOR upstream (the Jaccard join here) re-executes per step
+    # GENERATOR upstream (the Jaccard join here) re-executes per step.
+    # Single-scan symmetrization (explode, not union) for the same
+    # reason as connected_components: the persist's FIRST
+    # materialization must not run the generator twice.
     sym = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-    ).persist()
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst").persist()
     verts = vertices.select(F.col("id")).distinct().persist()
     n = verts.count()
     base = int(scale) // max(n, 1)

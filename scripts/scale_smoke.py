@@ -123,14 +123,30 @@ def main() -> None:
         secs, out, loads = [], None, []
         for _ in range(runs):
             ls0 = hostload.sample()
+            gc0 = hostload.jvm_gc_ms(spark)
             t0 = time.perf_counter()
             out = fn()
             secs.append(round(time.perf_counter() - t0, 2))
             # per-pass host-load evidence (r6 verdict #8): an exit-3
             # flag raised during a double-digit steal_pct pass is a
-            # noisy-window artifact by the recorded numbers
-            loads.append(hostload.delta(ls0, hostload.sample()))
+            # noisy-window artifact by the recorded numbers. gc_ms
+            # (r8, r7 verdict #6) splits stage-internal GC from
+            # shuffle cost — a slow pass whose extra wall time is all
+            # gc_ms is heap churn, not a plan regression.
+            rec_load = hostload.delta(ls0, hostload.sample())
+            gc1 = hostload.jvm_gc_ms(spark)
+            if None not in (gc0, gc1):
+                rec_load["gc_ms"] = gc1 - gc0
+            loads.append(rec_load)
             sweep()
+            # level the heap between passes: unpersisted block + weak
+            # ref residue from the previous pass otherwise lands as GC
+            # time INSIDE the next pass's measurement (the r7 minhash
+            # 25-61 s quiet-window spread)
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
         rec = {"stage": name, "n_docs": n_docs, "result": out,
                "sec": min(secs),
                "sec_median": round(statistics.median(secs), 2),
