@@ -644,6 +644,80 @@ def dsir_score_cms_stream(
     return query
 
 
+def dsir_model_cms_stream(
+    spark: SparkSession,
+    docs_path: str,
+    target_source: str,
+    sink=None,
+    *,
+    n: int = 2,
+    max_files_per_trigger: int = 1,
+):
+    """Incremental CMS model UPDATE — the fit-side twin of
+    :func:`dsir_score_cms_stream` (which serves a model fit once):
+    each ingest micro-batch fits ``curation.dsir_model_cms`` on the
+    delivery alone and element-wise-sums it into the standing sketch.
+    The merge is exact, not approximate: shard-sum ≡ refit-on-union
+    is the sketch's pinned algebra (``tests/test_dsir_cms.py``
+    ``test_cms_model_merges_across_shards`` — same md5 hash placement,
+    counter addition), so after any prefix of deliveries the standing
+    sketch IS the batch sketch of the concatenated prefix, bit for
+    bit. This completes the 100-TB daily-ingest story for the DSIR
+    tier the way ``dedup_admit_incremental`` (q86) did for exact
+    dedup: the state is the model itself — FIXED at ≤ 3·65536 rows
+    whatever the corpus — carried as a localCheckpoint'd frame
+    rebuilt (previous checkpoint released) per batch, so state never
+    grows a union chain and never scales with gram cardinality.
+
+    ``sink(model_df, batch_id)`` (optional) receives the updated
+    standing sketch after each delivery — e.g. to snapshot it or to
+    re-broadcast it into a serving scorer. The final sketch is read
+    from ``query.dsirModelState["cms"]`` after ``awaitTermination``;
+    release it with ``cache.release_frame`` when done (checkpoint-
+    backed: dead after release).
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from .. import cache
+    from ..operators.curation import dsir_model_cms
+
+    stream = _docs_stream(
+        spark, docs_path, max_files_per_trigger=max_files_per_trigger
+    )
+    state: dict = {"cms": None}
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = dsir_model_cms(
+            batch_df, "text", "source", target_source, n=n
+        )
+        merged = (
+            state["cms"].unionByName(delta)
+            .groupBy("row_idx", "col_idx")
+            .agg(
+                F.sum("_t").cast("long").alias("_t"),
+                F.sum("_r").cast("long").alias("_r"),
+            )
+            if state["cms"] is not None
+            else delta
+        )
+        prev = state["cms"]
+        # eager: the previous checkpoint's blocks feed `merged` and
+        # must stay live until the new state is materialized
+        state["cms"] = merged.localCheckpoint(eager=True)
+        if prev is not None:
+            cache.release_frame(prev)
+        if sink is not None:
+            sink(state["cms"], batch_id)
+
+    query = (
+        stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.dsirModelState = state
+    return query
+
+
 def ngram_novelty_stream(
     spark: SparkSession,
     docs_path: str,

@@ -142,6 +142,60 @@ def test_dsir_cms_stream_parity(spark, sf_dir, tmp_path):
     release_frame(cms)
 
 
+def test_dsir_model_cms_stream_fit_equals_batch_refit(
+    spark, sf_dir, tmp_path
+):
+    """The incremental-fit streaming path (r8): folding each ingest
+    delivery's sketch into the standing model by element-wise sum
+    must reproduce the batch sketch fit on the concatenated corpus
+    BIT FOR BIT (the pinned shard-merge algebra, exercised through
+    the stream), with per-batch snapshots equal to each prefix's
+    refit, and no leaked state blocks after release."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release_frame
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        dsir_model_cms_stream,
+    )
+
+    docs = _docs(spark, sf_dir)
+    shards = [
+        docs.filter(F.col("doc_id") % 2 == i).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(2)
+    ]
+    d = tmp_path / "dsir_cms_fit_in"
+    d.mkdir()
+    for i, s in enumerate(shards):
+        s.toPandas().to_parquet(d / f"shard-{i}.parquet", index=False)
+
+    snapshots = []
+
+    def sink(model_df, batch_id):
+        snapshots.append(sorted(map(tuple, model_df.collect())))
+
+    q = dsir_model_cms_stream(spark, str(d), "src1", sink)
+    q.awaitTermination(120)
+    assert len(snapshots) == 2
+
+    # final standing sketch ≡ batch refit on the full corpus
+    full = sorted(
+        map(tuple, dsir_model_cms(docs, "text", "source", "src1").collect())
+    )
+    assert snapshots[-1] == full
+    got_final = sorted(map(tuple, q.dsirModelState["cms"].collect()))
+    assert got_final == full
+    # each snapshot ≡ the refit of its own delivery prefix (file
+    # order = shard order with one file per trigger)
+    first = sorted(
+        map(
+            tuple,
+            dsir_model_cms(shards[0], "text", "source", "src1").collect(),
+        )
+    )
+    assert snapshots[0] == first
+    release_frame(q.dsirModelState["cms"])
+
+
 def test_cms_model_merges_across_shards(spark, sf_dir):
     """The docstring's algebraic claim: sketches fit on disjoint
     corpus shards merge by element-wise sum into exactly the sketch
