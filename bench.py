@@ -90,6 +90,7 @@ def main() -> None:
     for _ in range(n_runs):
         for name, q in sorted(queries.items()):
             ls0 = hostload.sample()
+            gc0 = hostload.jvm_gc_ms(spark)
             t0 = time.perf_counter()
             try:
                 df = q.spark(spark, sf_dir)
@@ -99,10 +100,12 @@ def main() -> None:
                 print(f"bench error {name}: {e}", file=sys.stderr)
                 dt = float("nan")
             if dt == dt:
+                rec = hostload.delta(ls0, hostload.sample())
+                gc1 = hostload.jvm_gc_ms(spark)
+                if None not in (gc0, gc1):
+                    rec["gc_ms"] = gc1 - gc0
                 passes.setdefault(name, []).append(round(dt, 4))
-                loads.setdefault(name, []).append(
-                    hostload.delta(ls0, hostload.sample())
-                )
+                loads.setdefault(name, []).append(rec)
             # release intermediates an operator persisted for its own
             # multi-consumer plan (FTS/IVF indexes, LSH inputs):
             # without this, 60 queries of leftovers accumulate in
@@ -111,6 +114,16 @@ def main() -> None:
             # queries (q36 8.8s in-suite vs 1.6s isolated, r3)
             df = None  # noqa: F841 — drop the plan ref before GC
             sweep_blocks(spark)
+            # level the heap OUTSIDE the timed region (r8, same
+            # protocol as scale_smoke): the ContextCleaner's weak-ref
+            # queue otherwise drains inside whichever LATER query's
+            # pass the JVM's own GC happens to run in — the r7
+            # minhash-smoke spread (25-61 s at 0.06% steal) was this
+            # residue, not stage cost. ~0.14 s per call, measured.
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
     import statistics
 
     timings: dict[str, float] = {}
