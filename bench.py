@@ -114,16 +114,16 @@ def main() -> None:
             # queries (q36 8.8s in-suite vs 1.6s isolated, r3)
             df = None  # noqa: F841 — drop the plan ref before GC
             sweep_blocks(spark)
-            # level the heap OUTSIDE the timed region (r8, same
-            # protocol as scale_smoke): the ContextCleaner's weak-ref
-            # queue otherwise drains inside whichever LATER query's
-            # pass the JVM's own GC happens to run in — the r7
-            # minhash-smoke spread (25-61 s at 0.06% steal) was this
-            # residue, not stage cost. ~0.14 s per call, measured.
-            try:
-                spark._jvm.System.gc()
-            except Exception:
-                pass
+            # NO System.gc here, deliberately (r8): scale_smoke levels
+            # the heap between its 10-100 s stages because the
+            # ContextCleaner residue there caused 2-5x spreads, but a
+            # full GC taxes the NEXT query a durable ~0.35 s (measured
+            # A/B on q01: 0.73 -> 1.05+, not absorbed by an untimed
+            # job) — across ~70 sub-second queries that is +15-20 s of
+            # pure protocol cost on the suite total. Bench's per-query
+            # sweeps + interleaved passes never showed the residue
+            # anomaly; the per-pass gc_ms recorded above is the
+            # evidence either way.
     import statistics
 
     timings: dict[str, float] = {}
