@@ -186,13 +186,36 @@ _PHONE_MASK = r"$1XXX-XXX-XXXX$4"
 SSN_PATTERN = r"(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])"
 _SSN_GROUP = 2
 _SSN_MASK = r"$1XXX-XX-XXXX$3"
+# Dotted quad (r8 — the network-identifier class a crawl corpus scrub
+# adds to the person-identifier rules above). The guard excludes '.'
+# and digits so the tail of a longer dotted run ("10.1.2.3.4") cannot
+# re-match mid-sequence; the mask keeps the network prefix and blacks
+# out the host octet (the standard log-scrub convention). Same RE2
+# portability discipline as the rules above.
+IPV4_PATTERN = r"(^|[^0-9.])((\d{1,3}\.){3})(\d{1,3})"
+_IPV4_GROUP = 0
+_IPV4_MASK = r"$1$2***"
 
 #: rule name → (detect pattern, match group holding the PII itself)
+#: (ipv4 deliberately NOT listed: q67's trace contract is the three
+#: person-identifier rules; the IPv4 class is exercised by q106 and
+#: composes via mask_pii, where it is a no-op on IP-free text)
 PII_RULES: dict[str, tuple[str, int]] = {
     "email": (EMAIL_PATTERN, 0),
     "phone": (PHONE_PATTERN, _PHONE_GROUP),
     "ssn": (SSN_PATTERN, _SSN_GROUP),
 }
+
+
+def ipv4_count(col: Column) -> Column:
+    return F.size(
+        F.regexp_extract_all(col, F.lit(IPV4_PATTERN), _IPV4_GROUP)
+    ).cast("long")
+
+
+def mask_ipv4(col: Column) -> Column:
+    """Keep the network prefix, mask the host octet."""
+    return F.regexp_replace(col, IPV4_PATTERN, _IPV4_MASK)
 
 
 def pii_counts(col: Column) -> dict[str, Column]:
@@ -206,14 +229,19 @@ def pii_counts(col: Column) -> dict[str, Column]:
 def mask_pii(col: Column) -> Column:
     """Mask every rule's matches: emails positionally (see
     ``mask_emails``), phones/SSNs fully (shape-preserving digit
-    blackout — the usual redaction for numeric identifiers)."""
+    blackout — the usual redaction for numeric identifiers), IPv4s
+    by host octet (prefix kept). All pure ``regexp_replace`` — JVM
+    codegen, no UDF."""
     out = mask_emails(col)
     # ssn before phone: an SSN is not phone-shaped (3-2-4 vs 3-3-4),
     # but masked digits must not create new matches either way;
     # 'X' is not a digit so the two replacements cannot interact
     out = F.regexp_replace(out, SSN_PATTERN, _SSN_MASK)
     out = F.regexp_replace(out, PHONE_PATTERN, _PHONE_MASK)
-    return out
+    # last: 'X' is not a digit, so masked phones/SSNs cannot have
+    # created a dotted quad, and the IP mask's '*' cannot feed any
+    # earlier rule — order-independent in effect, pinned for clarity
+    return mask_ipv4(out)
 
 
 def pii_trace_df(

@@ -391,3 +391,110 @@ QUERIES = [
     Query("q54_asof_join", q54_asof_join, Q54_SQL,
           ("J3",), "as-of join via union-tag window (one shuffle)"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# q106 — multi-class PII scan (r8): the four-rule scrub a training
+# corpus runs before text ships anywhere — the EXISTING email/phone/
+# SSN guardrail rules (q67's trace tier) plus the new IPv4 class
+# (guardrails.IPV4_PATTERN: network prefix kept, host octet masked),
+# counted per class and masked in one pure-regexp chain (mask_pii).
+# Patterns spliced from the guardrails module (one source of truth);
+# the splice plants one deterministic instance of each class per doc
+# from doc_id, so every count and every masked character is
+# oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def _with_pii4(docs: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Call 555-"),
+            (F.lit(100) + F.pmod(i, F.lit(900))).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.pmod(i, F.lit(9000))).cast("string"),
+            F.lit(" ssn "),
+            (F.lit(100) + F.pmod(i, F.lit(900))).cast("string"),
+            F.lit("-"),
+            (F.lit(10) + F.pmod(i, F.lit(90))).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.pmod(i, F.lit(9000))).cast("string"),
+            F.lit(" ip 10."),
+            F.pmod(i, F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(i, F.lit(250)).cast("string"),
+            F.lit("."),
+            (F.lit(1) + F.pmod(i, F.lit(254))).cast("string"),
+            F.lit(" mail user."),
+            i.cast("string"),
+            F.lit("@example.org now."),
+        ).alias("text"),
+    )
+
+
+def q106_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_pii4(read_table(spark, sf_dir, "documents"))
+    counts = guardrails.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["phone"].cast("long").alias("n_phones"),
+        counts["ssn"].cast("long").alias("n_ssn"),
+        guardrails.ipv4_count(F.col("text")).alias("n_ipv4"),
+        guardrails.mask_pii(F.col("text")).alias("masked"),
+    )
+
+
+_PII4_SPLICE_SQL = (
+    "text || ' Call 555-' || (100 + doc_id % 900) || '-' || "
+    "(1000 + doc_id % 9000) || ' ssn ' || (100 + doc_id % 900) || '-' || "
+    "(10 + doc_id % 90) || '-' || (1000 + doc_id % 9000) || "
+    "' ip 10.' || (doc_id % 256) || '.' || (doc_id % 250) || '.' || "
+    "(1 + doc_id % 254) || ' mail user.' || doc_id || '@example.org now.'"
+)
+
+Q106_SQL = r"""
+WITH p AS (SELECT doc_id, __SPLICE__ AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '__EMAIL_RE__')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '__PHONE_RE__', 2)) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(t, '__SSN_RE__', 2)) AS BIGINT)
+         AS n_ssn,
+       CAST(len(regexp_extract_all(t, '__IPV4_RE__')) AS BIGINT)
+         AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '__MASK_RE__', '\1***\3@\4', 'g'),
+               '__SHORT_MASK_RE__', '\1***@\3', 'g'),
+             '__SSN_RE__', '\1XXX-XX-XXXX\3', 'g'),
+           '__PHONE_RE__', '\1XXX-XXX-XXXX\4', 'g'),
+         '__IPV4_RE__', '\1\2***', 'g') AS masked
+FROM p
+""".replace("__SPLICE__", _PII4_SPLICE_SQL).replace(
+    "__PHONE_RE__", guardrails.PHONE_PATTERN
+).replace(
+    "__SSN_RE__", guardrails.SSN_PATTERN
+).replace(
+    "__IPV4_RE__", guardrails.IPV4_PATTERN
+).replace(
+    "__EMAIL_RE__", guardrails.EMAIL_PATTERN
+).replace(
+    "__MASK_RE__", guardrails._MASK_PATTERN
+).replace(
+    "__SHORT_MASK_RE__", guardrails._SHORT_MASK_PATTERN
+)
+
+
+# q106 is a TAIL addition (the r8 window is pinned; the r9 rotation
+# pulls it forward per the COVERAGE.md invariant).
+TAIL_QUERIES = [
+    Query("q106_pii_scan", q106_pii_scan, Q106_SQL,
+          ("F3", "F4", "L11"),
+          "4-rule PII scan: email/phone/SSN/IPv4 count + mask"),
+]

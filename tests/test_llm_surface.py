@@ -254,6 +254,43 @@ def test_ssn_rule_ignores_longer_digit_runs(spark):
     assert got[3] == (1, "ssn XXX-XX-XXXX.")
 
 
+def test_ipv4_rule_guards_and_masking(spark):
+    """The r8 IPv4 class: dotted quads count once and mask their host
+    octet; the tail of a longer dotted run cannot re-match (consuming
+    guard excludes '.' and digits); version-like strings with fewer
+    than three dots never match; mask_pii is unchanged on IP-free
+    text (the q67-invariance property the rule registry relies on)."""
+    from odsc_agentic_ai_summit_2025_spark.functions.guardrails import (
+        ipv4_count,
+        mask_pii,
+    )
+
+    rows = [
+        (1, "server 10.0.42.7 responded"),
+        (2, "chain 10.1.2.3.4 stays one match"),
+        (3, "version 1.2.3 is not an address"),
+        (4, "edge 192.168.0.1"),
+        (5, "ssn 123-45-6789 and no ip at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: (r["n"], r["m"])
+        for r in df.select(
+            "id",
+            ipv4_count(F.col("t")).alias("n"),
+            mask_pii(F.col("t")).alias("m"),
+        ).collect()
+    }
+    assert got[1] == (1, "server 10.0.42.*** responded")
+    # "10.1.2.3" matches; the trailing ".4" is guard-blocked
+    assert got[2] == (1, "chain 10.1.2.***.4 stays one match")
+    assert got[3] == (0, "version 1.2.3 is not an address")
+    assert got[4] == (1, "edge 192.168.0.***")
+    # IP-free text: mask_pii output identical to the pre-r8 3-rule
+    # chain (ssn still masked, nothing else touched)
+    assert got[5] == (0, "ssn XXX-XX-XXXX and no ip at all")
+
+
 def test_pii_trace_masking_attributed_per_rule(spark):
     """A rule that matched nothing must report masking_applied=false
     even when another rule redacted the text."""
