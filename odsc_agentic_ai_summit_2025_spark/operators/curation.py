@@ -105,6 +105,81 @@ def contamination_pairs(
     )
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-tier decontamination: flag corpus docs whose vector
+    is within cosine ``threshold`` of ANY benchmark vector — the
+    semantic complement of :func:`contamination_pairs` (n-gram tier)
+    and :func:`~..operators.sketches.bloom` decontam (q75): paraphrased
+    or lightly-rewritten eval items share no 13-gram but sit right on
+    top of the benchmark in embedding space.
+
+    Columns out: ``[<id_col>, n_bench_hits, contaminated]`` — every
+    corpus row appears (clean docs with 0/false), so the result joins
+    back as a keep/drop filter without an outer join.
+
+    Scale shape: the benchmark (eval-set) side is tiny, so it is
+    collected and BROADCAST as one dense float64 matrix (the
+    ``knn_bruteforce`` convention — same legitimacy class as its
+    query matrix); each corpus partition computes one local GEMM and
+    reduces to a per-doc hit count. MAP-ONLY — the corpus is never
+    shuffled, there is no exchange at all, and the output is one row
+    per corpus doc. At 100 TB this is a single pass over the corpus
+    with a fixed-size broadcast, the same cost as a filter.
+
+    Determinism: the output is integer counts and a boolean from a
+    ``>=`` predicate — no float column ships; both engines evaluate
+    the same dot products on the same float64 inputs (the q38
+    convention, driver-green on these corpora).
+    """
+    import numpy as np
+
+    b_rows = benchmark.select(F.col(vec_col).alias("bv")).collect()
+    if not b_rows:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_bench_hits"),
+            F.lit(False).alias("contaminated"),
+        )
+    b_mat = np.stack([np.asarray(r["bv"], dtype=np.float64) for r in b_rows])
+    b_mat /= np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-300)
+    bc = corpus.sparkSession.sparkContext.broadcast(b_mat)
+    thr = float(threshold)
+
+    def hits(batches):
+        import numpy as np
+        import pandas as pd
+
+        mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_id = pdf[id_col].to_numpy(dtype=np.int64)
+            nv = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nv /= np.maximum(
+                np.linalg.norm(nv, axis=1, keepdims=True), 1e-300
+            )
+            n = (nv @ mat.T >= thr).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: doc_id, "n_bench_hits": n})
+
+    out = ensure_min_partitions(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).mapInPandas(hits, f"{id_col} long, n_bench_hits long")
+    return out.select(
+        id_col,
+        "n_bench_hits",
+        (F.col("n_bench_hits") > 0).alias("contaminated"),
+    )
+
+
 def dsir_scores(
     df: DataFrame,
     text_col: str,

@@ -441,14 +441,56 @@ FROM documents d0 LEFT JOIN s USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q107 — semantic decontamination (r8): the embedding-tier benchmark
+# overlap scan beside the n-gram (q71) and Bloom (q75) tiers —
+# paraphrased eval items share no 13-gram but sit on top of the
+# benchmark in embedding space. Benchmark = every 97th vector (a
+# member slice, so hits are guaranteed: each bench vector matches
+# itself at cos 1 plus its planted near-dups). Map-only broadcast
+# GEMM; threshold 0.45 = q38's established boundary-safe cosine gate
+# on this corpus.
+# ---------------------------------------------------------------------------
+
+def q107_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import semantic_decontamination
+    from ..sources.io import read_table as _rt
+
+    emb = _rt(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    return semantic_decontamination(
+        emb, bench, "embedding", "vec_id", threshold=0.45
+    )
+
+
+Q107_SQL = """
+WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0),
+hits AS (
+  SELECT e.vec_id, COUNT(*) AS n
+  FROM embeddings e JOIN b
+    ON list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) >= 0.45
+  GROUP BY e.vec_id)
+SELECT e.vec_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_hits,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM embeddings e LEFT JOIN hits h USING (vec_id)
+"""
+
+
 # q102 joined as an r6 TAIL addition (window was full); the r7
 # rotation pins it first in plans/registry._GATE_HEAD. q104 is new
-# in r7 and likewise pinned into the r7 window by name.
+# in r7 and likewise pinned into the r7 window by name. q107 is an
+# r8 TAIL addition; the r9 rotation pulls it forward with q106 per
+# the COVERAGE.md invariant.
 TAIL_QUERIES = [
     Query("q102_dsir_serving", q102_dsir_serving, _q102_sql(),
           ("A5", "F12"), "DSIR fit-once/score-many serving split"),
     Query("q104_dsir_cms", q104_dsir_cms, _q104_sql(),
           ("A5", "F12"), "DSIR serving vs fixed-size Count-Min model"),
+    Query("q107_semantic_decontam", q107_semantic_decontam, Q107_SQL,
+          ("V1", "U2"),
+          "embedding-tier benchmark decontamination (broadcast GEMM)"),
 ]
 
 

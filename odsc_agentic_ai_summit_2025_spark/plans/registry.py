@@ -100,14 +100,15 @@ def all_queries() -> dict[str, Query]:
 
 # Round-9 rotation plan: after r8 the candidates are q02_filter_project
 # (bumped from the r8 window to make room for q105; the only 2-round-
-# stale query), q106_pii_scan (r8 TAIL, never driver-checked), and the
-# 50 r7-green queries (the whole r7 window: q102-q104, q30-q33,
-# q46-q62, q64-q75, q77, q82-q95) — 52 candidates for 50 slots. Lead
-# with q02 then q106, then the r7 cohort minus TWO trivially-derisked
-# queries (e.g. q52_percentiles and q53_cube, plain relational
-# aggregates over operators every window exercises); pin those two
-# first in the r10 note. Steady-state invariant (COVERAGE.md): every
-# query's last driver row is ≤2 rounds old.
+# stale query), q106_pii_scan + q107_semantic_decontam (r8 TAILs,
+# never driver-checked), and the 50 r7-green queries (the whole r7
+# window: q102-q104, q30-q33, q46-q62, q64-q75, q77, q82-q95) — 53
+# candidates for 50 slots. Lead with q02, q106, q107, then the r7
+# cohort minus THREE trivially-derisked queries (e.g. q52_percentiles,
+# q53_cube, q55_rolling_revenue — plain relational aggregates/windows
+# over operators every window exercises); pin those three first in
+# the r10 note. Steady-state invariant (COVERAGE.md): every query's
+# last driver row is ≤2 rounds old.
 #
 # Round-8 gate window head: q105 leads (the ONLY query never driver-
 # checked — r7 TAIL slot), then the 49 queries whose last driver row

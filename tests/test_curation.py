@@ -310,3 +310,42 @@ def test_quality_representatives_argmax_and_ties(spark):
         7: (True, 1, None),            # all-unscored: min id keeps
         8: (True, 2, None), 9: (False, 2, None),
     }
+
+
+def test_semantic_decontamination(spark):
+    """Embedding-tier decontam (r8): a corpus doc is contaminated iff
+    some benchmark vector clears the cosine threshold; every corpus
+    row appears (clean docs 0/false); an empty benchmark flags
+    nothing. Map-only — the plan must contain no Exchange."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        semantic_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),       # = bench 10 → cos 1
+            (2, [0.9, 0.4359]),    # cos ~0.90 vs bench 10
+            (3, [0.0, 1.0]),       # orthogonal to bench 10
+            (4, [-1.0, 0.0]),      # opposite
+        ],
+        "id long, v array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, [2.0, 0.0])], "id long, v array<double>"
+    )
+    out = semantic_decontamination(corpus, bench, "v", "id", threshold=0.85)
+    got = {r["id"]: (r["n_bench_hits"], r["contaminated"]) for r in out.collect()}
+    assert got == {1: (1, True), 2: (1, True), 3: (0, False), 4: (0, False)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    empty_bench = bench.filter(F.col("id") < 0)
+    clean = semantic_decontamination(
+        corpus, empty_bench, "v", "id", threshold=0.5
+    )
+    assert all(
+        not r["contaminated"] and r["n_bench_hits"] == 0
+        for r in clean.collect()
+    )
