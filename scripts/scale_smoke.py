@@ -375,6 +375,22 @@ def main() -> None:
             vecs, "vector", "vid", threshold=0.95
         ).count(),
     )
+    def semantic_decontam_stage():
+        # q107's operator at vector-smoke scale: ~100 benchmark
+        # vectors broadcast as one dense matrix, one GEMM pass over
+        # the corpus partitions, zero shuffle — per-doc hit counts.
+        # Planted dups guarantee hits beyond the bench self-matches.
+        from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+            semantic_decontamination,
+        )
+
+        bench = vecs.filter(F.pmod(F.col("vid"), 997) == 0)
+        out = semantic_decontamination(
+            vecs, bench, "vector", "vid", threshold=0.95
+        )
+        return out.filter(F.col("contaminated")).count()
+
+    stage("semantic_decontam", semantic_decontam_stage)
     stage(
         "knn_100q",
         lambda: sim.knn_bruteforce(
