@@ -139,14 +139,17 @@ def main() -> None:
                 rec_load["gc_ms"] = gc1 - gc0
             loads.append(rec_load)
             sweep()
-            # level the heap between passes: unpersisted block + weak
-            # ref residue from the previous pass otherwise lands as GC
-            # time INSIDE the next pass's measurement (the r7 minhash
-            # 25-61 s quiet-window spread)
-            try:
-                spark._jvm.System.gc()
-            except Exception:
-                pass
+            # level the heap between passes — but only after passes
+            # heavy enough to leave cleaner residue: a full GC taxes
+            # the NEXT measurement a durable ~0.35 s (bench A/B, r8),
+            # which dwarfs a sub-second stage while being invisible to
+            # the 10-100 s ones whose 2-5× spreads it removes (the r7
+            # minhash 25-61 s quiet-window spread was this residue)
+            if secs[-1] >= 5.0:
+                try:
+                    spark._jvm.System.gc()
+                except Exception:
+                    pass
         rec = {"stage": name, "n_docs": n_docs, "result": out,
                "sec": min(secs),
                "sec_median": round(statistics.median(secs), 2),
