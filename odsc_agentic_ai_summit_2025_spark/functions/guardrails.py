@@ -187,14 +187,17 @@ SSN_PATTERN = r"(^|[^0-9-])(\d{3}-\d{2}-\d{4})($|[^0-9-])"
 _SSN_GROUP = 2
 _SSN_MASK = r"$1XXX-XX-XXXX$3"
 # Dotted quad (r8 — the network-identifier class a crawl corpus scrub
-# adds to the person-identifier rules above). The guard excludes '.'
-# and digits so the tail of a longer dotted run ("10.1.2.3.4") cannot
-# re-match mid-sequence; the mask keeps the network prefix and blacks
-# out the host octet (the standard log-scrub convention). Same RE2
-# portability discipline as the rules above.
-IPV4_PATTERN = r"(^|[^0-9.])((\d{1,3}\.){3})(\d{1,3})"
+# adds to the person-identifier rules above). Guards on BOTH edges
+# (same discipline as phone/SSN): the left guard excludes '.'/digits
+# so the tail of a longer dotted run ("10.1.2.3.4") cannot re-match
+# mid-sequence, and the right guard keeps a quad-shaped PREFIX of a
+# longer run ("10.1.2.3456") from being counted or half-masked. The
+# mask keeps the network prefix and blacks out the host octet (the
+# standard log-scrub convention). Same RE2 portability discipline as
+# the rules above.
+IPV4_PATTERN = r"(^|[^0-9.])((\d{1,3}\.){3})(\d{1,3})($|[^0-9.])"
 _IPV4_GROUP = 0
-_IPV4_MASK = r"$1$2***"
+_IPV4_MASK = r"$1$2***$5"
 
 #: rule name → (detect pattern, match group holding the PII itself)
 #: (ipv4 deliberately NOT listed: q67's trace contract is the three

@@ -128,10 +128,13 @@ def semantic_decontamination(
     collected and BROADCAST as one dense float64 matrix (the
     ``knn_bruteforce`` convention — same legitimacy class as its
     query matrix); each corpus partition computes one local GEMM and
-    reduces to a per-doc hit count. MAP-ONLY — the corpus is never
-    shuffled, there is no exchange at all, and the output is one row
-    per corpus doc. At 100 TB this is a single pass over the corpus
-    with a fixed-size broadcast, the same cost as a filter.
+    reduces to a per-doc hit count. MAP-ONLY — no grouping or join
+    shuffles anywhere; the only Exchange that can appear is
+    ``ensure_min_partitions``'s deliberate round-robin fan-out when
+    the input is under-split (a single-row-group parquet file), which
+    redistributes rows once without keying them. At 100 TB this is a
+    single pass over the corpus with a fixed-size broadcast, the same
+    cost as a filter.
 
     Determinism: the output is integer counts and a boolean from a
     ``>=`` predicate — no float column ships; both engines evaluate

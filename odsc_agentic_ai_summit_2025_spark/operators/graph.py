@@ -352,9 +352,13 @@ def variable_length_paths(
                 f"{max_frontier_rows}: the edge list alone exceeds the "
                 f"cap. Raise the cap or pre-filter the edge list."
             )
+        # persisted: one row per distinct src vertex, re-read by every
+        # hop's bound check (unpersisted it would re-aggregate the
+        # edge list once per hop)
         deg = e1.groupBy(F.col("start").alias("_v")).agg(
             F.count(F.lit(1)).alias("_deg")
-        )
+        ).persist()
+        handles.append(deg)
     frontier = e1.select("start", "end", F.array("_ek").alias("_path"))
     if min_hops <= 1 and max_hops >= 1:
         hop1 = frontier.select(

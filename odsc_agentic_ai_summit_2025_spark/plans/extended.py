@@ -474,7 +474,7 @@ SELECT doc_id,
                '__SHORT_MASK_RE__', '\1***@\3', 'g'),
              '__SSN_RE__', '\1XXX-XX-XXXX\3', 'g'),
            '__PHONE_RE__', '\1XXX-XXX-XXXX\4', 'g'),
-         '__IPV4_RE__', '\1\2***', 'g') AS masked
+         '__IPV4_RE__', '\1\2***\5', 'g') AS masked
 FROM p
 """.replace("__SPLICE__", _PII4_SPLICE_SQL).replace(
     "__PHONE_RE__", guardrails.PHONE_PATTERN

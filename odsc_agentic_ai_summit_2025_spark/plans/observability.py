@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.guardrails import (
     EMAIL_PATTERN as _EMAIL_RE_SQL,
+    IPV4_PATTERN as _IPV4_RE_SQL,
     PHONE_PATTERN as _PHONE_RE_SQL,
     SSN_PATTERN as _SSN_RE_SQL,
     _MASK_PATTERN as _MASK_RE_SQL,
@@ -240,7 +241,10 @@ text
 """.strip()
 
 # _PHONE_RE_SQL/_SSN_RE_SQL are the guardrails module's own guarded
-# numeric rules, imported at the top.
+# numeric rules, imported at the top. The masked chain carries the
+# IPv4 replace too (r8): mask_pii applies it, so the oracle must be
+# the SAME function — it is a no-op on this fixture (no dotted quads
+# injected), but q67 must not depend on that data property.
 
 Q67_SQL = rf"""
 WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents),
@@ -252,10 +256,12 @@ scored AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(text, '{_MASK_RE_SQL}', '\1***\3@\4', 'g'),
-               '{_SHORT_MASK_RE_SQL}', '\1***@\3', 'g'),
-             '{_SSN_RE_SQL}', '\1XXX-XX-XXXX\3', 'g'),
-           '{_PHONE_RE_SQL}', '\1XXX-XXX-XXXX\4', 'g') AS masked
+               regexp_replace(
+                 regexp_replace(text, '{_MASK_RE_SQL}', '\1***\3@\4', 'g'),
+                 '{_SHORT_MASK_RE_SQL}', '\1***@\3', 'g'),
+               '{_SSN_RE_SQL}', '\1XXX-XX-XXXX\3', 'g'),
+             '{_PHONE_RE_SQL}', '\1XXX-XXX-XXXX\4', 'g'),
+           '{_IPV4_RE_SQL}', '\1\2***\5', 'g') AS masked
   FROM injected),
 rules AS (
   SELECT doc_id, text, masked, 'email' AS rule, n_email AS n FROM scored

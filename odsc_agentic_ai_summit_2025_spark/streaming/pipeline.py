@@ -670,11 +670,15 @@ def dsir_model_cms_stream(
     grows a union chain and never scales with gram cardinality.
 
     ``sink(model_df, batch_id)`` (optional) receives the updated
-    standing sketch after each delivery — e.g. to snapshot it or to
-    re-broadcast it into a serving scorer. The final sketch is read
-    from ``query.dsirModelState["cms"]`` after ``awaitTermination``;
-    release it with ``cache.release_frame`` when done (checkpoint-
-    backed: dead after release).
+    standing sketch after each delivery. The frame is checkpoint-
+    backed and is RELEASED when the next delivery folds over it, so
+    the sink must fully CONSUME it inside the callback (collect it,
+    write it, or copy it into a broadcast) — a retained DataFrame
+    handle is dead one batch later (missing blocks, no recompute
+    path: lineage was truncated, which is the point of the
+    checkpoint). The final sketch is read from
+    ``query.dsirModelState["cms"]`` after ``awaitTermination``;
+    release it with ``cache.release_frame`` when done (same caveat).
 
     Returns the started StreamingQuery (availableNow trigger).
     """

@@ -62,6 +62,10 @@ def main() -> None:
     extracted = None
     if args.extracted and os.path.exists(args.extracted):
         extracted = read_json_records(spark, args.extracted, EXTRACTED_FHIR)
+        if args.limit:
+            # same population as the notes slice — otherwise the graph
+            # arm answers over patients the vector arm cannot retrieve
+            extracted = extracted.filter(f"record_id <= {args.limit}")
         print(f"[build] re-ingesting pre-extracted records "
               f"({args.extracted})", flush=True)
     print("[build] notes -> graph -> indexes (one lazy program) ...",

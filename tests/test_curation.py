@@ -338,7 +338,12 @@ def test_semantic_decontamination(spark):
     out = semantic_decontamination(corpus, bench, "v", "id", threshold=0.85)
     got = {r["id"]: (r["n_bench_hits"], r["contaminated"]) for r in out.collect()}
     assert got == {1: (1, True), 2: (1, True), 3: (0, False), 4: (0, False)}
+    # no KEYED shuffle anywhere (no group/join hash partitioning);
+    # ensure_min_partitions MAY add one round-robin fan-out on
+    # under-split input, which never appears here because
+    # createDataFrame already yields defaultParallelism slices
     plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
     assert "Exchange" not in plan, plan
 
     empty_bench = bench.filter(F.col("id") < 0)

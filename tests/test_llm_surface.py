@@ -267,10 +267,11 @@ def test_ipv4_rule_guards_and_masking(spark):
 
     rows = [
         (1, "server 10.0.42.7 responded"),
-        (2, "chain 10.1.2.3.4 stays one match"),
+        (2, "chain 10.1.2.3.4 is no well-formed quad"),
         (3, "version 1.2.3 is not an address"),
         (4, "edge 192.168.0.1"),
         (5, "ssn 123-45-6789 and no ip at all"),
+        (6, "build 10.1.2.3456 is a version-ish id, not an IP"),
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     got = {
@@ -282,13 +283,19 @@ def test_ipv4_rule_guards_and_masking(spark):
         ).collect()
     }
     assert got[1] == (1, "server 10.0.42.*** responded")
-    # "10.1.2.3" matches; the trailing ".4" is guard-blocked
-    assert got[2] == (1, "chain 10.1.2.***.4 stays one match")
-    assert got[3] == (0, "version 1.2.3 is not an address")
+    # a 5-part dotted run has no well-formed quad boundary: every
+    # 4-octet window fails one of the two edge guards — same
+    # longer-run discipline as the phone/SSN rules
+    assert got[2] == (0, rows[1][1])
+    assert got[3] == (0, rows[2][1])
+    # end-of-string is a valid right edge
     assert got[4] == (1, "edge 192.168.0.***")
     # IP-free text: mask_pii output identical to the pre-r8 3-rule
     # chain (ssn still masked, nothing else touched)
     assert got[5] == (0, "ssn XXX-XX-XXXX and no ip at all")
+    # quad-shaped PREFIX of a longer digit run: right guard blocks it
+    # (no count, no half-masked host digit)
+    assert got[6] == (0, rows[5][1])
 
 
 def test_pii_trace_masking_attributed_per_rule(spark):
