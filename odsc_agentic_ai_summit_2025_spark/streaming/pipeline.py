@@ -722,6 +722,66 @@ def dsir_model_cms_stream(
     return query
 
 
+def semantic_decontam_stream(
+    spark: SparkSession,
+    docs_path: str,
+    bench_vectors: DataFrame,
+    sink,
+    *,
+    vec_col: str = "vector",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    dim: int | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming twin of ``curation.semantic_decontamination`` — the
+    embedding-tier ingest gate: each document delivery is hash-embedded
+    (map-only, ``functions.embedder.embed``) and scanned against the
+    PINNED benchmark vectors (one broadcast GEMM per batch, the exact
+    batch operator unchanged). Entirely stateless like
+    ``ingest_gate_stream``: no watermark, no state store — the only
+    standing object is the benchmark frame, persisted here so its
+    lineage is not re-run per delivery (released via
+    ``query.benchHandle`` after ``awaitTermination``). Parity with the
+    batch composition (embed → decontaminate) is row-for-row by
+    construction and asserted shard-for-shard in tests.
+
+    ``bench_vectors``: ``[<any id>, <vec_col>]`` — already-embedded
+    benchmark rows (the eval set is embedded once, offline).
+    ``sink(df, batch_id)`` receives
+    ``[<id_col>, n_bench_hits, contaminated]`` per delivery and must
+    materialize it inside the callback.
+    """
+    from ..functions.embedder import DEFAULT_DIM, embed
+    from ..operators.curation import semantic_decontamination
+
+    bench_vectors = bench_vectors.persist()
+    d = dim or DEFAULT_DIM
+    stream = _docs_stream(
+        spark, docs_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        embedded = embed(
+            batch_df.select(id_col, "text"), "text", vec_col, d
+        )
+        sink(
+            semantic_decontamination(
+                embedded, bench_vectors, vec_col, id_col,
+                threshold=threshold,
+            ),
+            batch_id,
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(_gate)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.benchHandle = bench_vectors
+    return query
+
+
 def ngram_novelty_stream(
     spark: SparkSession,
     docs_path: str,

@@ -461,3 +461,62 @@ def test_ingest_gate_kernel_path_matches_literal(spark, sf_dir):
     assert len(cache._REGISTRY) == n_reg  # released + pruned
     assert kern == lit
     assert any(r[3] for r in lit)  # some contaminated rows exercised
+
+
+def test_semantic_decontam_stream_parity(spark, sf_dir, tmp_path):
+    """The embedding-tier ingest gate (r8): each streamed delivery's
+    hits against the pinned benchmark vectors equal the batch
+    composition (embed -> semantic_decontamination) on that shard,
+    with genuine contamination present (the benchmark is embedded
+    from a member slice, so every bench doc hits itself)."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release_frame
+    from odsc_agentic_ai_summit_2025_spark.functions.embedder import embed
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        semantic_decontamination,
+    )
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        semantic_decontam_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = embed(
+        docs.filter(F.col("doc_id") % 29 == 0).select("doc_id", "text"),
+        "text", "vector",
+    ).localCheckpoint(eager=True)
+    shards = [
+        docs.filter(F.col("doc_id") % 2 == i).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(2)
+    ]
+    d = tmp_path / "sem_decontam_in"
+    d.mkdir()
+    for i, s in enumerate(shards):
+        s.toPandas().to_parquet(d / f"shard-{i}.parquet", index=False)
+
+    got_batches = []
+
+    def sink(df, batch_id):
+        got_batches.append(sorted(map(tuple, df.collect())))
+
+    q = semantic_decontam_stream(
+        spark, str(d), bench, sink, threshold=0.99
+    )
+    q.awaitTermination(120)
+    assert len(got_batches) == 2
+
+    want_batches = [
+        sorted(map(tuple, semantic_decontamination(
+            embed(s.select("doc_id", "text"), "text", "vector"),
+            bench, "vector", "doc_id", threshold=0.99,
+        ).collect()))
+        for s in shards
+    ]
+    assert sorted(got_batches) == sorted(want_batches)
+    # genuine signal: every benchmark member doc is flagged in its shard
+    flagged = {r[0] for b in got_batches for r in b if r[2]}
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    assert bench_ids <= flagged
+
+    release_frame(q.benchHandle)
+    release_frame(bench)
