@@ -124,6 +124,59 @@ def windowed_counts_stream(
     )
 
 
+def windowed_distinct(
+    events: DataFrame, window: str = "1 hour", rsd: float = 0.05
+) -> DataFrame:
+    """Per-window approximate distinct users (batch definition): the
+    sketch rollup a telemetry pipeline runs where an exact
+    COUNT(DISTINCT) per window would shuffle every id. Spark's
+    ``approx_count_distinct`` is HyperLogLog++ — deterministic for a
+    given input set and ``rsd`` (hashing, no sampling), so the
+    streaming twin must reproduce it exactly once the source drains."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_users_approx",
+            "n_events",
+        )
+    )
+
+
+def windowed_distinct_stream(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Streaming twin of :func:`windowed_distinct`: the HLL++ sketch
+    IS the state — fixed-size per (window) group whatever the user
+    cardinality, merged across micro-batches by the same sketch
+    algebra the batch partial-aggregate uses, evicted at the
+    watermark. This is the streaming face of the q57 sketch tier:
+    exact per-window distinct over an unbounded stream needs state
+    linear in distinct ids; the sketch caps it at ~1.5 KB/window."""
+    stream = _read_events_stream(spark, events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_users_approx",
+            "n_events",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessions per user (batch definition).
 

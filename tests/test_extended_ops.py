@@ -140,6 +140,39 @@ def test_windowed_counts_stream_parity(spark, sf_dir, events_stream_dir):
     assert b == s
 
 
+def test_windowed_distinct_stream_parity(spark, sf_dir, events_stream_dir):
+    """The HLL-per-window twin (r8): the sketch state is fixed-size
+    per window and merges across micro-batches by the same algebra
+    the batch partial-aggregate uses, so a drained stream must equal
+    the batch rollup EXACTLY (HLL++ is deterministic hashing, not
+    sampling) — and the approximate count must be sane vs exact."""
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        windowed_distinct,
+        windowed_distinct_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    batch = windowed_distinct(events)
+    stream = windowed_distinct_stream(spark, events_stream_dir)
+    got = _drain(stream, spark, "wd_stream")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s and b
+    # sketch sanity: within 3·rsd of the exact per-window count
+    exact = {
+        r["window_start"]: r["n"]
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    for ws, approx, _ in b:
+        assert abs(approx - exact[ws]) <= max(3, 0.15 * exact[ws]), (
+            ws, approx, exact[ws],
+        )
+
+
 def test_sessionize_stream_parity(spark, sf_dir, events_stream_dir):
     from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
     from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
