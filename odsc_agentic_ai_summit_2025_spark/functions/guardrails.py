@@ -195,7 +195,20 @@ _SSN_MASK = r"$1XXX-XX-XXXX$3"
 # mask keeps the network prefix and blacks out the host octet (the
 # standard log-scrub convention). Same RE2 portability discipline as
 # the rules above.
-IPV4_PATTERN = r"(^|[^0-9.])((\d{1,3}\.){3})(\d{1,3})($|[^0-9.])"
+#
+# Each octet is range-checked to 0-255 (r9, was \d{1,3}): a
+# version-like "999.999.999.999" is not an address and must not be
+# counted or masked. The alternation is RE2-compatible (no
+# lookaround) and the repeated octet is NON-capturing so the group
+# numbering every splice site relies on (\1 guard, \2 prefix,
+# \5 right guard in the '\1\2***\5' mask) is unchanged. Known trade:
+# leading-zero octets ("010.0.0.1") still match — over-masking a
+# zero-padded address is the safe direction for a scrubber.
+_IPV4_OCTET = r"25[0-5]|2[0-4]\d|1?\d?\d"
+IPV4_PATTERN = (
+    r"(^|[^0-9.])(((?:" + _IPV4_OCTET + r")\.){3})"
+    r"(" + _IPV4_OCTET + r")($|[^0-9.])"
+)
 _IPV4_GROUP = 0
 _IPV4_MASK = r"$1$2***$5"
 

@@ -341,82 +341,96 @@ def variable_length_paths(
     deg = None
     if guarded:
         from .. import cache as _cache
-
-        e1 = e1.persist()
-        handles.append(e1)
-        n_edges = e1.count()  # hop-1 frontier = one trail per edge
-        if n_edges > max_frontier_rows:
-            _cache.release_frame(e1)
-            raise FrontierExplosionError(
-                f"hop-1 frontier is {n_edges} rows > max_frontier_rows="
-                f"{max_frontier_rows}: the edge list alone exceeds the "
-                f"cap. Raise the cap or pre-filter the edge list."
-            )
-        # persisted: one row per distinct src vertex, re-read by every
-        # hop's bound check (unpersisted it would re-aggregate the
-        # edge list once per hop)
-        deg = e1.groupBy(F.col("start").alias("_v")).agg(
-            F.count(F.lit(1)).alias("_deg")
-        ).persist()
-        handles.append(deg)
-    frontier = e1.select("start", "end", F.array("_ek").alias("_path"))
-    if min_hops <= 1 and max_hops >= 1:
-        hop1 = frontier.select(
-            "start", "end", F.lit(1).alias("hops")
-        ).dropDuplicates(["start", "end"])
-        out = hop1 if out is None else out.unionByName(hop1)
-    for hop in range(2, max_hops + 1):
+    # In the guarded path every hop eagerly persists + aggregates, so
+    # ANY exception mid-loop (the explosion error, but also a failed
+    # bound aggregate or expansion job) must release every persisted
+    # handle — otherwise each aborted call leaks frontier-sized cache
+    # blocks for the life of the session. Success keeps the handles
+    # alive via cache.own() below so the caller's actions still hit
+    # the cached frames.
+    try:
         if guarded:
-            # exact row count of the expansion join below (before the
-            # reuse filter) — Σ outdeg(end) over the current frontier.
-            # One shuffle of (end, count) pairs + a scalar agg: cheap
-            # relative to materializing the expansion, and an upper
-            # bound on the surviving trail rows.
-            bound = (
-                frontier.groupBy("end")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .join(deg, F.col("end") == F.col("_v"))
-                .agg(F.sum(F.col("_n") * F.col("_deg")).alias("_b"))
-                .first()["_b"]
-            ) or 0
-            if bound > max_frontier_rows:
-                for h in handles:
-                    _cache.release_frame(h)
+            e1 = e1.persist()
+            handles.append(e1)
+            n_edges = e1.count()  # hop-1 frontier = one trail per edge
+            if n_edges > max_frontier_rows:
                 raise FrontierExplosionError(
-                    f"hop-{hop} expansion would produce {bound} trail "
-                    f"rows > max_frontier_rows={max_frontier_rows} "
-                    f"(power-law/hub-heavy degree distribution?). "
-                    f"Lower max_hops, pre-filter hub vertices with a "
-                    f"degree cap, or use the connected-components/BFS "
-                    f"tier for plain reachability."
+                    f"hop-1 frontier is {n_edges} rows > "
+                    f"max_frontier_rows={max_frontier_rows}: the edge "
+                    f"list alone exceeds the cap. Raise the cap or "
+                    f"pre-filter the edge list."
                 )
-        nxt = (
-            frontier.alias("f")
-            .join(e1.alias("e"), F.col("f.end") == F.col("e.start"))
-            .filter(~F.array_contains(F.col("f._path"), F.col("e._ek")))
-            .select(
-                F.col("f.start").alias("start"),
-                F.col("e.end").alias("end"),
-                F.concat(F.col("f._path"), F.array(F.col("e._ek"))).alias(
-                    "_path"
-                ),
-            )
-            .withColumn("_pkey", F.array_sort("_path"))
-            .dropDuplicates(["start", "end", "_pkey"])
-            .drop("_pkey")
-        )
-        if guarded and hop < max_hops:
-            # the next bound check aggregates this frontier; persist
-            # so the trail expansion computes once, not once per
-            # remaining hop's guard
-            nxt = nxt.persist()
-            handles.append(nxt)
-        frontier = nxt
-        if hop >= min_hops:
-            hops_out = nxt.select(
-                "start", "end", F.lit(hop).alias("hops")
+            # persisted: one row per distinct src vertex, re-read by
+            # every hop's bound check (unpersisted it would
+            # re-aggregate the edge list once per hop)
+            deg = e1.groupBy(F.col("start").alias("_v")).agg(
+                F.count(F.lit(1)).alias("_deg")
+            ).persist()
+            handles.append(deg)
+        frontier = e1.select("start", "end", F.array("_ek").alias("_path"))
+        if min_hops <= 1 and max_hops >= 1:
+            hop1 = frontier.select(
+                "start", "end", F.lit(1).alias("hops")
             ).dropDuplicates(["start", "end"])
-            out = hops_out if out is None else out.unionByName(hops_out)
+            out = hop1 if out is None else out.unionByName(hop1)
+        for hop in range(2, max_hops + 1):
+            if guarded:
+                # exact row count of the expansion join below (before
+                # the reuse filter) — Σ outdeg(end) over the current
+                # frontier. One shuffle of (end, count) pairs + a
+                # scalar agg: cheap relative to materializing the
+                # expansion, and an upper bound on the surviving trail
+                # rows.
+                bound = (
+                    frontier.groupBy("end")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .join(deg, F.col("end") == F.col("_v"))
+                    .agg(F.sum(F.col("_n") * F.col("_deg")).alias("_b"))
+                    .first()["_b"]
+                ) or 0
+                if bound > max_frontier_rows:
+                    raise FrontierExplosionError(
+                        f"hop-{hop} expansion would produce {bound} "
+                        f"trail rows > max_frontier_rows="
+                        f"{max_frontier_rows} (power-law/hub-heavy "
+                        f"degree distribution?). Lower max_hops, "
+                        f"pre-filter hub vertices with a degree cap, "
+                        f"or use the connected-components/BFS tier "
+                        f"for plain reachability."
+                    )
+            nxt = (
+                frontier.alias("f")
+                .join(e1.alias("e"), F.col("f.end") == F.col("e.start"))
+                .filter(
+                    ~F.array_contains(F.col("f._path"), F.col("e._ek"))
+                )
+                .select(
+                    F.col("f.start").alias("start"),
+                    F.col("e.end").alias("end"),
+                    F.concat(
+                        F.col("f._path"), F.array(F.col("e._ek"))
+                    ).alias("_path"),
+                )
+                .withColumn("_pkey", F.array_sort("_path"))
+                .dropDuplicates(["start", "end", "_pkey"])
+                .drop("_pkey")
+            )
+            if guarded and hop < max_hops:
+                # the next bound check aggregates this frontier;
+                # persist so the trail expansion computes once, not
+                # once per remaining hop's guard
+                nxt = nxt.persist()
+                handles.append(nxt)
+            frontier = nxt
+            if hop >= min_hops:
+                hops_out = nxt.select(
+                    "start", "end", F.lit(hop).alias("hops")
+                ).dropDuplicates(["start", "end"])
+                out = hops_out if out is None else out.unionByName(hops_out)
+    except BaseException:
+        for h in handles:
+            _cache.release_frame(h)
+        raise
     if out is None:  # min_hops == max_hops == 0 handled above; this
         raise ValueError("empty hop range")  # is unreachable
     out = out.dropDuplicates(["start", "end", "hops"])

@@ -741,9 +741,19 @@ def dsir_model_cms_stream(
     stream = _docs_stream(
         spark, docs_path, max_files_per_trigger=max_files_per_trigger
     )
-    state: dict = {"cms": None}
+    state: dict = {"cms": None, "last_batch_id": None}
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried delivery re-enters
+        # with the SAME batch_id, and folding it twice would
+        # double-count its grams — breaking the bit-for-bit
+        # prefix-equality guarantee above. batch_ids are a
+        # monotonically increasing sequence per query, so remembering
+        # the last folded id is a complete idempotence guard.
+        if state["last_batch_id"] is not None and (
+            batch_id <= state["last_batch_id"]
+        ):
+            return
         delta = dsir_model_cms(
             batch_df, "text", "source", target_source, n=n
         )
@@ -761,6 +771,7 @@ def dsir_model_cms_stream(
         # eager: the previous checkpoint's blocks feed `merged` and
         # must stay live until the new state is materialized
         state["cms"] = merged.localCheckpoint(eager=True)
+        state["last_batch_id"] = batch_id
         if prev is not None:
             cache.release_frame(prev)
         if sink is not None:
@@ -772,6 +783,9 @@ def dsir_model_cms_stream(
         .start()
     )
     query.dsirModelState = state
+    # exposed so tests can simulate an at-least-once redelivery (same
+    # batch_id re-entering _fold) without a real query restart
+    query.dsirModelFold = _fold
     return query
 
 

@@ -193,6 +193,17 @@ def test_dsir_model_cms_stream_fit_equals_batch_refit(
         )
     )
     assert snapshots[0] == first
+
+    # at-least-once idempotence: a redelivered micro-batch (same or
+    # older batch_id re-entering the fold, as foreachBatch retries
+    # do) must be a no-op — folding it again would double-count its
+    # grams and break the prefix-equality claim above
+    n_snapshots = len(snapshots)
+    for replay_id in (0, 1):
+        q.dsirModelFold(shards[replay_id], replay_id)
+    assert len(snapshots) == n_snapshots  # sink not re-invoked
+    still = sorted(map(tuple, q.dsirModelState["cms"].collect()))
+    assert still == full
     release_frame(q.dsirModelState["cms"])
 
 

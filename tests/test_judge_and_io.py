@@ -280,6 +280,35 @@ def test_variable_length_paths_frontier_guard(spark):
     assert after <= baseline, (baseline, after)
 
 
+def test_variable_length_paths_releases_on_any_error(spark):
+    """Guarded-path persist hygiene beyond the guard itself: the
+    guarded loop eagerly persists (e1, deg, frontiers), so an
+    arbitrary execution failure mid-run — not only
+    FrontierExplosionError — must release every persisted handle
+    instead of leaking frontier-sized cache blocks."""
+    import pytest
+
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import (
+        variable_length_paths,
+    )
+
+    baseline = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    # JVM-side runtime failure (no UDF): assert_true(false) raises in
+    # the scan feeding e1, i.e. during the guarded path's first
+    # eager action (e1.count()), well under the frontier cap.
+    booby = edges.filter(F.assert_true(F.lit(False)).isNull())
+    with pytest.raises(Exception) as exc:
+        variable_length_paths(
+            booby, "src", "dst", 1, 3, max_frontier_rows=1_000_000
+        )
+    assert "FrontierExplosion" not in type(exc.value).__name__
+    after = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after <= baseline, (baseline, after)
+
+
 # ---------------------------------------------------------------------------
 # Single-record debug diff (SURVEY §5, src/debug.py parity)
 # ---------------------------------------------------------------------------

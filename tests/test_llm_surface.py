@@ -272,6 +272,9 @@ def test_ipv4_rule_guards_and_masking(spark):
         (4, "edge 192.168.0.1"),
         (5, "ssn 123-45-6789 and no ip at all"),
         (6, "build 10.1.2.3456 is a version-ish id, not an IP"),
+        (7, "marker 999.999.999.999 is version-like, octets > 255"),
+        (8, "high end 255.255.255.255 is a real address"),
+        (9, "bad octet 256.1.2.3 and 1.2.3.256 both out of range"),
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     got = {
@@ -296,6 +299,11 @@ def test_ipv4_rule_guards_and_masking(spark):
     # quad-shaped PREFIX of a longer digit run: right guard blocks it
     # (no count, no half-masked host digit)
     assert got[6] == (0, rows[5][1])
+    # r9 octet range check: >255 octets are version-like strings, not
+    # addresses — neither counted nor masked
+    assert got[7] == (0, rows[6][1])
+    assert got[8] == (1, "high end 255.255.255.*** is a real address")
+    assert got[9] == (0, rows[8][1])
 
 
 def test_pii_trace_masking_attributed_per_rule(spark):
