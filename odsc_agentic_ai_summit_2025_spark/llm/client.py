@@ -78,48 +78,70 @@ _MONTHS = {
 _NAME_TOKEN = r"[A-Z][\w'’-]*"  # no dot: a sentence period ends the name
 # separator excludes newlines: a name never wraps across bullet lines
 _NAME_SEQ = rf"{_NAME_TOKEN}(?:[^\S\n]+{_NAME_TOKEN})*"
-_LEAD_NAME_RE = re.compile(rf"(Mr\.|Mrs\.|Ms\.)\s+({_NAME_SEQ})")
+# prefix case-insensitive: a handful of notes are ALL-CAPS ("MRS.
+# ROYCE ROSARIO KASSULKE"); the name tokens still require an upper
+# first letter, so lowercase notes never enter through this branch
+# \b keeps the case-insensitive alternation from matching the TAIL
+# of a word ("Adams. Cecila" must not read as "ms. Cecila")
+_LEAD_NAME_RE = re.compile(rf"\b((?i:Mr|Mrs|Ms)\.)\s+({_NAME_SEQ})")
+# wrapped in a lookahead so a rejected candidate does not CONSUME the
+# next label ("Clinical Note: Patient: Veta ..." — the "Clinical
+# Note" match must not swallow the "Patient" label behind it)
 _LABELED_NAME_RE = re.compile(
-    rf"(?i:\b(?:Full Name|Patient Name|Patient(?:'s)? name"
-    rf"|patient(?:'s)? info(?:rmation)?|Name|Patient)\b)"
-    rf"\s*(?:is|:)?\s*-?\s*"
-    rf"(?i:(?:Officially named\s+)?(?:Mr\.|Mrs\.|Ms\.)?)[^\S\n]*({_NAME_SEQ})",
+    rf"(?=(?i:\b(?:Full Name|Patient Name|Patient(?:'s)? name"
+    rf"|patient(?:'s)? info(?:rmation)?|patient details|clinical note"
+    rf"|Subject|Name|Patient)\b)"
+    rf"(?i:\s*(?:is|:)?\s*-?\s*"
+    rf"(?:Officially named\s+)?(?:Mr\.|Mrs\.|Ms\.)?)[^\S\n]*({_NAME_SEQ}))",
 )
 _PATIENT_NAME_RE = re.compile(
-    rf"(?:patient|record for|note for|concerning|regarding|pertain(?:s|ing)? to"
-    rf"|relates to|named|girl|boy|woman|man)"
+    rf"(?:patient|record for|note for|record of|visit of|summary for"
+    rf"|concerning|regarding|talks about|pertain(?:s|ing)? to"
+    rf"|relates to|named|name of|girl|boy|woman|man)"
     rf"[, ]+(?:a person named\s+|named\s+|namely\s+|name is\s+)?({_NAME_SEQ})"
 )
 # a note that simply opens with the patient's name
 _START_NAME_RE = re.compile(rf"^({_NAME_SEQ})[, ]")
+# free-standing capitalized name sequence — ONLY used anchored to an
+# already-extracted family name (the single-token-lead fallback)
+_ANY_NAME_RE = re.compile(rf"({_NAME_SEQ})")
 _NOT_NAMES = frozenset(
     "This The Clinical Here Patient Information Note Notes Medical Record "
-    "Records Health Summary Document Dr Mr Mrs Ms Presenting Our".split()
+    "Records Health Summary Document Dr Mr Mrs Ms Presenting Our "
+    "Full Name Subject Details Encounter Immunization Contact".split()
 )
 
 
 _LOWER_STOP = frozenset(
     "is was who currently has and the a an born never details info "
-    "health single married divorced widowed he she from lives resides".split()
+    "health single married divorced widowed he she from lives resides "
+    "information profile name uses speaks contact gender date address "
+    "had received their there our this for communication".split()
 )
 _LOWER_NAME_RE = re.compile(
-    r"(?:\bmrs?\.|\bms\.|\bpatient\b\s*:?\s*(?:details\s*:?\s*-?\s*)?(?:mrs?\.|ms\.)?)"
-    r"\s*((?:[a-z][\w'’-]*[ ]?){2,4})"
+    r"(?:(?:official\s+)?name\s*,?\s*(?:is|:)"
+    r"|\bmrs?\.|\bms\."
+    r"|\bpatient\b\s*:?\s*(?:details\s*:?\s*-?\s*)?)"
+    r"\s*(?:mrs?\.\s*|ms\.\s*)?"
+    r"((?:[a-z][\w'’-]*[ ]?){2,4})"
 )
 
 
 def _lowercase_name(note: str) -> str | None:
     """Names in the rare all-lowercase notes: tokens after a prefix or
-    'patient:' label, truncated at the first function word."""
-    m = _LOWER_NAME_RE.search(note)
-    if not m:
-        return None
-    toks = []
-    for t in m.group(1).split():
-        if t in _LOWER_STOP:
-            break
-        toks.append(t)
-    return " ".join(toks) if len(toks) >= 2 else None
+    a name/'patient:' label, truncated at the first function word.
+    Every label occurrence is tried (the first often captures prose
+    like 'patient information'); the first that yields ≥2 plausible
+    tokens wins."""
+    for m in _LOWER_NAME_RE.finditer(note):
+        toks = []
+        for t in m.group(1).split():
+            if t in _LOWER_STOP:
+                break
+            toks.append(t)
+        if len(toks) >= 2:
+            return " ".join(toks)
+    return None
 
 
 def _plausible_name(cand: str) -> bool:
@@ -148,16 +170,63 @@ _PHONE_RE = re.compile(r"(\d{3}-\d{3}-\d{4})")
 _EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")
 # "<street number> <Name Words...>[, Unit N], <City>, <State> [... <zip>]"
 # (tokens allow lowercase: a handful of notes are entirely lowercase)
+# extra street tokens exclude prose connectors: "632 rau row unit 41
+# in worthington" must stop before "in" (the city separator), and
+# "681 Bosco Terrace Apt 39. The postal" before "The" (next
+# sentence). No '.' inside extra tokens either — a sentence period
+# ends the street ("561 Russel Trace. He doesn't ...").
+_STREET_STOP = r"(?!(?i:in|with|and|the|was|is|near|located|of|at|on|from|a|an)\b)"
+_UNIT_WORD = r"(?i:unit(?:[^\S\n]+number)?|suite|apt\.?|apartment(?:[^\S\n]+number)?)"
 _STREET = (
-    r"\d{1,5}[^\S\n]+[A-Za-z][\w'’-]*(?:[^\S\n]+[A-Za-z0-9][\w'’.-]*){0,5}"
-    r"(?:,?[^\S\n]*(?i:unit|suite|apt\.?)[^\S\n]*\w+)?"
+    rf"\d{{1,5}}[^\S\n]+[A-Za-z][\w'’-]*"
+    rf"(?:[^\S\n]+{_STREET_STOP}[A-Za-z0-9][\w'’-]*){{0,5}}"
+    rf"(?:,?[^\S\n]*{_UNIT_WORD}[^\S\n]*\w+)?"
 )
+# "unit 9, 1069 Jaskolski Glen" / "Unit 23 of 1026 Schmitt Mission":
+# a unit clause BEFORE the street number. The gold keeps the comma
+# form verbatim and rewrites the "of" form to "<street>, <unit>".
+_PRE_UNIT_RE = re.compile(
+    rf"({_UNIT_WORD}[^\S\n]*\w+)(,[^\S\n]*|[^\S\n]+of[^\S\n]+)$"
+)
+
+
+def _with_pre_unit(line: str, note: str, street_start: int) -> str:
+    pm = _PRE_UNIT_RE.search(note[max(0, street_start - 30): street_start])
+    if not pm:
+        return line
+    unit = pm.group(1)
+    if "of" in pm.group(2):
+        return f"{line}, {unit}"
+    return f"{unit}, {line}"
+# city side skips prose prefixes ("located in the city of Ludlow");
+# the state separator accepts both the comma form and "in the state
+# of X" / ", state of X" prose
+_CITY_PREFIX = r"(?:(?i:located[^\S\n]+)?(?:(?i:in)[^\S\n]+)?(?:(?i:the[^\S\n]+city[^\S\n]+of)[^\S\n]+)?)"
 _ADDR_RE = re.compile(
     rf"({_STREET})(?:,| in)\s*"
-    r"([A-Za-z][\w'’-]*(?:[^\S\n][A-Za-z][\w'’-]*){0,3}),\s*"
+    rf"{_CITY_PREFIX}"
+    r"([A-Za-z][\w'’-]*(?:[^\S\n][A-Za-z][\w'’-]*){0,3})"
+    r"(?:,\s*|\s+(?i:in)\s+)(?:(?i:the\s+state\s+of\s+|state\s+of\s+)?)"
     r"([A-Za-z]+(?:[^\S\n][A-Za-z]+)*)"
     r"(?:[^\d]{0,30}?(\d{5}))?"
 )
+
+
+def _trim_state(raw: str, lower_states) -> str | None:
+    """The state capture is greedy past the state name ("Massachusetts
+    with the postal code") or prefixed by prose ("a cool place in
+    Massachusetts") — find the state as a leading or trailing word
+    window of the capture."""
+    words = raw.split()
+    for k in (3, 2, 1):
+        if k <= len(words):
+            head = " ".join(words[:k])
+            if head.lower() in lower_states:
+                return head
+            tail = " ".join(words[-k:])
+            if tail.lower() in lower_states:
+                return tail
+    return None
 # a street match is the PATIENT's only in a residence context; street
 # matches inside facility/visit sentences are the hospital's address
 # (the gold leaves patient address null there)
@@ -165,8 +234,9 @@ _RESIDENCE_RE = re.compile(
     r"(?i)resid|lives?|living|home|address|hails|domicil|dwell|stay"
 )
 _FACILITY_RE = re.compile(
-    r"(?i)hospital|clinic|cent(?:er|re)|medical|facility|visit|encounter"
-    r"|rehab|practice|office"
+    r"(?i)hospital|clinic\b|cent(?:er|re)|medical|facility|visit|encounter"
+    r"|rehab|practice|office|organization|corporation|institution"
+    r"|provider|\bllc\b|\binc\b|committee|services"
 )
 # composite fallback parts when the pieces are scattered across
 # sentences ("his residence is at 1048 Koepp Flat, with the postal
@@ -174,8 +244,9 @@ _FACILITY_RE = re.compile(
 # fires only on an explicit residence phrase — an untriggered
 # number+words pattern matches prose like "3 on a scale of 0 to 10".
 _STREET_ONLY_RE = re.compile(
-    rf"(?i:home|resides?|residence|address|living|lives|hails)"
-    rf"\D{{0,25}}?(?:at|is|of|from)?\s+({_STREET})"
+    rf"(?i:home|resides?|residence|address|living|lives|hails"
+    rf"|place located|stays?|street)"
+    rf"\D{{0,70}}?(?:at|is|of|from)?\s+({_STREET})"
 )
 _CITY_STATE_RE = re.compile(
     r"(?:from|in|of)\s+([A-Z][a-z]+(?:\s[A-Z][a-z]+)*),\s*"
@@ -188,6 +259,32 @@ _ALLERGY_RE = re.compile(
     re.I,
 )
 _VACCINE_SENT_RE = re.compile(r"[^.]*vaccin[^.]*\.", re.I)
+# named-vaccine groups: the gold emits one immunization entry per
+# DISTINCT vaccine, however many sentences describe it. Order of
+# first mention = gold entry order. "tetanus" alone is Td, but the
+# word also appears inside DTaP descriptions ("diphtheria, tetanus,
+# and pertussis") — the td entry requires \btd\b or a tetanus
+# mention with no diphtheria nearby.
+_VACCINE_GROUPS: list[tuple[str, str]] = [
+    ("influenza", r"influenza|flu (?:shot|vaccine|jab)"),
+    ("dtap", r"\bdtap\b"),
+    ("hepb", r"hep(?:atitis)?\.?\s*b\b"),
+    ("hepa", r"hep(?:atitis)?\.?\s*a\b"),
+    ("hpv", r"\bhpv\b"),
+    ("ipv", r"\bipv\b|polio"),
+    ("rotavirus", r"rotavirus"),
+    ("pneumo", r"pneumococc"),
+    ("td", r"\btd\b"),
+    ("tetanus", r"tetanus"),
+    ("mmr", r"\bmmr\b|measles"),
+    ("varicella", r"varicella|chickenpox"),
+    ("mening", r"meningococc"),
+    ("covid", r"covid|sars.cov.2"),
+    ("hib", r"\bhib\b"),
+    ("zoster", r"zoster|shingles"),
+]
+_IMMUNIZATION_ANY_RE = re.compile(r"immuniz|vaccin|inoculat|\bjab\b|shot", re.I)
+_SENT_SPLIT_RE = re.compile(r"(?<=[.\n])")
 
 _SUBSTANCE_CATEGORY = {
     "shellfish": "food", "peanut": "food", "peanuts": "food", "fish": "food",
@@ -247,9 +344,47 @@ def _parse_date(text: str) -> str | None:
     return None
 
 
+_TIME_NEAR_RE = re.compile(r"\d{1,2}:\d{2}")
+
+
+def _encounter_date(note: str) -> str | None:
+    """First date that has a clock time within 30 chars on either
+    side — the shape of every encounter/visit timestamp in the notes
+    (birth and death dates are written without times)."""
+    cands = []
+    for pat, build in (
+        (
+            _DATE_MDY_RE,
+            lambda m: (m.group(1).lower(), int(m.group(2)), int(m.group(3))),
+        ),
+        (
+            _DATE_DMY_RE,
+            lambda m: (m.group(2).lower(), int(m.group(1)), int(m.group(3))),
+        ),
+    ):
+        for m in pat.finditer(note):
+            month, day, year = build(m)
+            if month in _MONTHS:
+                cands.append((m.start(), f"{year:04d}-{_MONTHS[month]:02d}-{day:02d}", m))
+    for m in _DATE_ISO_RE.finditer(note):
+        cands.append((m.start(), m.group(1), m))
+    for start, iso, m in sorted(cands, key=lambda c: c[0]):
+        around = note[max(0, start - 30): m.end() + 30]
+        if _TIME_NEAR_RE.search(around):
+            return iso
+    return None
+
+
+_TITLE_TOKENS = frozenset("mr mrs ms miss mx dr".split())
+
+
 def _split_name(full: str) -> tuple[list[str], str]:
     toks = [t[:-2] if t.endswith(("'s", "’s")) else t
             for t in full.replace(",", "").split()]
+    # leading courtesy titles are not given names ("Miss Marylouise
+    # Bode" → given ["Marylouise"], family "Bode")
+    while len(toks) > 1 and toks[0].rstrip(".").lower() in _TITLE_TOKENS:
+        toks = toks[1:]
     if len(toks) == 1:
         return [], toks[0]
     return toks[:-1], toks[-1]
@@ -267,6 +402,29 @@ class MockLLMClient:
         if m:
             prefix = m.group(1)
             given, family = _split_name(m.group(2))
+            if not given:
+                # single-token lead ("Ms. Kuhn"): the gold usually
+                # carries the FULL name, which appears under a label,
+                # opens the note, or stands free in prose — adopt the
+                # longest candidate whose last token is the same
+                # family name (generic scan last: label patterns are
+                # more precise when they hit)
+                for pat in (_LABELED_NAME_RE, _PATIENT_NAME_RE,
+                            _START_NAME_RE, _ANY_NAME_RE):
+                    cand = max(
+                        (
+                            b.group(1)
+                            for b in pat.finditer(note)
+                            if _plausible_name(b.group(1))
+                            and _split_name(b.group(1))[1].lower()
+                            == family.lower()
+                        ),
+                        key=lambda c: len(c.split()),
+                        default=None,
+                    )
+                    if cand:
+                        given, family = _split_name(cand)
+                        break
         else:
             for pat in (_LABELED_NAME_RE, _PATIENT_NAME_RE, _START_NAME_RE):
                 cand = next(
@@ -284,6 +442,21 @@ class MockLLMClient:
                 low_name = _lowercase_name(note)
                 if low_name:
                     given, family = _split_name(low_name)
+                else:
+                    # last resort: the first free-standing plausible
+                    # name sequence not owned by a practitioner
+                    cand = next(
+                        (
+                            b.group(1)
+                            for b in _ANY_NAME_RE.finditer(note)
+                            if _plausible_name(b.group(1))
+                            and "Dr." not in note[max(0, b.start() - 4): b.start()]
+                            and not b.group(1).isupper()
+                        ),
+                        None,
+                    )
+                    if cand:
+                        given, family = _split_name(cand)
 
         # gender only when the note states it explicitly (the gold
         # leaves it null otherwise — prefix alone is not evidence),
@@ -297,6 +470,16 @@ class MockLLMClient:
             if gm:
                 gender = gm.group(1).capitalize()
                 break
+        # gendered nouns, measured against the gold per word: the
+        # reference LLM infers Female from woman/lady/girl (+91 net
+        # on the corpus) and Male from boy (+7), but NOT Male from
+        # man/gentleman/guy (it leaves those null more often than
+        # not, −29 net) — so only the reliable words are mapped
+        if gender is None:
+            if re.search(r"\b(?:woman|lady|girl)\b", note, re.I):
+                gender = "Female"
+            elif re.search(r"\bboy\b", note, re.I):
+                gender = "Male"
 
         # address: first street-shaped match with a recognized state;
         # else assemble from scattered parts. Country: the gold sets
@@ -310,12 +493,14 @@ class MockLLMClient:
         _lower_states = {s.lower() for s in STATE_NAMES}
         best = fallback = None
         for am in _ADDR_RE.finditer(note):
-            state = am.group(3).strip()
-            if state.lower() not in _lower_states:
+            state = _trim_state(am.group(3).strip(), _lower_states)
+            if state is None:
                 continue
             ctx = note[max(0, am.start() - 90): am.start()]
             cand = {
-                "line": am.group(1).strip().rstrip(","),
+                "line": _with_pre_unit(
+                    am.group(1).strip().rstrip(",."), note, am.start()
+                ),
                 "city": am.group(2).strip(),
                 "state": state,
                 "postalCode": am.group(4),
@@ -324,10 +509,16 @@ class MockLLMClient:
             if _RESIDENCE_RE.search(ctx) and not _FACILITY_RE.search(ctx):
                 best = cand
                 break
+            # a facility-context street is the hospital's, not the
+            # patient's — the gold leaves patient address null there
             if fallback is None:
                 fallback = cand
-        addr = best or fallback
+        addr = best
         if addr is None:
+            # composite from scattered residence parts BEFORE the
+            # unattributed fallback: an explicit residence phrase
+            # ("resides in New Bedford ... at 599 Vandervort Annex")
+            # beats a street-city-state match with no context
             cs = next(
                 (
                     m
@@ -349,12 +540,25 @@ class MockLLMClient:
             if cs or st:
                 zm = _ZIP_RE.search(note)
                 addr = {
-                    "line": st.group(1).strip() if st else None,
+                    "line": _with_pre_unit(
+                        st.group(1).strip().rstrip(",."), note, st.start(1)
+                    )
+                    if st
+                    else None,
                     "city": cs.group(1).strip() if cs else None,
                     "state": cs.group(2).strip() if cs else None,
                     "postalCode": zm.group(1) if zm else None,
                     "country": "US",
                 }
+                if fallback is not None:
+                    # residence-context parts win field-wise; the
+                    # unattributed full parse fills what they miss
+                    addr = {
+                        k: v if v is not None else fallback[k]
+                        for k, v in addr.items()
+                    }
+            else:
+                addr = fallback
 
         low = note.lower()
         marital = None
@@ -406,8 +610,28 @@ class MockLLMClient:
                     ]
                 }
 
+        # prefix recovery for names that arrived through a label /
+        # lowercase / generic path: a courtesy title directly before
+        # any extracted name token is the patient's prefix (emitted
+        # as written; the eval compares case-insensitively)
+        if prefix is None and family:
+            anchor = (given[0] if given else family)
+            pm = re.search(
+                rf"\b((?i:Mr|Mrs|Ms|Miss)\.?)[^\S\n]+{re.escape(anchor)}",
+                note,
+            )
+            if pm:
+                prefix = pm.group(1)
+
         return {
-            "name": {"family": family, "given": given or None, "prefix": prefix},
+            # family-only extraction keeps given=[] (not null): the
+            # gold emits an EMPTY given list for single-name patients
+            # ~20× more often than a null one (measured 64 vs 3)
+            "name": {
+                "family": family,
+                "given": given if (given or family) else None,
+                "prefix": prefix,
+            },
             "age": None,
             "gender": gender,
             "birthDate": _parse_date(note),
@@ -439,20 +663,49 @@ class MockLLMClient:
 
     # -- L3 -----------------------------------------------------------------
     def extract_immunizations(self, note: str) -> list[dict[str, Any]] | None:
+        if not _IMMUNIZATION_ANY_RE.search(note):
+            return None
+        low = note.lower()
+        found: list[tuple[int, str]] = []  # (first-mention pos, group)
+        for grp, pat in _VACCINE_GROUPS:
+            m = re.search(pat, low)
+            if m:
+                found.append((m.start(), grp))
+        # tetanus inside a DTaP description is not a separate Td shot
+        groups = {g for _, g in found}
+        if "tetanus" in groups and ("dtap" in groups or "diphtheria" in low):
+            found = [(p, g) for p, g in found if g != "tetanus"]
+        found.sort()
         out = []
-        for m in _VACCINE_SENT_RE.finditer(note):
-            sent = m.group(0)
-            dm = re.search(r"on\s+(\w+)\s+(\d{1,2}),?\s+(\d{4})", sent)
-            when = None
-            if dm and dm.group(1).lower() in _MONTHS:
-                when = (
-                    f"{int(dm.group(3)):04d}-"
-                    f"{_MONTHS[dm.group(1).lower()]:02d}-{int(dm.group(2)):02d}"
-                )
+        for pos, _grp in found:
+            # the vaccine's own sentence may carry its date
+            s = low.rfind(".", 0, pos) + 1
+            e = note.find(".", pos)
+            sent = note[s: e if e != -1 else len(note)]
             out.append(
-                {"traits": None, "status": "completed", "occurrenceDateTime": when}
+                {
+                    "traits": None,
+                    "status": "completed",
+                    "occurrenceDateTime": _date_in(sent),
+                }
             )
-        return out or None
+        if not out:
+            # generic "an immunization was administered" with no
+            # named vaccine still gets one entry in the gold
+            out.append(
+                {"traits": None, "status": "completed",
+                 "occurrenceDateTime": None}
+            )
+        # vaccine sentence without its own date: the gold stamps the
+        # ENCOUNTER's datetime on the immunization ("During this
+        # visit, X received ..."). Encounter dates are the ones
+        # adjacent to a clock time — birth/death dates never are —
+        # so the first time-adjacent date in the note is the fallback
+        if out[0]["occurrenceDateTime"] is None:
+            enc = _encounter_date(note)
+            if enc:
+                out[0]["occurrenceDateTime"] = enc
+        return out
 
     # -- L5 -----------------------------------------------------------------
     def prune_schema(self, schema_xml: str, question: str) -> str:
