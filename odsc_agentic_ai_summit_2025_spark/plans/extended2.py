@@ -354,3 +354,57 @@ QUERIES = [
     Query("q62_window_join", q62_window_join, Q62_SQL,
           ("J3", "streaming"), "bucketed interval join (clicks before purchase)"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# q108 — windowed approx-distinct (the oracle-checked batch half of
+# streaming.windowed_distinct_stream, r8's windowed-HLL twin): hourly
+# event windows, portable-HLL distinct users per window NEXT TO the
+# exact count, plus the window row count. Same buckets as
+# F.window("ts", "1 hour") (hour windows align to epoch, so
+# date_trunc('hour') is the identical bucketing — asserted by
+# tests/test_extended_ops.py). The production form uses native
+# approx_count_distinct (HLL++); the portable sketch is what makes
+# the per-window rollup DuckDB-oracle-checkable bit for bit.
+# ---------------------------------------------------------------------------
+
+def q108_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_approx_distinct
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "user_id"
+    )
+    hll = hll_approx_distinct(
+        ev, ["window_start"], "user_id", out_col="n_users_approx"
+    )
+    exact = ev.groupBy("window_start").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return hll.join(exact, "window_start")
+
+
+def _q108_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    inner = hll_sql("we", "window_start", "user_id", "n_users_approx")
+    return f"""
+WITH we AS (SELECT date_trunc('hour', ts) AS window_start, user_id
+            FROM events),
+ex AS (SELECT window_start,
+              COUNT(DISTINCT user_id) AS n_users_exact,
+              COUNT(*) AS n_events
+       FROM we GROUP BY 1),
+hll AS ({inner})
+SELECT window_start, n_users_approx, n_users_exact, n_events
+FROM hll JOIN ex USING (window_start)
+"""
+
+
+# q108 is an r9 TAIL addition (the r9 window is pinned; the r10
+# rotation pulls it forward per the COVERAGE.md invariant).
+TAIL_QUERIES = [
+    Query("q108_windowed_hll", q108_windowed_hll, _q108_sql(),
+          ("A4", "streaming"),
+          "windowed approx-distinct: per-hour portable HLL + exact"),
+]

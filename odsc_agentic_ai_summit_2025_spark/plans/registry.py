@@ -102,12 +102,13 @@ def all_queries() -> dict[str, Query]:
 # (q105, q01, q03-q25, q34-q45, q63, q66, q76, q78-q81, q96-q101 —
 # 50 queries, all r8-green) plus the THREE queries bumped out of the
 # r9 window at exactly 2 rounds stale: q52_percentiles, q53_cube,
-# q55_rolling_revenue (pin these three FIRST), plus any r9 TAIL
-# additions. 53+ candidates for 50 slots → lead with q52/q53/q55 and
-# any TAILs, then the r8 cohort minus the same number of trivially-
-# derisked relational queries (candidates: q04_case_when,
-# q05_coalesce, q16_range_count — pure column ops exercised by every
-# other query); pin the bumped names first in the r11 note.
+# q55_rolling_revenue (pin these three FIRST), plus the r9 TAIL
+# addition q108_windowed_hll (never driver-checked — pin it right
+# after the three). 54 candidates for 50 slots → lead with
+# q52/q53/q55/q108, then the r8 cohort minus FOUR trivially-derisked
+# relational queries (candidates: q04_case_when, q05_coalesce,
+# q16_range_count, q17_topk — pure column ops / limits exercised by
+# every other query); pin the bumped names first in the r11 note.
 # Steady-state invariant (COVERAGE.md): every query's last driver row
 # is ≤2 rounds old.
 #

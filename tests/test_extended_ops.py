@@ -173,6 +173,50 @@ def test_windowed_distinct_stream_parity(spark, sf_dir, events_stream_dir):
         )
 
 
+def test_q108_is_the_batch_halfs_bucketing(spark, sf_dir):
+    """q108 (r9 TAIL, the oracle-checked face of the windowed-HLL
+    tier) must bucket exactly like streaming.windowed_distinct /
+    its stream twin: same window set, same per-window row count,
+    same EXACT distinct — only the sketch differs (portable
+    DuckDB-checkable HLL vs native HLL++), and both estimates stay
+    within the sanity band of the exact count."""
+    from odsc_agentic_ai_summit_2025_spark.plans.extended2 import (
+        q108_windowed_hll,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        windowed_distinct,
+    )
+
+    q = {
+        r["window_start"]: r
+        for r in q108_windowed_hll(spark, sf_dir).collect()
+    }
+    b = {
+        r["window_start"]: r
+        for r in windowed_distinct(
+            read_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert set(q) == set(b) and q
+    for ws, row in q.items():
+        assert row["n_events"] == b[ws]["n_events"]
+        exact = row["n_users_exact"]
+        # native HLL++ has small-range correction: banded everywhere
+        approx = b[ws]["n_users_approx"]
+        assert abs(approx - exact) <= max(3, 0.15 * exact), (
+            ws, approx, exact,
+        )
+        # the portable sketch deliberately omits linear counting
+        # (sketches.py module doc), so its band applies only in the
+        # raw-estimator regime (exact ≳ 2.5·m with m=32 registers)
+        if exact >= 80:
+            papprox = row["n_users_approx"]
+            assert abs(papprox - exact) <= max(3, 0.2 * exact), (
+                ws, papprox, exact,
+            )
+
+
 def test_sessionize_stream_parity(spark, sf_dir, events_stream_dir):
     from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
     from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
