@@ -105,6 +105,13 @@ def main() -> None:
 
     matrix: dict[str, dict] = {}
 
+    # pinned quiet-host floors at the 300k-doc reference scale
+    # (min-of-passes under the corrected GC protocol)
+    _FLOORS = {
+        "minhash_candidates": 11.0,   # r8: true floor ~9-11 s
+        "curation_pipeline_e2e": 33.0,  # r8: 28.7-32.0 s
+    }
+
     from odsc_agentic_ai_summit_2025_spark.cache import sweep_blocks
 
     def sweep():
@@ -154,9 +161,29 @@ def main() -> None:
                "sec": min(secs),
                "sec_median": round(statistics.median(secs), 2),
                "passes": secs, "load": loads}
+        # standing-floor regression flag (r9, verdict item 4): the
+        # min-of-passes is compared against the pinned quiet-host
+        # floor; >1.5x at low steal marks the artifact row so a real
+        # plan regression can't hide inside run-to-run noise. Floors
+        # use the CORRECTED protocol (inter-pass System.gc(), per-pass
+        # gc_ms) — minhash's is ~9-11 s/300k docs, not the stale r7
+        # ~21 s rebaseline (that number measured one pass + a share of
+        # its predecessor's ContextCleaner residue; see SCALING.md r8).
+        floor = _FLOORS.get(name)
+        if floor is not None and n_docs >= 250_000:
+            max_steal = max(
+                (l.get("steal_pct", 0.0) or 0.0) for l in loads
+            ) if loads else 0.0
+            rec["floor_sec"] = floor
+            rec["floor_flag"] = bool(
+                rec["sec"] > 1.5 * floor and max_steal < 2.0
+            )
         matrix[name] = {"result": out, "sec": rec["sec"],
                         "sec_median": rec["sec_median"], "passes": secs,
                         "load": loads}
+        for k in ("floor_sec", "floor_flag"):
+            if k in rec:
+                matrix[name][k] = rec[k]
         print(json.dumps(rec), flush=True)
 
     stage(
