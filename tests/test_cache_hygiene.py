@@ -289,3 +289,36 @@ def test_graph_analytics_release_reaches_generator_caches(spark, sf_dir):
         cache.release(out)
         assert _n_blocks(spark) == baseline, q.__name__
         assert not cache._REGISTRY, q.__name__
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_review_r5c: release hygiene regressions
+# ---------------------------------------------------------------------------
+
+
+def test_fts_index_release_drops_cache(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.fts import build_fts_index
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i} shared word") for i in range(20)], ["doc_id", "text"]
+    )
+    idx = build_fts_index(docs, "text", "doc_id", cache=True)
+    idx.postings.count()  # materialize the caches
+    assert idx.postings.storageLevel.useMemory
+    idx.release()
+    assert not idx.postings.storageLevel.useMemory
+    assert not idx.dls.storageLevel.useMemory
+    assert not idx.dfreq.storageLevel.useMemory
+
+
+def test_q47_release_returns_block_census_to_baseline(spark, sf_dir):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.plans.extended import q47_ivf_knn
+
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    out = q47_ivf_knn(spark, sf_dir)
+    out.count()
+    assert jsc.getPersistentRDDs().size() > base  # the IVF assignment
+    release(out)
+    assert jsc.getPersistentRDDs().size() == base

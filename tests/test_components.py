@@ -290,3 +290,51 @@ def test_pagerank_checkpoint_every_bounds_plan_and_matches(spark):
     after = dict(spark.sparkContext._jsc.getPersistentRDDs())
     assert len(after) < len(before), "release freed nothing"
     assert len(after) <= max(len(before) - 3, 0)
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_review_r5d: components release/ownership
+# ---------------------------------------------------------------------------
+
+
+def test_components_release_on_minlabel_raise(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    # a 12-node chain cannot converge in 1 round even with the jump
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["a_id", "b_id"]
+    )
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(
+            chain, algorithm="minlabel", max_iterations=1
+        ).count()
+    assert jsc.getPersistentRDDs().size() == base  # no leaked labels
+
+
+def test_components_propagate_generator_caches(spark):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "unrelated words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    comp = connected_components(jaccard_pairs(docs, "text", "doc_id", 0.8))
+    labels = {r["id"]: r["cluster_id"] for r in comp.collect()}
+    assert labels == {1: 1, 2: 1}
+    release(comp)
+    # the jaccard prefix persist AND the label checkpoint both freed
+    assert jsc.getPersistentRDDs().size() == base

@@ -264,3 +264,52 @@ def test_vocab_coverage_manual_and_invariant(spark):
     rb = sorted(map(tuple, b.collect()))
     cache.release(b)
     assert ra == rb and len(ra) == 8  # w0..w4, x, y, common
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_review_r5b/d: repetition-stats fixed-point and
+# short-doc oracle regressions
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_point_dup2_survives_giant_repetitive_doc(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators import curation as ops
+
+    # > 214748 duplicate 2-grams: (n2 - n2d) * 10000 overflows int32
+    # unless the operands are widened first. Under ANSI mode (pyspark 4
+    # default) the unwidened form throws; with ANSI off it wrapped
+    # negative and ADMITTED the worst repetitive documents.
+    text = "spam " * 230_000
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+
+    stats = ops.repetition_stats(docs, "text", "doc_id").collect()[0]
+    assert stats.dup2_frac_e4 == 9999  # (n2-1)/n2 in e4 fixed point
+    assert stats.repetitive
+
+    gate = ops.ingest_gate(docs, ["zz yy xx"], "text", "doc_id").collect()[0]
+    assert gate.dup2_frac_e4 == 9999
+    assert not gate.admit
+
+
+def test_q72_oracle_keeps_short_docs(spark):
+    import duckdb
+
+    from odsc_agentic_ai_summit_2025_spark.operators import curation as ops
+    from odsc_agentic_ai_summit_2025_spark.plans.curation import Q72_SQL
+
+    rows = [(1, "hello"), (2, ""), (3, "a a b")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup2_frac_e4"])
+        for r in ops.repetition_stats(docs, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        r[0]: (r[1], r[4])
+        for r in con.execute(Q72_SQL).fetchall()
+    }
+    # columns: doc_id, n_tokens, top_tok_n, top_frac_e4, dup2_frac_e4
+    assert set(got) == {1, 2, 3}
+    assert oracle == got  # short docs present on BOTH sides, dup2=0

@@ -354,3 +354,25 @@ def test_semantic_decontamination(spark):
         not r["contaminated"] and r["n_bench_hits"] == 0
         for r in clean.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_review_r5d: null-text curriculum exclusion
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_excludes_null_text(spark):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.curation import (
+        curriculum_order,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good long document with many words"), (2, None), (3, "short")],
+        ["doc_id", "text"],
+    )
+    out = curriculum_order(docs, "text", "doc_id", n_buckets=2)
+    rows = out.collect()
+    release(out)
+    assert {r["doc_id"] for r in rows} == {1, 3}
+    assert sorted(r["train_pos"] for r in rows) == [0, 1]  # dense

@@ -741,3 +741,97 @@ def test_interval_grammar_errors():
         _interval_seconds("500 ms")
     with pytest.raises(ValueError, match="bad interval"):
         _interval_seconds("90")
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_review_r5b/d: similarity/sketch/asof regressions
+# ---------------------------------------------------------------------------
+
+
+def test_knn_bruteforce_ties_break_by_neighbor_id(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    # 40 identical corpus vectors → every candidate ties at cosine 1.0;
+    # the only correct top-3 under the documented contract is the three
+    # smallest neighbor ids. Spread over many partitions so the local
+    # cut (not just the global window) is exercised.
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    queries = spark.createDataFrame(rows[:2], ["vec_id", "embedding"])
+    got = {
+        (r["q_id"], r["rank"]): r["n_id"]
+        for r in knn_bruteforce(
+            corpus, queries, "embedding", "vec_id", "vec_id", k=3
+        ).collect()
+    }
+    assert got == {
+        (0, 1): 1, (0, 2): 2, (0, 3): 3,  # id 0 excluded (self)
+        (1, 1): 0, (1, 2): 2, (1, 3): 3,  # id 1 excluded (self)
+    }
+
+
+def test_hll_ignores_nulls(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        hll_approx_distinct,
+        hll_sql,
+    )
+
+    vals = [("g1", f"v{i}") for i in range(200)]
+    clean = spark.createDataFrame(vals, ["g", "v"])
+    noisy = spark.createDataFrame(
+        vals + [("g1", None)] * 5 + [("g2", None)] * 3, ["g", "v"]
+    )
+    est_clean = {
+        r["g"]: r["approx"]
+        for r in hll_approx_distinct(clean, ["g"], "v").collect()
+    }
+    est_noisy = {
+        r["g"]: r["approx"]
+        for r in hll_approx_distinct(noisy, ["g"], "v").collect()
+    }
+    # nulls must not perturb the estimate, and an all-null group has
+    # no registers at all → absent (matching the oracle twin)
+    assert est_noisy == est_clean
+    assert "g2" not in est_noisy
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        vals + [("g1", None), ("g2", None)],
+    )
+    oracle = dict(con.execute(hll_sql("t", "g", "v")).fetchall())
+    assert oracle == est_clean
+
+
+def test_byte_histogram_rejects_non_power_of_two_bins(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.multimodal import (
+        byte_histogram,
+    )
+
+    media = spark.createDataFrame([(1, bytearray(b"abc"))], ["media_id", "payload"])
+    with pytest.raises(ValueError, match="power of two"):
+        byte_histogram(media, n_bins=10)
+
+
+def test_asof_null_keys_never_match(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, 7, 10)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 99.0), (7, 5, 42.0)], "user_id long, pts long, v double"
+    )
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="pts",
+            value_cols=["v"],
+        ).collect()
+    }
+    # NULL = NULL never matches (equi-join semantics); real key does
+    assert got == {1: None, 2: 42.0}

@@ -173,3 +173,38 @@ def test_bm25_bag_semantics_weights_repeated_query_terms(spark):
         for r in bm25_scores(df, "text", "doc_id", ["apple"]).collect()
     }
     assert abs((twice[1] - once[1]) - single_apple[1]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_review_r5d: IVF cosine assignment invariance
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_cosine_assignment_on_unnormalized_corpus(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators import ivf
+
+    # same directions at wildly different magnitudes: cosine clusters
+    # by direction; L2 would split by magnitude and an exact-direction
+    # duplicate could land outside its query's top-nprobe cluster
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for d in range(20):
+        v = rng.normal(size=16)
+        for mag in (0.01, 1.0, 100.0):
+            rows.append((vid, (mag * v).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    index = ivf.ivf_build(df, "vec", "vid", k_clusters=4, seed=1)
+    by_cluster = {
+        r["vid"]: r["cluster_id"] for r in index.assigned.collect()
+    }
+    index.release()
+    # exactly-parallel vectors share a cluster regardless of
+    # magnitude — the invariance the cosine probe requires (the old
+    # L2 assignment binned by magnitude instead)
+    for d in range(20):
+        trio = {by_cluster[3 * d + j] for j in range(3)}
+        assert len(trio) == 1, (d, trio)

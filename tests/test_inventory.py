@@ -33,3 +33,15 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
         return
     ok, detail = compare(df, oracle_con, q.oracle)
     assert ok, f"{name}: {detail}"
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_review_r5c: inventory input validation
+# ---------------------------------------------------------------------------
+
+
+def test_run_inventory_rejects_unknown_names(spark):
+    from odsc_agentic_ai_summit_2025_spark.plans.oracle import run_inventory
+
+    with pytest.raises(ValueError, match="unknown query names"):
+        run_inventory(spark, "/root/testdata/sf0.001", names=["q999_typo"])

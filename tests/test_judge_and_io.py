@@ -504,3 +504,88 @@ def test_hostload_sample_and_delta():
     # missing counters degrade to None, never raise
     d2 = hostload.delta({"la1": None, "jt": None, "js": None}, b)
     assert d2["steal_pct"] is None and d2["la1"] is None
+
+
+# ---------------------------------------------------------------------------
+# Folded from the round-named review modules (r3/r5c): IO unit
+# detection, distributed row index, trail semantics
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, name, unit):
+    ts = pa.array([1_704_067_200_000_000 + i * 3_600_000_000 for i in range(4)],
+                  type=pa.timestamp("us"))
+    if unit == "ns":
+        ts = ts.cast(pa.timestamp("ns"))
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "c"]),
+        "value": pa.array([1.5, 2.5, 3.5, 4.5]),
+        "props": pa.array(["{}", "{}", "{}", "{}"]),
+    })
+    path = str(tmp_path / name)
+    pq.write_table(t, path)
+    return path
+
+
+def test_events_ts_unit_detected(spark, tmp_path):
+    """NANOS and MICROS files with identical instants read identically."""
+    import shutil
+
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    for unit in ("us", "ns"):
+        d = tmp_path / unit
+        d.mkdir()
+        _write_events(d, "events.parquet", unit)
+    a = read_table(spark, str(tmp_path / "us"), "events").orderBy("event_id").collect()
+    b = read_table(spark, str(tmp_path / "ns"), "events").orderBy("event_id").collect()
+    assert [r["ts"] for r in a] == [r["ts"] for r in b]
+    assert a[0]["ts"].year == 2024
+    shutil.rmtree(tmp_path / "us")
+    shutil.rmtree(tmp_path / "ns")
+
+
+def test_row_index_distributed_empty_input(spark):
+    from odsc_agentic_ai_summit_2025_spark.sources.io import (
+        with_row_index_distributed,
+    )
+
+    df = spark.createDataFrame([], "k long, v string")
+    out = with_row_index_distributed(df, ["k"])
+    assert out.count() == 0
+    assert "record_id" in out.columns
+
+
+def test_variable_length_paths_trail_semantics(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import (
+        variable_length_paths,
+    )
+
+    # mutual edges a<->b: the only 3-walk a->b->a->b reuses edge a->b,
+    # so Cypher *3..3 matches nothing
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    assert variable_length_paths(edges, "src", "dst", 3, 3).count() == 0
+    got = {
+        (r["start"], r["end"], r["hops"])
+        for r in variable_length_paths(edges, "src", "dst", 1, 2).collect()
+    }
+    assert got == {
+        ("a", "b", 1), ("b", "a", 1), ("a", "a", 2), ("b", "b", 2),
+    }
+    # a triangle's 3-hop trails close the cycle without edge reuse
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    got3 = {
+        (r["start"], r["end"])
+        for r in variable_length_paths(tri, "src", "dst", 3, 3).collect()
+    }
+    assert got3 == {("a", "a"), ("b", "b"), ("c", "c")}

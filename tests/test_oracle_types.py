@@ -100,3 +100,16 @@ def test_cast_q80_passes_type_parity(spark, sf_dir, oracle_con):
 )
 def test_type_mapping(duck, spark_t, want):
     assert _types_compatible(duck, spark_t) is want
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_review_r5c: oracle cell normalization
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_norm_handles_signed_zero_and_nan():
+    from odsc_agentic_ai_summit_2025_spark.plans.oracle import _norm_cell
+
+    assert repr(_norm_cell(-0.0)) == repr(_norm_cell(0.0))
+    assert _norm_cell(float("nan")) != "NaN"  # no string collision
+    assert _norm_cell(float("nan")) == _norm_cell(float("nan"))

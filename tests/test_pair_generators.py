@@ -295,3 +295,119 @@ def test_editdist_near_pairs_planted(spark):
     assert got.get((1, 2)) == 2      # 'w7' -> 'w99': substitute + insert
     assert got.get((1, 3)) == 0      # canonicalization erases case/punct
     assert all(4 not in pair for pair in got)
+
+
+# ---------------------------------------------------------------------------
+# Folded from test_r3_fixes/test_review_r5b/c: pair-generator
+# numeric-core regressions (fixed-point thresholds, null text,
+# zero-norm vectors)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("threshold,n", [(0.07, 100), (0.8, 10), (0.1, 30)])
+def test_ppjoin_prefix_bound_integer_exact(threshold, n):
+    """(n*t_e4 + 9999) div 10000 equals true ceil(t*n) where double
+    arithmetic can overshoot (0.07*100 -> 7.000000000000001)."""
+    import math
+    from fractions import Fraction
+
+    t_e4 = int(threshold * 10000)
+    got = (n * t_e4 + 9999) // 10000
+    want = math.ceil(Fraction(t_e4, 10000) * n)
+    assert got == want
+
+
+def test_jaccard_pairs_low_threshold_lossless(spark):
+    """At t=0.07 the double-ceil form dropped qualifying pairs; the
+    fixed-point prefix must keep every pair the naive all-pairs
+    program finds."""
+    from itertools import combinations
+
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import jaccard_pairs
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i, i + 25)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(df, "text", "doc_id", threshold=0.07).collect()
+    }
+    toks = {i: set(t.split()) for i, t in rows}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(toks), 2)
+        if (len(toks[a] & toks[b]) * 10000) // len(toks[a] | toks[b]) >= 700
+    }
+    assert got == want
+
+
+def test_jaccard_threshold_rounds_not_truncates(spark):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import jaccard_pairs
+
+    # inter=110, union=193: jaccard_e4 = 1100000 div 193 = 5699 — one
+    # e4 below 0.57. int(0.57*10000)==5699 (double product lands low),
+    # so the truncating form admitted this pair; round() must not.
+    shared = [f"t{i}" for i in range(110)]
+    only_a = [f"a{i}" for i in range(41)]
+    only_b = [f"b{i}" for i in range(42)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(shared + only_a)),
+            (2, " ".join(shared + only_b)),
+        ],
+        ["doc_id", "text"],
+    )
+    out = jaccard_pairs(docs, "text", "doc_id", threshold=0.57)
+    rows = out.collect()
+    release(out)
+    assert rows == []
+
+    # sanity: the same pair IS admitted once the threshold allows it
+    out2 = jaccard_pairs(docs, "text", "doc_id", threshold=0.5699)
+    rows2 = out2.collect()
+    release(out2)
+    assert [(r["a_id"], r["b_id"], r["jaccard_e4"]) for r in rows2] == [
+        (1, 2, 5699)
+    ]
+
+
+def test_simhash_and_exact_dedup_tolerate_null_text(spark):
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import (
+        exact_dedup_groups,
+        simhash_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, None), (4, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    sh = simhash_table(docs, "text", "simhash").collect()
+    assert {r["doc_id"] for r in sh} == {1, 4}  # null rows dropped, no crash
+
+    groups = exact_dedup_groups(docs, "text", "doc_id").collect()
+    # one real group for the duplicate content; NO bogus NULL-digest
+    # group collapsing the two null-text docs
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1 and groups[0]["n_copies"] == 2
+
+
+def test_neardup_pairs_tolerate_zero_vector(spark):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
+    from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0]),  # zero norm: must not NaN the block GEMM
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 1e-4, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    out = embedding_neardup_pairs(df, "embedding", "doc_id", threshold=0.95)
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    release(out)
+    assert pairs == {(1, 2)}
