@@ -190,7 +190,12 @@ _EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")
 _STREET_STOP = r"(?!(?i:in|with|and|the|was|is|near|located|of|at|on|from|a|an)\b)"
 _UNIT_WORD = r"(?i:unit(?:[^\S\n]+number)?|suite|apt\.?|apartment(?:[^\S\n]+number)?)"
 _STREET = (
-    rf"\d{{1,5}}[^\S\n]+[A-Za-z][\w'’-]*"
+    # a number followed by a duration/measure noun is prose ("stayed
+    # 2 nights", "3 beats"), never a street
+    rf"\d{{1,5}}[^\S\n]+"
+    rf"(?!(?i:night|day|week|month|year|hour|minute|time|beat|mg|ml"
+    rf"|kg|lb|bpm|percent)s?\b)"
+    rf"[A-Za-z][\w'’-]*"
     rf"(?:[^\S\n]+{_STREET_STOP}[A-Za-z0-9][\w'’-]*){{0,5}}"
     rf"(?:,?[^\S\n]*{_UNIT_WORD}[^\S\n]*\w+)?"
 )
@@ -220,7 +225,7 @@ _ADDR_RE = re.compile(
     r"([A-Za-z][\w'’-]*(?:[^\S\n][A-Za-z][\w'’-]*){0,3})"
     r"(?:,\s*|\s+(?i:in)\s+)(?:(?i:the\s+state\s+of\s+|state\s+of\s+)?)"
     r"([A-Za-z]+(?:[^\S\n][A-Za-z]+)*)"
-    r"(?:[^\d]{0,30}?(\d{5}))?"
+    r"(?:[^\d]{0,60}?(\d{5}))?"
 )
 
 
@@ -228,7 +233,11 @@ def _trim_state(raw: str, lower_states) -> str | None:
     """The state capture is greedy past the state name ("Massachusetts
     with the postal code") or prefixed by prose ("a cool place in
     Massachusetts") — find the state as a leading or trailing word
-    window of the capture."""
+    window of the capture. Two-letter abbreviations stay REJECTED:
+    accepting "MA" was re-measured in r9 and still drags the address
+    cluster down ~2pp — facility addresses use the abbreviation, so
+    "52 CARPENTER ST, ATTLEBORO, MA" starts matching as the patient's
+    residence (the original r8 finding, confirmed)."""
     words = raw.split()
     for k in (3, 2, 1):
         if k <= len(words):
@@ -264,7 +273,7 @@ _CITY_STATE_RE = re.compile(
     r"(?:from|in|of)\s+([A-Z][a-z]+(?:\s[A-Z][a-z]+)*),\s*"
     r"([A-Z][a-z]+(?:\s[A-Z][a-z]+)*)"
 )
-_ZIP_RE = re.compile(r"(?i:postal\s*code|zip)\D{0,10}(\d{5})")
+_ZIP_RE = re.compile(r"(?i:postal\s*code|postcode|zip)\D{0,40}?(\d{5})")
 _ALLERGY_RE = re.compile(
     r"allerg\w+\s+(?:towards?|to)\s+(?:the\s+substance\s+)?['\"]?([a-z][\w -]*?)['\"]?[,.\s]"
     r"|allergy\s*:\s*([a-z][\w -]*)",
@@ -313,7 +322,8 @@ _SUBSTANCE_CATEGORY = {
 }
 
 _NEVER_MARRIED_RE = re.compile(
-    r"never[\s\S]{0,22}marri|unmarried|not married"
+    r"never[\s\S]{0,22}(?:marri|hitched)|unmarried|not married"
+    r"|hasn'?t (?:been )?marri|not hitched"
     r"|marital status\s*:?\s*(?:single|never)",
     re.I,
 )
@@ -532,13 +542,17 @@ class MockLLMClient:
             if state is None:
                 continue
             ctx = note[max(0, am.start() - 90): am.start()]
+            zm = _ZIP_RE.search(note)
             cand = {
                 "line": _with_pre_unit(
                     am.group(1).strip().rstrip(",."), note, am.start()
                 ),
                 "city": am.group(2).strip(),
                 "state": state,
-                "postalCode": am.group(4),
+                # an explicitly LABELED postal code wins over the
+                # positional capture (the gold trusts the label when
+                # the two disagree); positional is the fallback
+                "postalCode": (zm.group(1) if zm else None) or am.group(4),
                 "country": "US",
             }
             if _RESIDENCE_RE.search(ctx) and not _FACILITY_RE.search(ctx):
@@ -546,7 +560,11 @@ class MockLLMClient:
                 break
             # a facility-context street is the hospital's, not the
             # patient's — the gold leaves patient address null there
-            if fallback is None:
+            if fallback is None and not re.search(
+                r"(?i)organization|corporation|institution|provider"
+                r"|\bllc\b|\binc\b|committee|facility",
+                ctx,
+            ):
                 fallback = cand
         addr = best
         if addr is None:
@@ -574,6 +592,10 @@ class MockLLMClient:
             )
             if cs or st:
                 zm = _ZIP_RE.search(note)
+                if zm is None and cs is not None:
+                    zm = re.match(
+                        r"\D{0,15}?(\d{5})\b", note[cs.end():]
+                    )
                 addr = {
                     "line": _with_pre_unit(
                         st.group(1).strip().rstrip(",."), note, st.start(1)
@@ -603,7 +625,17 @@ class MockLLMClient:
             marital = "Divorced"
         elif "widow" in low:
             marital = "Widowed"
-        elif re.search(r"\bmarried\b|\bhitched\b", low):
+        elif re.search(r"\bmatrimony\b|\bwedlock\b", low) or any(
+            # maiden-name prose ("known as X before she got married")
+            # is not a marital-status statement — the gold leaves
+            # those null; require a match without "before"/"maybe"
+            # immediately upstream
+            not re.search(
+                r"(?i)\b(?:before|maybe|perhaps)\b[^.\n]{0,24}$",
+                low[max(0, mm.start() - 30): mm.start()],
+            )
+            for mm in re.finditer(r"\bmarried\b|\bhitched\b", low)
+        ):
             marital = "Married"
 
         # language: a known language name in any clause that talks

@@ -297,3 +297,165 @@ SELECT g AS {group_col},
          // (s + ({HLL_M} - nb) * CAST({HLL_SCALE} AS BIGINT)) AS {out_col}
 FROM hll_s
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HDR-histogram quantiles (r9)
+# ---------------------------------------------------------------------------
+#
+# The 100-TB path for percentiles: exact `percentile()` (q52) sorts
+# per group — fine at bench scale, quadratic pain at corpus scale —
+# and the native alternatives (Spark approx_percentile = Greenwald-
+# Khanna, DuckDB approx_quantile = t-digest) use different float
+# internals, so neither can be oracle-checked across engines. This
+# sketch is the quantile analog of the portable HLL above: a
+# log-scale (HDR) histogram with HDR_MANTISSA_BITS of sub-bucket
+# resolution, INTEGER ARITHMETIC ONLY (length(bin(v)) exponent,
+# shift/div bucketing, ceil-division rank targets), so Spark and
+# DuckDB produce identical buckets, identical cumulative ranks, and
+# identical answers bit for bit.
+#
+# Guarantees: for non-negative int64 values, the reported bucket
+# [bucket_lo, bucket_hi] contains the exact q-quantile (rank
+# ceil(q·n), ties to the lower bucket), and bucket width is
+# ≤ 2^-HDR_MANTISSA_BITS · value (≤ 6.25 % relative error at 4
+# mantissa bits); values < 2^HDR_MANTISSA_BITS are EXACT (unit
+# buckets).
+#
+# Scale shape: algebraic like the HLL — groupBy(group, bucket).count
+# partial-aggregates map-side; each task ships at most groups ×
+# (64 · 2^HDR_MANTISSA_BITS ≈ 1024) bucket rows into the shuffle
+# whatever the row count, and shard histograms merge by SUM (the
+# merge ≡ refit algebra is pinned by test).
+
+HDR_MANTISSA_BITS = 4
+
+
+def hdr_histogram(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HDR bucket counts: [*group_cols, bucket_lo,
+    bucket_hi, n_rows]. Nulls and negatives are rejected by
+    filter (documented contract: non-negative int64 measures —
+    cents, token counts, byte sizes)."""
+    v = F.col(value_col).cast("long")
+    base = df.filter(v.isNotNull() & (v >= 0)).select(
+        *group_cols, v.alias("_hdr_v")
+    )
+    # bucket power: 2^max(exponent − mantissa_bits, 0), exponent via
+    # the binary-string length (the same integer device the HLL rank
+    # uses) — no logs, no floats
+    b = base.select(
+        *group_cols,
+        "_hdr_v",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(greatest("
+            f"length(bin(_hdr_v)) - 1 - {HDR_MANTISSA_BITS}, 0) AS INT))"
+        ).alias("_p2"),
+    ).select(
+        *group_cols,
+        (F.expr("_hdr_v div _p2") * F.col("_p2")).alias("bucket_lo"),
+        ((F.expr("_hdr_v div _p2") + 1) * F.col("_p2") - 1).alias(
+            "bucket_hi"
+        ),
+    )
+    return b.groupBy(*group_cols, "bucket_lo", "bucket_hi").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles_e4: list[int],
+) -> DataFrame:
+    """Per-group quantiles from the HDR histogram: one row per
+    (group, q_e4) with the containing bucket. Rank target is the
+    exact integer ceil(q·n) = (q_e4·n + 9999) div 10000; the answer
+    bucket is the first (by bucket_lo) whose cumulative count
+    reaches it — identical integer math in the DuckDB twin
+    (:func:`hdr_quantile_sql`)."""
+    from pyspark.sql import Window as W
+
+    hist = hdr_histogram(df, value_col, group_cols)
+    w = W.partitionBy(*group_cols).orderBy("bucket_lo")
+    wall = W.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bucket_lo",
+        "bucket_hi",
+        F.sum("n_rows").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("_cum"),
+        F.sum("n_rows").over(wall).alias("_n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(q)) for q in quantiles_e4])
+    ).alias("q_e4")
+    expanded = cum.select(*group_cols, "bucket_lo", "bucket_hi",
+                          "_cum", "_n", qs)
+    hit = expanded.filter(
+        F.col("_cum") * 10000 >= F.col("q_e4") * F.col("_n")
+    )
+    pick = W.partitionBy(*group_cols, "q_e4").orderBy("bucket_lo")
+    return (
+        hit.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *group_cols,
+            "q_e4",
+            "bucket_lo",
+            "bucket_hi",
+            F.col("_n").alias("n_rows"),
+        )
+    )
+
+
+def hdr_quantile_sql(
+    table_expr: str,
+    value_col: str,
+    group_col: str,
+    quantiles_e4: list[int],
+) -> str:
+    """DuckDB twin of :func:`hdr_quantiles` (same integer math)."""
+    qlist = ", ".join(f"({int(q)})" for q in quantiles_e4)
+    return f"""
+WITH hdr_v AS (
+  SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS v
+  FROM {table_expr}
+  WHERE {value_col} IS NOT NULL AND {value_col} >= 0
+),
+hdr_b AS (
+  SELECT g,
+         (v // p2) * p2 AS bucket_lo,
+         (v // p2 + 1) * p2 - 1 AS bucket_hi
+  FROM (
+    SELECT g, v,
+           (CAST(1 AS BIGINT) << CAST(GREATEST(length(bin(v)) - 1
+              - {HDR_MANTISSA_BITS}, 0) AS INT)) AS p2
+    FROM hdr_v
+  )
+),
+hdr_h AS (
+  SELECT g, bucket_lo, bucket_hi, COUNT(*) AS n_rows
+  FROM hdr_b GROUP BY 1, 2, 3
+),
+hdr_c AS (
+  SELECT g, bucket_lo, bucket_hi,
+         CAST(SUM(n_rows) OVER (PARTITION BY g ORDER BY bucket_lo
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(n_rows) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM hdr_h
+),
+hdr_q AS (SELECT * FROM (VALUES {qlist}) AS t(q_e4)),
+hdr_hit AS (
+  SELECT g, q_e4, bucket_lo, bucket_hi, n,
+         ROW_NUMBER() OVER (PARTITION BY g, q_e4
+                            ORDER BY bucket_lo) AS rk
+  FROM hdr_c CROSS JOIN hdr_q
+  WHERE cum * 10000 >= q_e4 * n
+)
+SELECT g AS {group_col}, q_e4, bucket_lo, bucket_hi, n AS n_rows
+FROM hdr_hit WHERE rk = 1
+""".strip()

@@ -401,10 +401,54 @@ FROM hll JOIN ex USING (window_start)
 """
 
 
-# q108 is an r9 TAIL addition (the r9 window is pinned; the r10
-# rotation pulls it forward per the COVERAGE.md invariant).
+# ---------------------------------------------------------------------------
+# q109 — HDR-histogram quantiles (the 100-TB percentile path): exact
+# `percentile()` (q52) sorts per group; the native approximations
+# (GK / t-digest) cannot be oracle-checked across engines. The
+# portable HDR sketch (operators/sketches.py) buckets o_totalprice
+# cents on a log scale with integer arithmetic only, so the p50/p90/
+# p99 answer buckets hash-match DuckDB bit for bit, per priority,
+# next to the exact percentile for the error story.
+# ---------------------------------------------------------------------------
+
+_Q109_QS = [5000, 9000, 9900]
+
+
+def q109_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hdr_quantiles
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        # exact integer cents: totals have 2 decimals by construction
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return hdr_quantiles(
+        orders, "cents", ["o_orderpriority"], _Q109_QS
+    )
+
+
+def _q109_sql() -> str:
+    from ..operators.sketches import hdr_quantile_sql
+
+    inner = hdr_quantile_sql(
+        "(SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+        " AS cents FROM orders)",
+        "cents",
+        "o_orderpriority",
+        _Q109_QS,
+    )
+    return inner
+
+
+# q108/q109 are r9 TAIL additions (the r9 window is pinned; the r10
+# rotation pulls them forward per the COVERAGE.md invariant).
 TAIL_QUERIES = [
     Query("q108_windowed_hll", q108_windowed_hll, _q108_sql(),
           ("A4", "streaming"),
           "windowed approx-distinct: per-hour portable HLL + exact"),
+    Query("q109_hdr_quantiles", q109_hdr_quantiles, _q109_sql(),
+          ("A3", "O2"),
+          "HDR-histogram quantiles: portable log-bucket percentile sketch"),
 ]

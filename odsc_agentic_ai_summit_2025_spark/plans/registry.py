@@ -103,12 +103,13 @@ def all_queries() -> dict[str, Query]:
 # 50 queries, all r8-green) plus the THREE queries bumped out of the
 # r9 window at exactly 2 rounds stale: q52_percentiles, q53_cube,
 # q55_rolling_revenue (pin these three FIRST), plus the r9 TAIL
-# addition q108_windowed_hll (never driver-checked — pin it right
-# after the three). 54 candidates for 50 slots → lead with
-# q52/q53/q55/q108, then the r8 cohort minus FOUR trivially-derisked
-# relational queries (candidates: q04_case_when, q05_coalesce,
-# q16_range_count, q17_topk — pure column ops / limits exercised by
-# every other query); pin the bumped names first in the r11 note.
+# additions q108_windowed_hll and q109_hdr_quantiles (never
+# driver-checked — pin them right after the three). 55 candidates
+# for 50 slots → lead with q52/q53/q55/q108/q109, then the r8 cohort
+# minus FIVE trivially-derisked relational queries (candidates:
+# q04_case_when, q05_coalesce, q16_range_count, q17_topk,
+# q18_union — pure column ops / limits / unions exercised by every
+# other query); pin the bumped names first in the r11 note.
 # Steady-state invariant (COVERAGE.md): every query's last driver row
 # is ≤2 rounds old.
 #

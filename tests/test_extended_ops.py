@@ -835,3 +835,78 @@ def test_asof_null_keys_never_match(spark):
     }
     # NULL = NULL never matches (equi-join semantics); real key does
     assert got == {1: None, 2: 42.0}
+
+
+def test_hdr_quantiles_bracket_exact_percentile(spark, sf_dir):
+    """q109's sketch contract: for every (group, q) the reported
+    bucket CONTAINS the exact rank-ceil(q·n) order statistic, and the
+    bucket width respects the 2^-HDR_MANTISSA_BITS relative-error
+    bound (small values are exact: unit buckets below 2^mantissa)."""
+    import math
+
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        HDR_MANTISSA_BITS,
+        hdr_quantiles,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    got = hdr_quantiles(
+        orders, "cents", ["o_orderpriority"], [5000, 9000, 9900]
+    ).collect()
+    vals = {}
+    for r in orders.collect():
+        vals.setdefault(r["o_orderpriority"], []).append(r["cents"])
+    for v in vals.values():
+        v.sort()
+    assert len(got) == 3 * len(vals)
+    for r in got:
+        v = vals[r["o_orderpriority"]]
+        exact = v[math.ceil(r["q_e4"] * len(v) / 10000) - 1]
+        assert r["bucket_lo"] <= exact <= r["bucket_hi"], (r, exact)
+        width = r["bucket_hi"] - r["bucket_lo"]
+        assert width <= max(0, r["bucket_lo"] // (1 << HDR_MANTISSA_BITS)), r
+
+
+def test_hdr_histogram_shard_merge_equals_refit(spark, sf_dir):
+    """The sketch algebra: histograms fit on disjoint shards merge by
+    SUM of bucket counts into exactly the full-corpus histogram —
+    the property that makes the sketch a one-pass, fixed-state
+    operator at any scale."""
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        hdr_histogram,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = sorted(
+        map(
+            tuple,
+            hdr_histogram(orders, "cents", ["o_orderpriority"]).collect(),
+        )
+    )
+    shards = [
+        hdr_histogram(
+            orders.filter(F.col("cents") % 2 == i),
+            "cents",
+            ["o_orderpriority"],
+        )
+        for i in range(2)
+    ]
+    merged = sorted(
+        map(
+            tuple,
+            shards[0]
+            .unionByName(shards[1])
+            .groupBy("o_orderpriority", "bucket_lo", "bucket_hi")
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+            .collect(),
+        )
+    )
+    assert merged == full and full
