@@ -567,3 +567,37 @@ def test_bpe_fold_sql_matches_greedy_scan(words, merges):
         f"SELECT w, {bpe_seg_len_sql(merges)} AS n FROM (VALUES {vals}) t(w)"
     ).fetchall()
     assert dict(got) == {w: scan_len(w) for w in words}
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(0, 2**40), min_size=1, max_size=60
+    ),
+    q_e4=st.sampled_from([1, 2500, 5000, 9000, 9900, 10000]),
+)
+def test_hdr_quantiles_bracket_property(spark, vals, q_e4):
+    """q109's sketch invariant over the input space: for ANY
+    non-negative int64 multiset and ANY quantile, the reported bucket
+    contains the exact rank-ceil(q·n) order statistic and respects
+    the 2^-mantissa relative-width bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        HDR_MANTISSA_BITS,
+        hdr_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long").withColumn(
+        "g", F.lit("g")
+    )
+    (row,) = hdr_quantiles(df, "v", ["g"], [q_e4]).collect()
+    exact = sorted(vals)[math.ceil(q_e4 * len(vals) / 10000) - 1]
+    assert row["bucket_lo"] <= exact <= row["bucket_hi"]
+    assert (
+        row["bucket_hi"] - row["bucket_lo"]
+        <= max(0, row["bucket_lo"] >> HDR_MANTISSA_BITS)
+    )
+    assert row["n_rows"] == len(vals)
