@@ -113,7 +113,8 @@ _NOT_NAMES = frozenset(
     "Records Health Summary Document Dr Mr Mrs Ms Presenting Our "
     "Full Name Subject Details Encounter Immunization Contact "
     "Allergy Status Procedure Type Entry Address Gender Language "
-    "Marital Date Birth".split()
+    "Marital Date Birth Preferred Communication Confirmed Unspecified "
+    "Procedural History Provider Organization Intolerance".split()
 )
 
 
@@ -137,9 +138,14 @@ _LOWER_NAME_RE = re.compile(
 def _lowercase_name(note: str) -> str | None:
     """Names in the rare all-lowercase notes: tokens after a prefix or
     a name/'patient:' label, truncated at the first function word.
+    Gated on the note actually BEING lowercase (≤ 8 uppercase chars):
+    on mixed-case notes these patterns capture prose fragments
+    ("consists of", "these above-mentioned") instead of names.
     Every label occurrence is tried (the first often captures prose
     like 'patient information'); the first that yields ≥2 plausible
     tokens wins."""
+    if sum(c.isupper() for c in note) > 8:
+        return None
     for m in _LOWER_NAME_RE.finditer(note):
         toks = []
         for t in m.group(1).split():
