@@ -121,3 +121,20 @@ def test_exact_dedup_shuffles_digests_not_documents(spark, sf_dir):
     plan = _optimized_plan(q.spark(spark, sf_dir))
     # the aggregate keys on the digest expression
     assert "sha2" in plan
+
+
+def test_q109_hdr_shuffles_buckets_not_rows(spark, sf_dir):
+    """q109's exchange must carry bucket rows (post-partial-aggregate),
+    never the raw value rows: the partial count appears BEFORE the
+    first exchange, and the scan reads only the two referenced
+    columns."""
+    q = all_queries()["q109_hdr_quantiles"]
+    plan = _physical_plan(q.spark(spark, sf_dir))
+    # the tree prints top-down, so the DEEPEST exchange is the last
+    # "Exchange" in the string; the map-side partial count must sit
+    # BELOW it (later in the string), i.e. before any shuffle
+    assert "partial_count" in plan
+    assert plan.rindex("Exchange") < plan.index("partial_count"), plan
+    # scan reads only the two referenced columns
+    tail = plan[plan.rindex("FileScan"):][:400]
+    assert "o_comment" not in tail and "o_clerk" not in tail, tail
