@@ -258,7 +258,7 @@ def _trim_state(raw: str, lower_states) -> str | None:
 # matches inside facility/visit sentences are the hospital's address
 # (the gold leaves patient address null there)
 _RESIDENCE_RE = re.compile(
-    r"(?i)resid|lives?|living|home|address|hails|domicil|dwell|stay"
+    r"(?i)resid|lives?|living|home|(?<!email )address|hails|domicil|dwell|stay"
 )
 _FACILITY_RE = re.compile(
     r"(?i)hospital|clinic\b|cent(?:er|re)|medical|facility|visit|encounter"
@@ -548,7 +548,13 @@ class MockLLMClient:
             if state is None:
                 continue
             ctx = note[max(0, am.start() - 90): am.start()]
-            zm = _ZIP_RE.search(note)
+            # labeled zip scoped to a window around THIS address (a
+            # label elsewhere in the note may belong to a facility
+            # address or another candidate); whole-note search only
+            # as the fallback when the window misses
+            zm = _ZIP_RE.search(
+                note[max(0, am.start() - 120): am.end() + 120]
+            ) or _ZIP_RE.search(note)
             cand = {
                 "line": _with_pre_unit(
                     am.group(1).strip().rstrip(",."), note, am.start()

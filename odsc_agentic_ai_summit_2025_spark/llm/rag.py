@@ -116,18 +116,24 @@ class HybridRag:
         power-law/hub-heavy graph refuses in seconds with
         :class:`FrontierExplosionError` (recorded in
         ``graph_refusals`` by ``ask``) instead of launching an
-        effectively unbounded trail-expansion job."""
+        effectively unbounded trail-expansion job.
+
+        Views are memoized per edge table: the graph is immutable per
+        :class:`HybridRag` instance, so the first question that
+        mentions a trails view pays the guarded expansion (plus the
+        eager edge count) and every later one reuses it. Nothing is
+        released or re-registered until a NEW frame exists, so a
+        guard refusal mid-build leaves no stale view behind."""
         tables = self.graph.tables()
         for name in sorted({
             m.group(1)
             for m in re.finditer(r"\b(\w+)_trails\b", sql)
         }):
+            if name in self._trail_views:
+                continue
             edges = tables.get(name)
             if edges is None or not {"src", "dst"} <= set(edges.columns):
                 continue
-            prev = self._trail_views.pop(name, None)
-            if prev is not None:
-                cache.release(prev)
             n_edges = edges.count()
             trails = variable_length_paths(
                 edges, "src", "dst", 1, max_hops,

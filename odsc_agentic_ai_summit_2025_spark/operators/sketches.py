@@ -355,9 +355,14 @@ def hdr_histogram(
     ).select(
         *group_cols,
         (F.expr("_hdr_v div _p2") * F.col("_p2")).alias("bucket_lo"),
-        ((F.expr("_hdr_v div _p2") + 1) * F.col("_p2") - 1).alias(
-            "bucket_hi"
-        ),
+        # bucket_lo + (p2 - 1), NOT (v/p2 + 1)*p2 - 1: the latter's
+        # intermediate hits 2^63 for top-bucket values (v ≥ 31·2^58)
+        # and overflows int64 under ANSI mode; parenthesization
+        # matters — lo + p2 is the same overflow
+        (
+            F.expr("_hdr_v div _p2") * F.col("_p2")
+            + (F.col("_p2") - F.lit(1))
+        ).alias("bucket_hi"),
     )
     return b.groupBy(*group_cols, "bucket_lo", "bucket_hi").agg(
         F.count(F.lit(1)).alias("n_rows")
@@ -429,7 +434,9 @@ WITH hdr_v AS (
 hdr_b AS (
   SELECT g,
          (v // p2) * p2 AS bucket_lo,
-         (v // p2 + 1) * p2 - 1 AS bucket_hi
+         -- lo + (p2 - 1): same value as (v//p2 + 1)*p2 - 1 without
+         -- the 2^63 intermediate for top-bucket values
+         (v // p2) * p2 + (p2 - 1) AS bucket_hi
   FROM (
     SELECT g, v,
            (CAST(1 AS BIGINT) << CAST(GREATEST(length(bin(v)) - 1

@@ -749,7 +749,9 @@ def dsir_model_cms_stream(
         # double-count its grams — breaking the bit-for-bit
         # prefix-equality guarantee above. batch_ids are a
         # monotonically increasing sequence per query, so remembering
-        # the last folded id is a complete idempotence guard.
+        # the last folded id is a complete idempotence guard —
+        # PROVIDED state commits only after every effect (including
+        # the sink callback) succeeds; see the ordering below.
         if state["last_batch_id"] is not None and (
             batch_id <= state["last_batch_id"]
         ):
@@ -770,12 +772,23 @@ def dsir_model_cms_stream(
         prev = state["cms"]
         # eager: the previous checkpoint's blocks feed `merged` and
         # must stay live until the new state is materialized
-        state["cms"] = merged.localCheckpoint(eager=True)
+        new_cms = merged.localCheckpoint(eager=True)
+        # deliver to the sink BEFORE committing state: if sink()
+        # raises, state is unchanged and the new checkpoint is
+        # released, so a redelivery of the same batch_id re-folds
+        # from the prior state instead of being swallowed by the
+        # idempotence guard (which alone would make sink delivery
+        # at-most-once under partial failure)
+        if sink is not None:
+            try:
+                sink(new_cms, batch_id)
+            except BaseException:
+                cache.release_frame(new_cms)
+                raise
+        state["cms"] = new_cms
         state["last_batch_id"] = batch_id
         if prev is not None:
             cache.release_frame(prev)
-        if sink is not None:
-            sink(state["cms"], batch_id)
 
     query = (
         stream.writeStream.foreachBatch(_fold)

@@ -249,3 +249,69 @@ def test_gate_broadcast_releases_through_wrapper_loss_fallback(spark, sf_dir):
     assert len(cache._REGISTRY) == n_reg + 1  # broadcast entry live
     cache.release(wrapped)  # fallback: plan-match through Project
     assert len(cache._REGISTRY) == n_reg  # consumed + pruned
+
+
+def test_dsir_cms_stream_sink_failure_keeps_at_least_once(
+    spark, sf_dir, tmp_path
+):
+    """Sink delivery ordering (r10): a sink() failure must leave the
+    fold state UNCOMMITTED — committing last_batch_id before the sink
+    runs would make the idempotence guard swallow the redelivery and
+    silently drop that batch's snapshot (at-most-once). With
+    sink-first ordering the redelivered batch re-folds from unchanged
+    state and the final model still equals the batch refit."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release_frame
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        dsir_model_cms_stream,
+    )
+
+    docs = _docs(spark, sf_dir)
+    shards = [
+        docs.filter(F.col("doc_id") % 2 == i).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(2)
+    ]
+    d = tmp_path / "dsir_cms_sinkfail_in"
+    d.mkdir()
+    # only shard 0 goes through the real stream; shard 1 is delivered
+    # manually below so the failure is injected deterministically
+    shards[0].toPandas().to_parquet(d / "shard-0.parquet", index=False)
+
+    snapshots = []
+    fail_next = {"on": False}
+
+    def sink(model_df, batch_id):
+        if fail_next["on"]:
+            fail_next["on"] = False
+            raise RuntimeError("sink outage")
+        snapshots.append(sorted(map(tuple, model_df.collect())))
+
+    q = dsir_model_cms_stream(spark, str(d), "src1", sink)
+    q.awaitTermination(120)
+    assert len(snapshots) == 1
+    state = q.dsirModelState
+    committed = sorted(map(tuple, state["cms"].collect()))
+
+    # batch 1 delivery fails inside the sink: state must not advance
+    fail_next["on"] = True
+    try:
+        q.dsirModelFold(shards[1], 1)
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("sink failure must propagate")
+    assert state["last_batch_id"] == 0
+    assert sorted(map(tuple, state["cms"].collect())) == committed
+    assert len(snapshots) == 1  # no snapshot recorded for the failure
+
+    # redelivery of the SAME batch_id (foreachBatch retry) now folds
+    # and the standing model equals the full-corpus batch refit
+    q.dsirModelFold(shards[1], 1)
+    assert state["last_batch_id"] == 1
+    full = sorted(
+        map(tuple, dsir_model_cms(docs, "text", "source", "src1").collect())
+    )
+    assert snapshots[-1] == full
+    assert sorted(map(tuple, state["cms"].collect())) == full
+    release_frame(state["cms"])

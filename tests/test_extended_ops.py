@@ -910,3 +910,48 @@ def test_hdr_histogram_shard_merge_equals_refit(spark, sf_dir):
         )
     )
     assert merged == full and full
+
+
+def test_hdr_histogram_top_bucket_no_int64_overflow(spark):
+    """Top-bucket values (v ≥ 31·2^58) used to overflow int64 in the
+    bucket_hi intermediate ((v div p2 + 1)·p2 hits 2^63, an error
+    under ANSI mode and in the DuckDB twin). bucket_hi is now
+    bucket_lo + (p2 − 1) — same value, max 2^63−1, and Spark and the
+    SQL twin agree bucket-for-bucket on extreme inputs."""
+    import duckdb
+
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        HDR_MANTISSA_BITS,
+        hdr_quantile_sql,
+        hdr_quantiles,
+    )
+
+    imax = (1 << 63) - 1
+    vals = [0, 1, 7, (1 << 58) * 31, imax - 1, imax]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v long"
+    )
+    got = sorted(
+        map(tuple, hdr_quantiles(df, "v", ["g"], [5000, 9999]).collect())
+    )
+    # the max value must land in the last bucket, whose hi is exactly
+    # int64 max (no wraparound / no exception)
+    top = max(got, key=lambda r: r[2])
+    assert top[3] == imax and top[2] == imax - (
+        (1 << (63 - 1 - HDR_MANTISSA_BITS)) - 1
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('g', CAST({v} AS BIGINT))" for v in vals)
+        + ") AS x(g, v)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                hdr_quantile_sql("t", "v", "g", [5000, 9999])
+            ).fetchall(),
+        )
+    )
+    assert got == want

@@ -216,15 +216,29 @@ def test_hybrid_rag_trail_views_and_hub_guard(spark, notes_df, gold_df):
     ).collect()[0]["n"]
     n_edges = rag.graph.tables()["treats"].count()
     assert n == 2 * n_edges or n > 0  # symmetrized hop-1 trails
-    # refusal path: shrink the guard below even the hop-1 frontier —
-    # ask() must return (no unbounded job), record the clear error,
-    # and still produce a vector-side answer
+    # memoization (r10): the graph is immutable per instance, so a
+    # second question referencing the same view must NOT redo the
+    # guarded expansion — same frame handle, even with the guard
+    # cranked to zero (a rebuild would refuse)
+    first_frame = rag._trail_views["treats"]
     rag.trail_guard_factor = 0
-    ans = rag.ask("How many patients connect to Arla Fritsch in 4 hops?")
-    assert rag.graph_refusals, "guard trip not recorded"
-    assert "max_frontier_rows" in rag.graph_refusals[-1]
+    rag._materialize_trail_views("... treats_trails ...", max_hops=1)
+    assert rag._trail_views["treats"] is first_frame
+    # refusal path: fresh instance (no memoized view) with the guard
+    # below even the hop-1 frontier — ask() must return (no unbounded
+    # job), record the clear error, and still produce a vector-side
+    # answer; no stale temp view may be left registered by the
+    # refused build
+    rag2 = HybridRag(
+        spark, build_graph(gold_df), notes_df, client=TrailClient()
+    )
+    rag2.trail_guard_factor = 0
+    ans = rag2.ask("How many patients connect to Arla Fritsch in 4 hops?")
+    assert rag2.graph_refusals, "guard trip not recorded"
+    assert "max_frontier_rows" in rag2.graph_refusals[-1]
     assert ans.graph_rows == [] and ans.graph_answer == ""
     assert isinstance(ans.final_answer, str)
+    assert "treats" not in rag2._trail_views
 
 
 @needs_ref
