@@ -432,37 +432,73 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
     (``a_id < b_id``) — the clustering-coefficient numerator, and for
     a near-dup graph a direct "mutually-similar triple" detector.
 
-    Shape: the classic ordered three-way join — enumerate each
-    triangle exactly once as (a < b < c) via edges(a,b) ⋈ edges(b,c)
-    ⋈ edges(a,c) — then fan each triangle to its three corners and
-    count. Joins key on vertex ids (partial-combined, AQE-skewed);
-    nothing is ever materialized per-wedge beyond the join itself. At
-    scale the standard refinement is degree-ordering (orient edges
-    low-degree → high-degree so hub wedges never enumerate); the gate
-    graph is far too small to need it, and the ordered-id join is the
-    same plan shape.
+    Shape: degree-oriented wedge join (the standard at-scale
+    formulation). Each undirected edge is oriented from its
+    lower-``(degree, id)`` endpoint to its higher one, so every
+    vertex's OUT-degree is bounded by O(√m) whatever its raw degree
+    (a vertex can only point at neighbors at least as central as
+    itself). Wedges are then pairs of out-edges sharing a source —
+    hub vertices of a power-law pair graph (exactly what near-dup
+    graphs are) contribute no wedges from their hub side, so the
+    wedge join cannot hot-key — and a wedge (u→v, u→w) closes into a
+    triangle iff the oriented edge v→w exists. Each triangle is
+    enumerated exactly once (from its lowest-rank corner); the id-
+    ordered three-way join this replaces shuffled hub vertices' full
+    adjacency. ``(degree, id)`` is a total order, so orientation is
+    deterministic and the counts are orientation-invariant either
+    way.
 
     Output: ``[id, n_triangles]`` — every vertex, zero-filled.
-    The pair list is consumed THREE times by the 3-way join, so it is
-    persisted (pair generators like the Jaccard join are far more
-    expensive than the edge list is large); released via
-    ``cache.release(result)``.
+    The oriented edge list is consumed three times (both wedge sides
+    + closure probe), so it is persisted (pair generators like the
+    Jaccard join are far more expensive than the edge list is
+    large); released via ``cache.release(result)``.
     """
-    e = pairs.select(
-        F.col("a_id").alias("a"), F.col("b_id").alias("b")
-    ).persist()
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = (
-        e1.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
-        .select("a", "b", "c")
+    e = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
     )
+    da = deg.select(F.col("id").alias("a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("_deg").alias("_db"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge [src → dst] with the dst's rank carried for the
+    # wedge-ordering comparison below
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("_db")).otherwise(F.col("_da")).alias(
+            "_ddeg"
+        ),
+    ).persist()
+    w1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("_ddeg").alias("_dv"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("_ddeg").alias("_dw"),
+    )
+    # order the wedge arms by the same (degree, id) rank so each
+    # unordered out-neighbor pair appears once, and the closing edge
+    # (v, w) carries exactly the orientation the edge list stores
+    wedges = w1.join(w2, "u").filter(
+        (F.col("_dv") < F.col("_dw"))
+        | ((F.col("_dv") == F.col("_dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
     corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
+        tri.select(F.col("u").alias("id"))
+        .unionAll(tri.select(F.col("v").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
     )
     per_v = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
     # pairs/vertices ride along so an upstream generator's own caches
@@ -476,7 +512,7 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
             "id",
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         ),
-        e,
+        oriented,
         pairs,
         vertices,
     )

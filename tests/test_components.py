@@ -228,6 +228,46 @@ def test_triangle_counts_k4_plus_chain(spark):
     assert all(got[i] == 0 for i in (10, 11, 12, 13, 99))
 
 
+def test_triangle_counts_hub_star_vs_bruteforce(spark):
+    """Degree-oriented counting (r10) on the hub shape that hot-keyed
+    the old id-ordered join: a mid-id hub tied to every spoke plus
+    ring edges among consecutive spokes, checked per-vertex against a
+    brute-force Python count. Orientation must not change counts —
+    they are a property of the undirected graph."""
+    import itertools
+
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        triangle_counts,
+    )
+
+    n, hub = 40, 20
+    edges = {tuple(sorted((i, hub))) for i in range(n) if i != hub}
+    edges |= {
+        (i, i + 1)
+        for i in range(0, n - 1)
+        if i % 3 == 1 and hub not in (i, i + 1)
+    }
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {
+        i: sum(
+            1
+            for v, w in itertools.combinations(sorted(adj[i]), 2)
+            if w in adj[v]
+        )
+        for i in range(n)
+    }
+    pairs = spark.createDataFrame(sorted(edges), "a_id long, b_id long")
+    verts = spark.range(n).select(F.col("id"))
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(pairs, verts).collect()
+    }
+    assert got == want and sum(want.values()) > 0
+
+
 def test_pagerank_fixed_star_and_determinism(spark):
     """Star center outranks leaves; isolated vertex holds teleport
     mass only; result identical under input repartitioning."""
