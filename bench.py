@@ -13,6 +13,32 @@ import sys
 import time
 
 
+def _prior_round_queries(sf_val) -> dict[str, float]:
+    """Per-query medians (short qNN keys) from the most recent
+    driver-recorded BENCH_r*.json AT THE SAME scale factor — the
+    baseline the self-adjudication pass compares against (a run at a
+    different SF has no comparable prior). Empty when none parses."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent
+    best_n, best = -1, {}
+    for p in root.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        try:
+            parsed = json.loads(p.read_text()).get("parsed") or {}
+            qs = parsed.get("queries") or {}
+        except (OSError, ValueError):
+            continue
+        if qs and parsed.get("sf") == sf_val and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), {
+                k: v for k, v in qs.items() if isinstance(v, (int, float))
+            }
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from odsc_agentic_ai_summit_2025_spark.plans.registry import all_queries
@@ -136,8 +162,44 @@ def main() -> None:
         )
     total = sum(v for v in timings.values() if v == v)
 
+    # Self-adjudication (r10, VERDICT r9 #3): two rounds in a row the
+    # interleaved bench needed manual host-noise adjudication after
+    # the fact. Now any cell >25% AND >0.5 s over the prior round's
+    # BENCH_r*.json gets an ISOLATED re-measure (fresh session, empty
+    # block manager — scripts/profile_query.py, the same protocol the
+    # manual adjudications used) appended to the artifact as
+    # `adjudicated_min`, so a flagged cell carries its own
+    # plan-vs-noise evidence. Bounded: one subprocess for all flagged
+    # names, ≤ 8 of them (more than that is a global host event, not
+    # per-query regressions — the overflow is listed, not hidden).
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    flagged, adjudicated = [], {}
+    prior = _prior_round_queries(sf_val)
+    for name, med in sorted(timings.items()):
+        p = prior.get(name.split("_", 1)[0])
+        if p and med == med and med > 1.25 * p and med - p > 0.5:
+            flagged.append(name)
+    if flagged and os.environ.get("SPARK_GRAFT_BENCH_ADJUDICATE", "1") != "0":
+        import subprocess
+
+        run_names = flagged[:8]
+        try:
+            proc = subprocess.run(
+                [sys.executable, "scripts/profile_query.py", *run_names,
+                 "--sf", sf_dir, "--runs", "3"],
+                capture_output=True, text=True, timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for ln in proc.stdout.splitlines():
+                try:
+                    rec = json.loads(ln)
+                    adjudicated[rec["query"]] = rec["min"]
+                except (ValueError, KeyError):
+                    continue
+        except (OSError, subprocess.TimeoutExpired) as e:
+            print(f"bench adjudication skipped: {e}", file=sys.stderr)
+
     # The driver captures only the LAST 2000 chars of output and
     # parses the final JSON line from it; round 2's full-name 71-query
     # line was ~2.1 KB and lost its front to the buffer (BENCH_r02:
@@ -160,6 +222,24 @@ def main() -> None:
         },
         "sf": sf_val,
     }
+    # compact load + adjudication evidence on the contract line (the
+    # driver keeps only the last 2000 chars, so per-query loads stay
+    # in BENCH_LOCAL.json; here just the worst-window summary and the
+    # isolated mins for the flagged cells)
+    all_loads = [rec for recs in loads.values() for rec in recs]
+    if all_loads:
+        line["load"] = {
+            "la1_max": max(r.get("la1", 0.0) or 0.0 for r in all_loads),
+            "steal_pct_max": max(
+                r.get("steal_pct", 0.0) or 0.0 for r in all_loads
+            ),
+        }
+    if flagged:
+        line["flagged_vs_prior"] = [n.split("_", 1)[0] for n in flagged]
+        line["adjudicated_min"] = {
+            n.split("_", 1)[0]: adjudicated.get(n)
+            for n in flagged
+        }
     detail = {
         "metric": "inventory_total_runtime",
         "value": round(total, 4),
@@ -172,6 +252,8 @@ def main() -> None:
         },
         "queries_passes": {k: v for k, v in sorted(passes.items())},
         "queries_load": {k: v for k, v in sorted(loads.items())},
+        "flagged_vs_prior": flagged,
+        "adjudicated_min": adjudicated,
         "sf": sf_val,
     }
     try:
