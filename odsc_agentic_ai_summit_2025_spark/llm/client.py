@@ -114,7 +114,7 @@ _NOT_NAMES = frozenset(
     "Full Name Subject Details Encounter Immunization Contact "
     "Allergy Status Procedure Type Entry Address Gender Language "
     "Marital Date Birth Preferred Communication Confirmed Unspecified "
-    "Procedural History Provider Organization Intolerance".split()
+    "Procedural History Provider Organization Intolerance United States".split()
 )
 
 
@@ -129,6 +129,8 @@ _LOWER_NAME_RE = re.compile(
     r"(?:(?:official\s+)?name\s*,?\s*(?:is|:)"
     r"|name\s+(?:him|her)"
     r"|\bmrs?\.|\bms\."
+    r"|\binformation\s+about\s+"
+    r"|\bpatient\s+here\s*:?\s*"
     r"|\bpatient\b\s*:?\s*(?:details\s*:?\s*-?\s*)?)"
     r"\s*(?:mrs?\.\s*|ms\.\s*)?"
     r"((?:[a-z][\w'’-]*[ ]?){2,4})"
@@ -628,6 +630,14 @@ class MockLLMClient:
                     }
             else:
                 addr = fallback
+
+        # the reference LLM records an address only when it sees a
+        # complete one — a street line WITH a city; scattered partial
+        # fragments (line-only from a survey/pharmacy mention,
+        # city-only from a facility locality) are left null in the
+        # gold far more often than not (measured r10: +126 cells)
+        if addr is not None and not (addr.get("line") and addr.get("city")):
+            addr = None
 
         low = note.lower()
         marital = None

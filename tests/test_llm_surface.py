@@ -91,7 +91,9 @@ def test_field_accuracy_report(spark, notes_df, gold_df):
     assert rows["birthDate"]["accuracy"] > 0.80
     assert rows["maritalStatus"]["accuracy"] > 0.80
     acc = overall_accuracy(report)
-    assert 0.5 < acc <= 1.0
+    # r10: the rule set clears the reference's live-LLM 93.9% and the
+    # 95% bar (38868/40890 at HEAD, scripts/tune_extraction.py)
+    assert 0.95 <= acc <= 1.0
 
 
 def test_field_accuracy_identity(spark, gold_df):
