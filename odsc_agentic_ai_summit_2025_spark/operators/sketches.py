@@ -26,14 +26,20 @@ Algorithm (classic Flajolet HLL, raw estimator):
               result is identical in any engine: no floats, no logs,
               no partition-order dependence anywhere.
 
-The raw estimator is used unconditionally; the small-cardinality
-linear-counting correction is deliberately omitted because it needs
-``ln`` (libm results differ across engines by ulps). With m = 32 the
-raw estimator is accurate for n ≳ 2.5m = 80 distinct values and the
-relative error is ~1.04/√32 ≈ 18 % — this operator is the portable
-*correctness* tier; at scale, where no oracle rides along, Spark's
-native ``approx_count_distinct`` (also algebraic, tighter rsd) is the
-drop-in production alternative.
+Small-cardinality correction (r10): classic linear counting —
+``m·ln(m/V)`` with ``V`` = number of untouched registers — normally
+needs ``ln`` (libm results differ across engines by ulps), but with
+m = 32 the estimator has only 31 possible inputs, so it is embedded
+as the precomputed integer table ``HLL_LC`` (``round(32·ln(32/V))``,
+checked ≥0.02 away from every rounding boundary) and rendered as the
+same literal in both engines. The correction applies, per the
+standard rule, when the raw estimate ≤ 5m/2 = 80 AND V > 0 — an
+integer-decidable condition — fixing the documented low-cardinality
+bias of the raw estimator (which reads ~27 for n=5). Above that the
+raw estimator's ~1.04/√32 ≈ 18 % relative error applies — this
+operator is the portable *correctness* tier; at scale, where no
+oracle rides along, Spark's native ``approx_count_distinct`` (also
+algebraic, tighter rsd) is the drop-in production alternative.
 
 Scale shape: the sketch is algebraic — ``groupBy(group, bucket).
 max(rank)`` partial-aggregates map-side, so each task ships at most
@@ -54,6 +60,14 @@ HLL_RANK_CAP = 50
 HLL_SCALE = 1 << HLL_RANK_CAP  # 2^50, the zero-register term
 # floor(alpha_32 * m^2 * 2^50), alpha_32 = 0.697
 HLL_C = 803586288710972288
+# linear-counting table: HLL_LC[V-1] = round(32 * ln(32 / V)) for
+# V = 1..31 untouched registers — hardcoded so both engine renderings
+# embed the exact same integers (no runtime libm anywhere)
+HLL_LC = (
+    111, 89, 76, 67, 59, 54, 49, 44, 41, 37, 34, 31, 29, 26, 24, 22,
+    20, 18, 17, 15, 13, 12, 11, 9, 8, 7, 5, 4, 3, 2, 1,
+)
+HLL_LC_MAX_RAW = 5 * HLL_M // 2  # apply correction when raw est ≤ 80
 
 
 def hll_approx_distinct(
@@ -91,9 +105,27 @@ def hll_approx_distinct(
         F.count("*").alias("_nb"),
     )
     intsum = F.col("_s") + (F.lit(HLL_M) - F.col("_nb")) * F.lit(HLL_SCALE)
-    return per_group.select(*group_cols, intsum.alias("_d")).select(
+    raw = per_group.select(
         *group_cols,
-        F.expr(f"CAST({HLL_C} AS BIGINT) div _d").alias(out_col),
+        F.col("_nb"),
+        intsum.alias("_d"),
+    ).select(
+        *group_cols,
+        "_nb",
+        F.expr(f"CAST({HLL_C} AS BIGINT) div _d").alias("_raw"),
+    )
+    lc = F.element_at(
+        F.array(*[F.lit(int(x)) for x in HLL_LC]),
+        (F.lit(HLL_M) - F.col("_nb")).cast("int"),
+    )
+    return raw.select(
+        *group_cols,
+        F.when(
+            (F.col("_nb") < HLL_M) & (F.col("_raw") <= HLL_LC_MAX_RAW), lc
+        )
+        .otherwise(F.col("_raw"))
+        .cast("long")
+        .alias(out_col),
     )
 
 
@@ -291,11 +323,19 @@ hll_s AS (
          CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_RANK_CAP} - reg AS INT)) AS BIGINT) AS s,
          COUNT(*) AS nb
   FROM hll_r GROUP BY 1
+),
+hll_e AS (
+  SELECT g, nb,
+         CAST({HLL_C} AS BIGINT)
+           // (s + ({HLL_M} - nb) * CAST({HLL_SCALE} AS BIGINT)) AS raw
+  FROM hll_s
 )
 SELECT g AS {group_col},
-       CAST({HLL_C} AS BIGINT)
-         // (s + ({HLL_M} - nb) * CAST({HLL_SCALE} AS BIGINT)) AS {out_col}
-FROM hll_s
+       CAST(CASE WHEN nb < {HLL_M} AND raw <= {HLL_LC_MAX_RAW}
+            THEN (LIST_VALUE({", ".join(str(x) for x in HLL_LC)})
+                 )[CAST({HLL_M} - nb AS INT)]
+            ELSE raw END AS BIGINT) AS {out_col}
+FROM hll_e
 """.strip()
 
 

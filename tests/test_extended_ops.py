@@ -955,3 +955,45 @@ def test_hdr_histogram_top_bucket_no_int64_overflow(spark):
         )
     )
     assert got == want
+
+
+def test_hll_linear_counting_small_range(spark):
+    """r10 small-range correction: with m=32, linear counting is the
+    31-entry integer table HLL_LC, applied when raw ≤ 80 and some
+    register is untouched. n=5 distinct must now estimate ~5 (the raw
+    estimator read ~27 there), and Spark must equal the DuckDB twin
+    on every group across the correction boundary."""
+    import duckdb
+    import pandas as pd
+
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        HLL_LC,
+        HLL_M,
+        hll_approx_distinct,
+        hll_sql,
+    )
+
+    assert len(HLL_LC) == HLL_M - 1 and HLL_LC[0] == 111 and HLL_LC[-1] == 1
+    rows = (
+        [("n1", "v0")]
+        + [("n5", f"v{i}") for i in range(5)]
+        + [("n40", f"v{i}") for i in range(40)]
+        + [("n500", f"v{i}") for i in range(500)]
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    got = {
+        r["g"]: r["approx"]
+        for r in hll_approx_distinct(
+            spark.createDataFrame(pdf), ["g"], "v"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(con.execute(hll_sql("t", "g", "v")).fetchall())
+    assert got == want
+    # corrected small range is tight: exact at n=1 and n=5, within
+    # ~20% at n=40; the n=500 group is out of the corrected range and
+    # still inside the raw estimator's documented band
+    assert got["n1"] == 1 and got["n5"] == 5
+    assert abs(got["n40"] - 40) <= 8
+    assert abs(got["n500"] - 500) <= 150
