@@ -74,6 +74,22 @@ def hll_approx_distinct(
     df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "approx"
 ) -> DataFrame:
     """Per-group portable-HLL distinct estimate (see module doc)."""
+    return hll_estimate_registers(
+        hll_registers(df, group_cols, value_col), group_cols, out_col
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """The sketch STATE: per-group register table ``[*group_cols,
+    _bucket, _reg]`` — the mergeable half of the HLL. Register tables
+    fit on disjoint shards union by MAX per (group, bucket) into
+    exactly the full-corpus registers (:func:`hll_merge_registers`),
+    which is what makes the sketch a one-pass algebraic aggregate:
+    each task ships ≤ groups × 32 rows whatever the row count, and a
+    standing register table absorbs new shards without revisiting old
+    rows."""
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -88,7 +104,7 @@ def hll_approx_distinct(
     # null-rank) register row that inflates _nb without feeding _s,
     # skewing the estimate. Groups whose values are ALL null drop out
     # entirely (the oracle twin filters identically).
-    regs = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(
             *group_cols,
@@ -98,6 +114,26 @@ def hll_approx_distinct(
         .groupBy(*group_cols, "_bucket")
         .agg(F.max("_rank").alias("_reg"))
     )
+
+
+def hll_merge_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """HLL union: fold shard register tables (stacked rows or a finer
+    grouping, e.g. per-day registers collapsing to per-type) into one
+    register table by MAX per (group, bucket). Merge-then-estimate ≡
+    estimate-on-concatenated-input bit for bit (pinned by test and by
+    q110's oracle, which estimates the unsharded input directly)."""
+    return regs.groupBy(*group_cols, "_bucket").agg(
+        F.max("_reg").alias("_reg")
+    )
+
+
+def hll_estimate_registers(
+    regs: DataFrame, group_cols: list[str], out_col: str = "approx"
+) -> DataFrame:
+    """Finalize a register table into per-group estimates (raw
+    estimator + the HLL_LC small-range correction; see module doc)."""
     per_group = regs.groupBy(*group_cols).agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RANK_CAP} - _reg AS INT))")

@@ -442,8 +442,57 @@ def _q109_sql() -> str:
     return inner
 
 
-# q108/q109 are r9 TAIL additions (the r9 window is pinned; the r10
-# rotation pulls them forward per the COVERAGE.md invariant).
+# ---------------------------------------------------------------------------
+# q110 — HLL shard union (the sketch MERGE as a query): per-day
+# register tables built independently per (event_type, day), folded
+# by MAX into per-type registers, then finalized — the exact shape a
+# 1000-executor rollup uses (daily partitions keep standing register
+# tables; a global distinct never revisits old rows). The oracle
+# estimates the unsharded input directly, so a hash match IS the
+# merge ≡ refit algebra, end to end, small-range correction included.
+# ---------------------------------------------------------------------------
+
+def q110_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        hll_estimate_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    shard_regs = hll_registers(ev, ["event_type", "day"], "user_id")
+    est = hll_estimate_registers(
+        hll_merge_registers(shard_regs, ["event_type"]),
+        ["event_type"],
+        out_col="n_users_approx",
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.countDistinct("day").alias("n_shards"),
+    )
+    return est.join(exact, "event_type")
+
+
+def _q110_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    inner = hll_sql("events", "event_type", "user_id", "n_users_approx")
+    return f"""
+WITH hll AS ({inner}),
+ex AS (SELECT event_type,
+              COUNT(DISTINCT user_id) AS n_users_exact,
+              COUNT(DISTINCT CAST(ts AS DATE)) AS n_shards
+       FROM events GROUP BY 1)
+SELECT event_type, n_users_approx, n_users_exact, n_shards
+FROM hll JOIN ex USING (event_type)
+"""
+
+
+# q108/q109 are r9 TAIL additions (pulled into the r10 window per the
+# COVERAGE.md invariant); q110 is the r10 TAIL addition (pinned right
+# after the five bumps in the r11 rotation note, registry.py).
 TAIL_QUERIES = [
     Query("q108_windowed_hll", q108_windowed_hll, _q108_sql(),
           ("A4", "streaming"),
@@ -451,4 +500,7 @@ TAIL_QUERIES = [
     Query("q109_hdr_quantiles", q109_hdr_quantiles, _q109_sql(),
           ("A3", "O2"),
           "HDR-histogram quantiles: portable log-bucket percentile sketch"),
+    Query("q110_hll_shard_union", q110_hll_shard_union, _q110_sql(),
+          ("A4",),
+          "HLL shard union: per-day registers max-merged, then finalized"),
 ]

@@ -997,3 +997,40 @@ def test_hll_linear_counting_small_range(spark):
     assert got["n1"] == 1 and got["n5"] == 5
     assert abs(got["n40"] - 40) <= 8
     assert abs(got["n500"] - 500) <= 150
+
+
+def test_hll_register_merge_equals_refit(spark):
+    """q110's algebra: per-shard register tables max-merged then
+    finalized must equal the direct estimate on the concatenated
+    input — shard for shard, correction branch included."""
+    import pandas as pd
+
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        hll_approx_distinct,
+        hll_estimate_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    rows = [
+        ("small", d, f"u{i % 9}") for d in range(3) for i in range(d, d + 6)
+    ] + [
+        ("big", d, f"u{i}") for d in range(3) for i in range(d * 200, d * 200 + 300)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "shard", "v"]))
+    direct = {
+        r["g"]: r["approx"]
+        for r in hll_approx_distinct(df, ["g"], "v").collect()
+    }
+    merged = {
+        r["g"]: r["approx"]
+        for r in hll_estimate_registers(
+            hll_merge_registers(
+                hll_registers(df, ["g", "shard"], "v"), ["g"]
+            ),
+            ["g"],
+        ).collect()
+    }
+    assert merged == direct
+    # the overlapping small shards exercise the corrected range
+    assert merged["small"] <= 12
