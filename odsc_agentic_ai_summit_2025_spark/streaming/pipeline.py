@@ -42,7 +42,9 @@ def _docs_stream(
     return reader.load(docs_path)
 
 
-def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def _read_events_stream(
+    spark: SparkSession, events_path: str, *, max_files_per_trigger=None
+) -> DataFrame:
     """Streaming scan of the events table. The ``ts`` unit (ns vs µs)
     is footer-detected exactly like the batch reader (sources/io.py),
     so the parity tests compare like with like: NANOS is read as a
@@ -50,11 +52,16 @@ def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     a native timestamp."""
     from ..sources.io import _events_ts_is_nanos
 
+    def _opt(reader):
+        if max_files_per_trigger is not None:
+            return reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader
+
     if not _events_ts_is_nanos(events_path):
         from ..schemas import TESTDATA
 
         return (
-            spark.readStream.schema(TESTDATA["events"])
+            _opt(spark.readStream.schema(TESTDATA["events"]))
             .format("parquet")
             .load(events_path)
         )
@@ -72,7 +79,7 @@ def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
         ]
     )
     return (
-        spark.readStream.schema(raw)
+        _opt(spark.readStream.schema(raw))
         .format("parquet")
         .load(events_path)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -799,6 +806,84 @@ def dsir_model_cms_stream(
     # exposed so tests can simulate an at-least-once redelivery (same
     # batch_id re-entering _fold) without a real query restart
     query.dsirModelFold = _fold
+    return query
+
+
+def hll_register_stream(
+    spark: SparkSession,
+    events_path: str,
+    group_cols: list[str] | None = None,
+    sink=None,
+    *,
+    value_col: str = "user_id",
+    max_files_per_trigger: int = 1,
+):
+    """Incremental PORTABLE-HLL register update — the streaming twin
+    of q110's shard union (plans/extended2.py): each event
+    micro-batch builds its own register table
+    (``sketches.hll_registers``) and max-merges it into the standing
+    one (``hll_merge_registers``). Merge ≡ refit is the sketch's
+    pinned algebra, so after any prefix of deliveries the standing
+    registers ARE the batch registers of the concatenated prefix, bit
+    for bit — and estimates finalized from them
+    (``hll_estimate_registers``) hash-match the batch q110 path,
+    small-range correction included. Contrast with
+    :func:`windowed_distinct_stream`, which uses Spark's native
+    HLL++ inside the state store: this twin keeps the register table
+    as an EXPLICIT frame — ≤ groups × 32 rows whatever the stream
+    length — so it can be snapshotted, persisted, and oracle-checked
+    like any other table.
+
+    Same delivery contract as :func:`dsir_model_cms_stream`:
+    ``sink(regs_df, batch_id)`` must consume its frame inside the
+    callback; sink runs BEFORE state commits, so a sink failure
+    leaves the batch re-foldable on redelivery; final registers at
+    ``query.hllRegisterState["regs"]`` (release via
+    ``cache.release_frame``). Returns the started StreamingQuery
+    (availableNow trigger).
+    """
+    from .. import cache
+    from ..operators.sketches import hll_merge_registers, hll_registers
+
+    gcols = list(group_cols) if group_cols is not None else ["event_type"]
+    stream = _read_events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    state: dict = {"regs": None, "last_batch_id": None}
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if state["last_batch_id"] is not None and (
+            batch_id <= state["last_batch_id"]
+        ):
+            return
+        delta = hll_registers(batch_df, gcols, value_col)
+        merged = (
+            hll_merge_registers(
+                state["regs"].unionByName(delta), gcols
+            )
+            if state["regs"] is not None
+            else delta
+        )
+        prev = state["regs"]
+        new_regs = merged.localCheckpoint(eager=True)
+        if sink is not None:
+            try:
+                sink(new_regs, batch_id)
+            except BaseException:
+                cache.release_frame(new_regs)
+                raise
+        state["regs"] = new_regs
+        state["last_batch_id"] = batch_id
+        if prev is not None:
+            cache.release_frame(prev)
+
+    query = (
+        stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.hllRegisterState = state
+    query.hllRegisterFold = _fold
     return query
 
 

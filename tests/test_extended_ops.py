@@ -1034,3 +1034,83 @@ def test_hll_register_merge_equals_refit(spark):
     assert merged == direct
     # the overlapping small shards exercise the corrected range
     assert merged["small"] <= 12
+
+
+def test_hll_register_stream_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of q110 (r10): per-batch register tables
+    max-merged into the standing frame must equal the batch registers
+    of the full corpus bit for bit after the source drains, with
+    per-delivery snapshots equal to each prefix's refit, redelivery a
+    no-op, and estimates finalized from the standing registers equal
+    to the batch estimate path."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release_frame
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        hll_estimate_registers,
+        hll_registers,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        hll_register_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    shards = [
+        events.filter(F.pmod(F.col("event_id"), 2) == i) for i in range(2)
+    ]
+    d = tmp_path / "hll_stream_in"
+    d.mkdir()
+    for i, s in enumerate(shards):
+        s.toPandas().to_parquet(d / f"shard-{i}.parquet", index=False)
+
+    snapshots = []
+
+    def sink(regs_df, batch_id):
+        snapshots.append(sorted(map(tuple, regs_df.collect())))
+
+    q = hll_register_stream(spark, str(d), ["event_type"], sink)
+    q.awaitTermination(120)
+    assert len(snapshots) == 2
+    state = q.hllRegisterState
+
+    full = sorted(
+        map(
+            tuple,
+            hll_registers(events, ["event_type"], "user_id").collect(),
+        )
+    )
+    assert snapshots[-1] == full
+    assert sorted(map(tuple, state["regs"].collect())) == full
+    # first snapshot ≡ its own prefix's refit (file order = shard
+    # order with one file per trigger)
+    first = sorted(
+        map(
+            tuple,
+            hll_registers(shards[0], ["event_type"], "user_id").collect(),
+        )
+    )
+    assert snapshots[0] == first
+    # redelivery (same batch_id) must be a no-op
+    n_snap = len(snapshots)
+    q.hllRegisterFold(shards[0], 0)
+    assert len(snapshots) == n_snap
+    # estimates finalized from the standing registers == batch path
+    got = {
+        r["event_type"]: r["approx"]
+        for r in hll_estimate_registers(
+            state["regs"], ["event_type"]
+        ).collect()
+    }
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        hll_approx_distinct,
+    )
+
+    want = {
+        r["event_type"]: r["approx"]
+        for r in hll_approx_distinct(
+            events, ["event_type"], "user_id"
+        ).collect()
+    }
+    assert got == want and got
+    release_frame(state["regs"])
