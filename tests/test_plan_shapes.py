@@ -138,3 +138,28 @@ def test_q109_hdr_shuffles_buckets_not_rows(spark, sf_dir):
     # scan reads only the two referenced columns
     tail = plan[plan.rindex("FileScan"):][:400]
     assert "o_comment" not in tail and "o_clerk" not in tail, tail
+
+
+def test_q110_hll_shuffles_registers_not_rows(spark, sf_dir):
+    """q110's register build must partial-aggregate map-side (the
+    per-shard MAX over ranks appears below its exchange), so each
+    task ships at most groups x 32 register rows into the shuffle —
+    never raw user_id rows — and the scan prunes to the three
+    referenced columns. Asserted on the register-build branch in
+    isolation (the full q110 plan is a multi-branch join, where
+    deepest-exchange position is not meaningful)."""
+    from pyspark.sql import functions as F
+
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        hll_registers,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    plan = _physical_plan(hll_registers(ev, ["event_type", "day"], "user_id"))
+    assert "partial_max" in plan
+    assert plan.rindex("Exchange") < plan.index("partial_max"), plan
+    tail = plan[plan.rindex("FileScan"):][:400]
+    assert "props" not in tail and "value" not in tail, tail
