@@ -449,12 +449,17 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
     way.
 
     Output: ``[id, n_triangles]`` — every vertex, zero-filled.
-    The oriented edge list is consumed three times (both wedge sides
-    + closure probe), so it is persisted (pair generators like the
-    Jaccard join are far more expensive than the edge list is
-    large); released via ``cache.release(result)``.
+    The raw pair list is consumed twice (degree pass + orientation)
+    and the oriented edge list three times (both wedge sides +
+    closure probe), so BOTH are persisted — pair generators like the
+    Jaccard join are far more expensive than the edge list is large,
+    and skipping the input pin re-ran the generator per consumer
+    (caught by bench.py's r10 self-adjudication: q90 2.6→12 s).
+    Released via ``cache.release(result)``.
     """
-    e = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    e = pairs.select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    ).persist()
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
@@ -512,6 +517,7 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
             "id",
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         ),
+        e,
         oriented,
         pairs,
         vertices,
