@@ -887,6 +887,81 @@ def hll_register_stream(
     return query
 
 
+def hdr_histogram_stream(
+    spark: SparkSession,
+    events_path: str,
+    value_expr: str,
+    group_cols: list[str] | None = None,
+    sink=None,
+    *,
+    max_files_per_trigger: int = 1,
+):
+    """Incremental HDR-histogram fold — the quantile-tier twin of
+    :func:`hll_register_stream`: each event micro-batch is bucketed
+    by ``sketches.hdr_histogram`` and SUM-merged into the standing
+    per-group histogram. Sum-merge ≡ refit is the sketch's pinned
+    algebra (tests), so after any prefix of deliveries the standing
+    histogram IS the batch fit of the concatenated prefix, bit for
+    bit — and rank-window quantiles computed over it (a few dozen
+    rows per group) match the batch q109 path. State is bounded at
+    groups × ~1k bucket rows whatever the stream length.
+
+    ``value_expr`` is a SQL expression over the event columns
+    producing the non-negative int64 measure (e.g.
+    ``"CAST(ROUND(value * 100) AS BIGINT)"``). Delivery contract as
+    :func:`dsir_model_cms_stream`: sink-first commit ordering,
+    redelivery idempotence; final histogram at
+    ``query.hdrHistogramState["hist"]``.
+    """
+    from .. import cache
+    from ..operators.sketches import hdr_histogram
+
+    gcols = list(group_cols) if group_cols is not None else ["event_type"]
+    stream = _read_events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    state: dict = {"hist": None, "last_batch_id": None}
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if state["last_batch_id"] is not None and (
+            batch_id <= state["last_batch_id"]
+        ):
+            return
+        delta = hdr_histogram(
+            batch_df.selectExpr(*gcols, f"{value_expr} AS _hdr_in"),
+            "_hdr_in",
+            gcols,
+        )
+        merged = (
+            state["hist"].unionByName(delta)
+            .groupBy(*gcols, "bucket_lo", "bucket_hi")
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+            if state["hist"] is not None
+            else delta
+        )
+        prev = state["hist"]
+        new_hist = merged.localCheckpoint(eager=True)
+        if sink is not None:
+            try:
+                sink(new_hist, batch_id)
+            except BaseException:
+                cache.release_frame(new_hist)
+                raise
+        state["hist"] = new_hist
+        state["last_batch_id"] = batch_id
+        if prev is not None:
+            cache.release_frame(prev)
+
+    query = (
+        stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.hdrHistogramState = state
+    query.hdrHistogramFold = _fold
+    return query
+
+
 def semantic_decontam_stream(
     spark: SparkSession,
     docs_path: str,

@@ -1114,3 +1114,94 @@ def test_hll_register_stream_parity(spark, sf_dir, tmp_path):
     }
     assert got == want and got
     release_frame(state["regs"])
+
+
+def test_hdr_histogram_stream_parity(spark, sf_dir, tmp_path):
+    """Streaming HDR fold (r10): per-batch histograms SUM-merged into
+    the standing frame must equal the batch fit of the full corpus
+    after the source drains, redelivery is a no-op, and quantiles
+    computed over the standing histogram match the batch sketch
+    path row for row."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release_frame
+    from odsc_agentic_ai_summit_2025_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+    from odsc_agentic_ai_summit_2025_spark.sources.io import read_table
+    from odsc_agentic_ai_summit_2025_spark.streaming.pipeline import (
+        hdr_histogram_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    shards = [
+        events.filter(F.pmod(F.col("event_id"), 2) == i) for i in range(2)
+    ]
+    d = tmp_path / "hdr_stream_in"
+    d.mkdir()
+    for i, s in enumerate(shards):
+        s.toPandas().to_parquet(d / f"shard-{i}.parquet", index=False)
+
+    vexpr = "CAST(ROUND(ABS(value) * 100) AS BIGINT)"
+    deliveries = []
+    q = hdr_histogram_stream(
+        spark, str(d), vexpr, ["event_type"],
+        sink=lambda df, bid: deliveries.append(bid),
+    )
+    q.awaitTermination(120)
+    assert deliveries == [0, 1]
+    state = q.hdrHistogramState
+
+    measured = events.selectExpr("event_type", f"{vexpr} AS v")
+    full = sorted(
+        map(tuple, hdr_histogram(measured, "v", ["event_type"]).collect())
+    )
+    assert sorted(map(tuple, state["hist"].collect())) == full
+    # redelivery no-op
+    q.hdrHistogramFold(shards[1], 1)
+    assert sorted(map(tuple, state["hist"].collect())) == full
+    # quantiles over the standing histogram == batch quantile path:
+    # rebuild the rank windows from the standing bucket rows exactly
+    # as hdr_quantiles does from its internal histogram
+    from pyspark.sql import Window as W
+
+    hist = state["hist"]
+    w = W.partitionBy("event_type").orderBy("bucket_lo")
+    wall = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bucket_lo", "bucket_hi",
+        F.sum("n_rows").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("_cum"),
+        F.sum("n_rows").over(wall).alias("_n"),
+    )
+    got = sorted(
+        map(
+            tuple,
+            cum.select(
+                "event_type", "bucket_lo", "bucket_hi", "_cum", "_n",
+                F.explode(F.array(F.lit(5000), F.lit(9900))).alias("q_e4"),
+            )
+            .filter(F.col("_cum") * 10000 >= F.col("q_e4") * F.col("_n"))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    W.partitionBy("event_type", "q_e4").orderBy("bucket_lo")
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select(
+                "event_type", "q_e4", "bucket_lo", "bucket_hi",
+                F.col("_n").alias("n_rows"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            hdr_quantiles(measured, "v", ["event_type"], [5000, 9900])
+            .collect(),
+        )
+    )
+    assert got == want and got
+    release_frame(state["hist"])
