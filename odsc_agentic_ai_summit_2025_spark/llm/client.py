@@ -120,7 +120,7 @@ _NOT_NAMES = frozenset(
 
 _LOWER_STOP = frozenset(
     "is was who currently has and the a an born never details info "
-    "health single married divorced widowed he she from lives resides "
+    "health single married divorced widowed he she her his him from lives resides "
     "information profile name uses speaks contact gender date address "
     "had received their there our this for communication named a an "
     "the whose".split()

@@ -75,7 +75,10 @@ class HybridRag:
         #: FrontierExplosionError messages from refused star patterns
         self.graph_refusals: list[str] = []
         self.trail_guard_factor = trail_guard_factor
-        self._trail_views: dict[str, DataFrame] = {}
+        # name -> (trails frame, max_hops it was expanded to): the
+        # memo is valid only for the SAME hop depth — a caller asking
+        # for a different max_hops must not be served the stale view
+        self._trail_views: dict[str, tuple[DataFrame, int]] = {}
         if collector is not None:
             from .metering import MeteredClient
 
@@ -129,7 +132,8 @@ class HybridRag:
             m.group(1)
             for m in re.finditer(r"\b(\w+)_trails\b", sql)
         }):
-            if name in self._trail_views:
+            memo = self._trail_views.get(name)
+            if memo is not None and memo[1] == max_hops:
                 continue
             edges = tables.get(name)
             if edges is None or not {"src", "dst"} <= set(edges.columns):
@@ -142,8 +146,13 @@ class HybridRag:
                     1_000, self.trail_guard_factor * n_edges
                 ),
             )
+            # replace-only-after-success: the new frame exists before
+            # the old one is released or the view re-registered, so a
+            # guard refusal above leaves the prior state intact
             trails.createOrReplaceTempView(f"{name}_trails")
-            self._trail_views[name] = trails
+            if memo is not None:
+                cache.release(memo[0])
+            self._trail_views[name] = (trails, max_hops)
 
     # -- vector branch (rag.py:83-96) --------------------------------------
     def _vector_context(self, entities: list[dict[str, str]]) -> DataFrame:

@@ -445,6 +445,19 @@ def hdr_histogram(
     )
 
 
+def hdr_merge_histograms(
+    hists: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """HDR union: fold shard histograms (stacked rows) into one by
+    SUM per (group, bucket) — merge-then-query ≡ fit-on-concatenated-
+    input, the same pinned shard algebra as
+    :func:`hll_merge_registers` (tested by the shard-merge suite and
+    the streaming fold's prefix parity)."""
+    return hists.groupBy(*group_cols, "bucket_lo", "bucket_hi").agg(
+        F.sum("n_rows").cast("long").alias("n_rows")
+    )
+
+
 def hdr_quantiles(
     df: DataFrame,
     value_col: str,

@@ -704,6 +704,69 @@ def dsir_score_cms_stream(
     return query
 
 
+def _incremental_fold_stream(stream, state_key, build_delta, merge, sink):
+    """The shared delivery skeleton for every standing-sketch stream
+    (DSIR CMS model, HLL registers, HDR histogram): fold each
+    micro-batch's delta into a localCheckpoint'd standing frame.
+
+    The contract, in one place so it cannot diverge per twin:
+
+    - **Idempotence**: foreachBatch is at-least-once — a retried
+      delivery re-enters with the SAME batch_id, and folding it twice
+      would double-count. batch_ids increase monotonically per query,
+      so remembering the last folded id is a complete guard —
+      PROVIDED state commits only after every effect succeeds:
+    - **Sink-first commit ordering**: the sink callback runs BEFORE
+      state commits; if it raises, the new checkpoint is released and
+      state is unchanged, so the redelivery re-folds instead of being
+      swallowed by the guard (which alone would make sink delivery
+      at-most-once under partial failure).
+    - **Checkpoint hygiene**: the new state is an EAGER
+      localCheckpoint (the previous checkpoint's blocks feed the
+      merge and must stay live until the new one is materialized);
+      the previous frame is released only after the commit.
+
+    ``build_delta(batch_df)`` fits the sketch on the delivery alone;
+    ``merge(standing, delta)`` folds it (sum/max — the sketch's
+    pinned shard algebra). Returns ``(query, state, fold)`` with the
+    standing frame at ``state[state_key]``.
+    """
+    from .. import cache
+
+    state: dict = {state_key: None, "last_batch_id": None}
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if state["last_batch_id"] is not None and (
+            batch_id <= state["last_batch_id"]
+        ):
+            return
+        delta = build_delta(batch_df)
+        merged = (
+            merge(state[state_key], delta)
+            if state[state_key] is not None
+            else delta
+        )
+        prev = state[state_key]
+        new_frame = merged.localCheckpoint(eager=True)
+        if sink is not None:
+            try:
+                sink(new_frame, batch_id)
+            except BaseException:
+                cache.release_frame(new_frame)
+                raise
+        state[state_key] = new_frame
+        state["last_batch_id"] = batch_id
+        if prev is not None:
+            cache.release_frame(prev)
+
+    query = (
+        stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query, state, _fold
+
+
 def dsir_model_cms_stream(
     spark: SparkSession,
     docs_path: str,
@@ -742,65 +805,24 @@ def dsir_model_cms_stream(
 
     Returns the started StreamingQuery (availableNow trigger).
     """
-    from .. import cache
     from ..operators.curation import dsir_model_cms
 
     stream = _docs_stream(
         spark, docs_path, max_files_per_trigger=max_files_per_trigger
     )
-    state: dict = {"cms": None, "last_batch_id": None}
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a retried delivery re-enters
-        # with the SAME batch_id, and folding it twice would
-        # double-count its grams — breaking the bit-for-bit
-        # prefix-equality guarantee above. batch_ids are a
-        # monotonically increasing sequence per query, so remembering
-        # the last folded id is a complete idempotence guard —
-        # PROVIDED state commits only after every effect (including
-        # the sink callback) succeeds; see the ordering below.
-        if state["last_batch_id"] is not None and (
-            batch_id <= state["last_batch_id"]
-        ):
-            return
-        delta = dsir_model_cms(
+    query, state, _fold = _incremental_fold_stream(
+        stream,
+        "cms",
+        lambda batch_df: dsir_model_cms(
             batch_df, "text", "source", target_source, n=n
-        )
-        merged = (
-            state["cms"].unionByName(delta)
-            .groupBy("row_idx", "col_idx")
-            .agg(
-                F.sum("_t").cast("long").alias("_t"),
-                F.sum("_r").cast("long").alias("_r"),
-            )
-            if state["cms"] is not None
-            else delta
-        )
-        prev = state["cms"]
-        # eager: the previous checkpoint's blocks feed `merged` and
-        # must stay live until the new state is materialized
-        new_cms = merged.localCheckpoint(eager=True)
-        # deliver to the sink BEFORE committing state: if sink()
-        # raises, state is unchanged and the new checkpoint is
-        # released, so a redelivery of the same batch_id re-folds
-        # from the prior state instead of being swallowed by the
-        # idempotence guard (which alone would make sink delivery
-        # at-most-once under partial failure)
-        if sink is not None:
-            try:
-                sink(new_cms, batch_id)
-            except BaseException:
-                cache.release_frame(new_cms)
-                raise
-        state["cms"] = new_cms
-        state["last_batch_id"] = batch_id
-        if prev is not None:
-            cache.release_frame(prev)
-
-    query = (
-        stream.writeStream.foreachBatch(_fold)
-        .trigger(availableNow=True)
-        .start()
+        ),
+        lambda standing, delta: standing.unionByName(delta)
+        .groupBy("row_idx", "col_idx")
+        .agg(
+            F.sum("_t").cast("long").alias("_t"),
+            F.sum("_r").cast("long").alias("_r"),
+        ),
+        sink,
     )
     query.dsirModelState = state
     # exposed so tests can simulate an at-least-once redelivery (same
@@ -842,45 +864,20 @@ def hll_register_stream(
     ``cache.release_frame``). Returns the started StreamingQuery
     (availableNow trigger).
     """
-    from .. import cache
     from ..operators.sketches import hll_merge_registers, hll_registers
 
     gcols = list(group_cols) if group_cols is not None else ["event_type"]
     stream = _read_events_stream(
         spark, events_path, max_files_per_trigger=max_files_per_trigger
     )
-    state: dict = {"regs": None, "last_batch_id": None}
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if state["last_batch_id"] is not None and (
-            batch_id <= state["last_batch_id"]
-        ):
-            return
-        delta = hll_registers(batch_df, gcols, value_col)
-        merged = (
-            hll_merge_registers(
-                state["regs"].unionByName(delta), gcols
-            )
-            if state["regs"] is not None
-            else delta
-        )
-        prev = state["regs"]
-        new_regs = merged.localCheckpoint(eager=True)
-        if sink is not None:
-            try:
-                sink(new_regs, batch_id)
-            except BaseException:
-                cache.release_frame(new_regs)
-                raise
-        state["regs"] = new_regs
-        state["last_batch_id"] = batch_id
-        if prev is not None:
-            cache.release_frame(prev)
-
-    query = (
-        stream.writeStream.foreachBatch(_fold)
-        .trigger(availableNow=True)
-        .start()
+    query, state, _fold = _incremental_fold_stream(
+        stream,
+        "regs",
+        lambda batch_df: hll_registers(batch_df, gcols, value_col),
+        lambda standing, delta: hll_merge_registers(
+            standing.unionByName(delta), gcols
+        ),
+        sink,
     )
     query.hllRegisterState = state
     query.hllRegisterFold = _fold
@@ -913,49 +910,24 @@ def hdr_histogram_stream(
     redelivery idempotence; final histogram at
     ``query.hdrHistogramState["hist"]``.
     """
-    from .. import cache
-    from ..operators.sketches import hdr_histogram
+    from ..operators.sketches import hdr_histogram, hdr_merge_histograms
 
     gcols = list(group_cols) if group_cols is not None else ["event_type"]
     stream = _read_events_stream(
         spark, events_path, max_files_per_trigger=max_files_per_trigger
     )
-    state: dict = {"hist": None, "last_batch_id": None}
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if state["last_batch_id"] is not None and (
-            batch_id <= state["last_batch_id"]
-        ):
-            return
-        delta = hdr_histogram(
+    query, state, _fold = _incremental_fold_stream(
+        stream,
+        "hist",
+        lambda batch_df: hdr_histogram(
             batch_df.selectExpr(*gcols, f"{value_expr} AS _hdr_in"),
             "_hdr_in",
             gcols,
-        )
-        merged = (
-            state["hist"].unionByName(delta)
-            .groupBy(*gcols, "bucket_lo", "bucket_hi")
-            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
-            if state["hist"] is not None
-            else delta
-        )
-        prev = state["hist"]
-        new_hist = merged.localCheckpoint(eager=True)
-        if sink is not None:
-            try:
-                sink(new_hist, batch_id)
-            except BaseException:
-                cache.release_frame(new_hist)
-                raise
-        state["hist"] = new_hist
-        state["last_batch_id"] = batch_id
-        if prev is not None:
-            cache.release_frame(prev)
-
-    query = (
-        stream.writeStream.foreachBatch(_fold)
-        .trigger(availableNow=True)
-        .start()
+        ),
+        lambda standing, delta: hdr_merge_histograms(
+            standing.unionByName(delta), gcols
+        ),
+        sink,
     )
     query.hdrHistogramState = state
     query.hdrHistogramFold = _fold

@@ -219,13 +219,27 @@ def test_hybrid_rag_trail_views_and_hub_guard(spark, notes_df, gold_df):
     n_edges = rag.graph.tables()["treats"].count()
     assert n == 2 * n_edges or n > 0  # symmetrized hop-1 trails
     # memoization (r10): the graph is immutable per instance, so a
-    # second question referencing the same view must NOT redo the
-    # guarded expansion — same frame handle, even with the guard
-    # cranked to zero (a rebuild would refuse)
-    first_frame = rag._trail_views["treats"]
+    # second question referencing the same view at the same hop depth
+    # must NOT redo the guarded expansion — same frame handle, even
+    # with the guard cranked to zero (a rebuild would refuse). A
+    # DIFFERENT max_hops is not served from the memo (r10 review):
+    # with the guard at zero the hop-2 rebuild must refuse rather
+    # than silently reuse the hop-1 view.
+    first_frame, first_hops = rag._trail_views["treats"]
+    assert first_hops == 1
     rag.trail_guard_factor = 0
     rag._materialize_trail_views("... treats_trails ...", max_hops=1)
-    assert rag._trail_views["treats"] is first_frame
+    assert rag._trail_views["treats"][0] is first_frame
+    import pytest as _pytest
+
+    from odsc_agentic_ai_summit_2025_spark.operators.graph import (
+        FrontierExplosionError,
+    )
+
+    with _pytest.raises(FrontierExplosionError):
+        rag._materialize_trail_views("... treats_trails ...", max_hops=2)
+    # failed rebuild leaves the prior memo and view intact
+    assert rag._trail_views["treats"][0] is first_frame
     # refusal path: fresh instance (no memoized view) with the guard
     # below even the hop-1 frontier — ask() must return (no unbounded
     # job), record the clear error, and still produce a vector-side
