@@ -203,10 +203,13 @@ def main() -> None:
         # "regression confirmed worse"
         adj_ls0 = hostload.sample()
         try:
+            # bounded hard at ~2 runs / 7 min: this rides inside the
+            # driver's bench step, so the re-measure must cost a
+            # couple of minutes at most, never double the step
             proc = subprocess.run(
                 [sys.executable, "scripts/profile_query.py", *run_names,
-                 "--sf", sf_dir, "--runs", "3"],
-                capture_output=True, text=True, timeout=1200,
+                 "--sf", sf_dir, "--runs", "2"],
+                capture_output=True, text=True, timeout=420,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             adjudication_load = hostload.delta(adj_ls0, hostload.sample())
