@@ -13,15 +13,18 @@ import sys
 import time
 
 
-def _prior_round_queries(sf_val) -> dict[str, float]:
+def _prior_round_queries(sf_val, root=None) -> dict[str, float]:
     """Per-query medians (short qNN keys) from the most recent
     driver-recorded BENCH_r*.json AT THE SAME scale factor — the
     baseline the self-adjudication pass compares against (a run at a
-    different SF has no comparable prior). Empty when none parses."""
+    different SF has no comparable prior). Empty when none parses.
+    ``root`` overrides the artifact directory (tests)."""
     import pathlib
     import re
 
-    root = pathlib.Path(__file__).resolve().parent
+    if root is None:
+        root = pathlib.Path(__file__).resolve().parent
+    root = pathlib.Path(root)
     best_n, best = -1, {}
     for p in root.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
@@ -37,6 +40,27 @@ def _prior_round_queries(sf_val) -> dict[str, float]:
                 k: v for k, v in qs.items() if isinstance(v, (int, float))
             }
     return best
+
+
+def _flag_regressions(
+    timings: dict[str, float], prior: dict[str, float]
+) -> list[str]:
+    """Cells needing adjudication: >25% AND >0.5 s over the prior
+    round's same-SF median, ordered largest absolute regression
+    first (with >8 flagged, the isolation budget must go to the
+    worst offenders, not the alphabetically-first names)."""
+    flagged = [
+        name
+        for name, med in sorted(timings.items())
+        if (p := prior.get(name.split("_", 1)[0]))
+        and med == med
+        and med > 1.25 * p
+        and med - p > 0.5
+    ]
+    flagged.sort(
+        key=lambda n: timings[n] - prior[n.split("_", 1)[0]], reverse=True
+    )
+    return flagged
 
 
 def main() -> None:
@@ -174,19 +198,10 @@ def main() -> None:
     # per-query regressions — the overflow is listed, not hidden).
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    flagged, adjudicated = [], {}
+    adjudicated: dict[str, float] = {}
     adjudication_load = None
     prior = _prior_round_queries(sf_val)
-    for name, med in sorted(timings.items()):
-        p = prior.get(name.split("_", 1)[0])
-        if p and med == med and med > 1.25 * p and med - p > 0.5:
-            flagged.append(name)
-    # adjudicate the LARGEST regressions first, not the
-    # alphabetically-first names — with 9+ flagged cells the worst
-    # one is exactly the one that needs plan-vs-noise evidence
-    flagged.sort(
-        key=lambda n: timings[n] - prior[n.split("_", 1)[0]], reverse=True
-    )
+    flagged = _flag_regressions(timings, prior)
     if flagged and os.environ.get("SPARK_GRAFT_BENCH_ADJUDICATE", "1") != "0":
         import subprocess
 
