@@ -574,3 +574,135 @@ QUERIES.insert(
     Query("q91_pagerank", q91_pagerank, Q91_SQL,
           ("J3", "A5"), "exact-integer fixed-point PageRank (3 steps)"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q111 — incremental NEAR-dup admission (r10 TAIL): the fuzzy twin of
+# q86's exact admit gate, and the operation a production ingest
+# pipeline actually runs at 100 TB — a new delivery (doc_id % 3 == 0)
+# probed against the STANDING MinHash signature index of the corpus
+# (doc_id % 3 != 0) through the q36 band buckets, verified by
+# signature agreement, without re-reading or re-pairing the corpus.
+# The oracle replays the pinned decision rule (null_text /
+# near_corpus / dup_in_batch-smaller-id / new) from the same
+# signature constants, so a hash match pins blocking, verification,
+# and the admission convention end to end.
+# ---------------------------------------------------------------------------
+
+def q111_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    sigs = ops.minhash_signatures(existing, "text", "doc_id")
+    return ops.neardup_admit_incremental(sigs, new, "text", "doc_id")
+
+
+def _sig_cte_exprs() -> str:
+    p = ops.MINHASH_P
+    return ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
+        for (a, b) in ops.MINHASH_PARAMS
+    )
+
+
+def _band_rows_sql(sig_src: str) -> str:
+    """sig table -> (doc_id, band_id, bucket_key) rows, same key
+    rendering as the Spark side (DuckDB lists are 1-based)."""
+    band_cases = " ".join(
+        f"WHEN {band} THEN concat_ws('_', "
+        + ", ".join(
+            f"sig[{band * ops.ROWS_PER_BAND + i + 1}]"
+            for i in range(ops.ROWS_PER_BAND)
+        )
+        + ")"
+        for band in range(ops.N_BANDS)
+    )
+    band_ids = ", ".join(f"({b})" for b in range(ops.N_BANDS))
+    return (
+        f"SELECT doc_id, band_id, CASE band_id {band_cases} END AS bucket_key"
+        f" FROM {sig_src}, (VALUES {band_ids}) AS b(band_id)"
+    )
+
+
+def _q111_sql() -> str:
+    agree = (
+        f"list_sum(list_transform(range(1, {ops.N_HASH} + 1), "
+        f"i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+ex_toks AS (SELECT doc_id, {_HASHES} AS hs FROM ex WHERE text IS NOT NULL),
+ex_sigs AS (SELECT doc_id, [{_sig_cte_exprs()}] AS sig FROM ex_toks
+            WHERE len(hs) > 0),
+nw_toks AS (SELECT doc_id, {_HASHES} AS hs FROM nw WHERE text IS NOT NULL),
+nw_sigs AS (SELECT doc_id, [{_sig_cte_exprs()}] AS sig FROM nw_toks
+            WHERE len(hs) > 0),
+ex_bands AS ({_band_rows_sql('ex_sigs')}),
+ex_kept AS (
+  SELECT eb.* FROM ex_bands eb
+  JOIN (SELECT band_id, bucket_key FROM ex_bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= {ops.MAX_BUCKET}) s
+  USING (band_id, bucket_key)
+),
+nw_bands AS ({_band_rows_sql('nw_sigs')}),
+nw_kept AS (
+  SELECT nb.* FROM nw_bands nb
+  JOIN (SELECT band_id, bucket_key FROM nw_bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= {ops.MAX_BUCKET}) s
+  USING (band_id, bucket_key)
+),
+corpus_cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS old_id
+  FROM nw_bands n JOIN ex_kept e USING (band_id, bucket_key)
+),
+corpus_hits AS (
+  SELECT new_id, COUNT(*) AS n_corpus_matches
+  FROM (
+    SELECT c.new_id, ns.sig AS sa, es.sig AS sb
+    FROM corpus_cand c
+    JOIN nw_sigs ns ON ns.doc_id = c.new_id
+    JOIN ex_sigs es ON es.doc_id = c.old_id
+  )
+  WHERE {agree} * 10000 // {ops.N_HASH} >= 5000
+  GROUP BY 1
+),
+batch_cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM nw_kept a
+  JOIN nw_kept b ON a.band_id = b.band_id
+                AND a.bucket_key = b.bucket_key
+                AND a.doc_id < b.doc_id
+),
+batch_dups AS (
+  SELECT DISTINCT b_id FROM (
+    SELECT c.b_id, sa.sig AS sa, sb.sig AS sb
+    FROM batch_cand c
+    JOIN nw_sigs sa ON sa.doc_id = c.a_id
+    JOIN nw_sigs sb ON sb.doc_id = c.b_id
+  )
+  WHERE {agree} * 10000 // {ops.N_HASH} >= 5000
+)
+SELECT nw.doc_id,
+       CASE WHEN nw.text IS NULL THEN FALSE
+            WHEN ch.new_id IS NOT NULL THEN FALSE
+            WHEN bd.b_id IS NOT NULL THEN FALSE
+            ELSE TRUE END AS admitted,
+       CASE WHEN nw.text IS NULL THEN 'null_text'
+            WHEN ch.new_id IS NOT NULL THEN 'near_corpus'
+            WHEN bd.b_id IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'new' END AS reason,
+       CAST(COALESCE(ch.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches
+FROM nw
+LEFT JOIN corpus_hits ch ON ch.new_id = nw.doc_id
+LEFT JOIN batch_dups bd ON bd.b_id = nw.doc_id
+"""
+
+
+# r10 TAIL addition (outside the 50-entry gate window; pinned after
+# q110 in the r11 rotation note, registry.py).
+TAIL_QUERIES = [
+    Query("q111_neardup_admit", q111_neardup_admit, _q111_sql(),
+          ("A2", "J1"),
+          "incremental near-dup admission against a standing MinHash index"),
+]

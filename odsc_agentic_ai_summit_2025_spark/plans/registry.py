@@ -103,15 +103,15 @@ def all_queries() -> dict[str, Query]:
 # q64-q65, q67-q75, q77, q82-q95 — 50 queries, all r9-green) plus the
 # FIVE queries bumped out of the r10 window at exactly 2 rounds
 # stale: q04_case_when, q05_coalesce, q16_range_count, q17_topk,
-# q18_union (pin these five FIRST), plus the r10 TAIL addition
-# q110_hll_shard_union (never driver-checked — pin it right after
-# the five). 56 candidates for 50 slots → lead with
-# q04/q05/q16/q17/q18/q110, then the r9 cohort minus SIX
+# q18_union (pin these five FIRST), plus the r10 TAIL additions
+# q110_hll_shard_union and q111_neardup_admit (never driver-checked —
+# pin them right after the five). 57 candidates for 50 slots → lead
+# with q04/q05/q16/q17/q18/q110/q111, then the r9 cohort minus SEVEN
 # derisked bumps (candidates: q30_token_stats, q31_quality_score,
 # q33_fingerprint, q88_normalize_text, q69_train_split,
-# q70_quality_filter — map-only fixed-point column ops whose
-# operators every curation window exercises); pin the bumped names
-# first in the r12 note.
+# q70_quality_filter, q72_repetition_stats — map-only fixed-point
+# column ops whose operators every curation window exercises); pin
+# the bumped names first in the r12 note.
 # Steady-state invariant (COVERAGE.md): every query's last driver row
 # is ≤2 rounds old.
 #

@@ -411,3 +411,59 @@ def test_neardup_pairs_tolerate_zero_vector(spark):
     pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
     release(out)
     assert pairs == {(1, 2)}
+
+
+def test_neardup_admit_incremental_decisions(spark):
+    """q111's gate (r10): pinned decision rule on a constructed
+    corpus — exact corpus dup rejected as near_corpus, within-batch
+    near-pair keeps the smaller id, unmatched doc admitted, null text
+    branched; and the signature kernel agrees with the interpreted
+    column-expression form (the vectorized index build must not
+    drift from the q36 arithmetic)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.dedup import (
+        _sig_from_hashes,
+        minhash_signatures,
+        neardup_admit_incremental,
+        token_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words over here now"),
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "unique snowflake content nothing matches"),
+            (12, "unique snowflake content nothing matches"),
+            (13, None),
+            (14, "another fully fresh document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    existing = docs.filter(F.col("doc_id") < 10)
+    sigs = minhash_signatures(existing, "text", "doc_id")
+    # kernel == expression form, component for component
+    expr_sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in existing.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            _sig_from_hashes(token_hashes(F.col("text"))).alias("sig"),
+        )
+        .collect()
+    }
+    assert {
+        r["doc_id"]: list(r["sig"]) for r in sigs.collect()
+    } == expr_sigs
+    got = {
+        r["doc_id"]: (r["admitted"], r["reason"], r["n_corpus_matches"])
+        for r in neardup_admit_incremental(
+            sigs, docs.filter(F.col("doc_id") >= 10), "text", "doc_id"
+        ).collect()
+    }
+    assert got == {
+        10: (False, "near_corpus", 1),
+        11: (True, "new", 0),
+        12: (False, "dup_in_batch", 0),
+        13: (False, "null_text", 0),
+        14: (True, "new", 0),
+    }
