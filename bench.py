@@ -49,18 +49,82 @@ def _flag_regressions(
     round's same-SF median, ordered largest absolute regression
     first (with >8 flagged, the isolation budget must go to the
     worst offenders, not the alphabetically-first names)."""
-    flagged = [
-        name
-        for name, med in sorted(timings.items())
-        if (p := prior.get(name.split("_", 1)[0]))
-        and med == med
-        and med > 1.25 * p
-        and med - p > 0.5
-    ]
+    flagged = []
+    for name, med in sorted(timings.items()):
+        # `is not None`, NOT truthiness (ADVICE r10): a prior median
+        # recorded as 0.0 (contract line rounds to 2 dp — any <5 ms
+        # query) must still be comparable, else it can never flag
+        p = prior.get(name.split("_", 1)[0])
+        if p is None or med != med:
+            continue
+        if med > 1.25 * p and med - p > 0.5:
+            flagged.append(name)
     flagged.sort(
         key=lambda n: timings[n] - prior[n.split("_", 1)[0]], reverse=True
     )
     return flagged
+
+
+# Quiet-host thresholds for trusting an isolated re-measure (VERDICT
+# r10 #2): the r10 artifact recorded q90's adjudicated_min as 25.04 s
+# from a window stamped la1 6.86 / steal 13% — the machinery measured
+# the exculpatory evidence and then recorded the misleading number
+# anyway (true quiet min ~6.9 s). A re-measure taken during a burst
+# is itself noise, and must say so instead of printing a number.
+_ADJ_LA1_LIMIT = 2.0
+_ADJ_STEAL_LIMIT = 2.0
+NOISE_MARKER = "noise-contaminated, re-run"
+
+
+def _adjudication_noisy(load: dict | None) -> bool:
+    """True when the isolated re-measure's own host window was a
+    burst (la1 at window start, or steal across the window). A
+    missing stamp is NOT evidence of quiet — treat it as noisy; a
+    present stamp whose /proc reads failed (None fields) carries no
+    contrary evidence and passes."""
+    if load is None:
+        return True
+    return (load.get("la1") or 0.0) > _ADJ_LA1_LIMIT or (
+        load.get("steal_pct") or 0.0
+    ) > _ADJ_STEAL_LIMIT
+
+
+def _gate_adjudicated(adjudicated: dict, load: dict | None) -> dict:
+    """Replace every numeric isolated-min with the explicit marker
+    when the window that measured it was noisy: a reader trusting
+    the min field over the load stamp must not be able to read a
+    contaminated number as plan evidence."""
+    if adjudicated and _adjudication_noisy(load):
+        return {k: NOISE_MARKER for k in adjudicated}
+    return adjudicated
+
+
+def _cooldown_until_quiet(
+    budget_s: float,
+    la1_limit: float = _ADJ_LA1_LIMIT,
+    poll_s: float = 10.0,
+    _la1=None,
+    _sleep=None,
+):
+    """Bounded wait for 1-min loadavg to decay under the limit before
+    stamping an isolated re-measure window. The bench run itself just
+    saturated every core, so la1 at spark.stop() reflects OUR OWN
+    finished work (~1-min decay constant) — without this every driver
+    adjudication would self-stamp as noisy. Returns the last la1 seen
+    (None if /proc is unreadable)."""
+    if _la1 is None:
+        from odsc_agentic_ai_summit_2025_spark import hostload
+
+        _la1 = lambda: hostload.sample().get("la1")  # noqa: E731
+    if _sleep is None:
+        _sleep = time.sleep
+    waited = 0.0
+    la1 = _la1()
+    while la1 is not None and la1 > la1_limit and waited + poll_s <= budget_s:
+        _sleep(poll_s)
+        waited += poll_s
+        la1 = _la1()
+    return la1
 
 
 def main() -> None:
@@ -211,23 +275,24 @@ def main() -> None:
         # claims instead of contending with a resident executor
         spark.stop()
         run_names = flagged[:8]
-        # stamp the subprocess's own host window: an adjudicated_min
-        # taken during a steal burst must carry the evidence that it,
-        # too, is noise-inflated (r10: a 15%-steal burst quadrupled
-        # one re-measure) — without it the re-measure could read as
-        # "regression confirmed worse"
-        adj_ls0 = hostload.sample()
-        try:
-            # bounded hard at ~2 runs / 7 min: this rides inside the
-            # driver's bench step, so the re-measure must cost a
-            # couple of minutes at most, never double the step
-            proc = subprocess.run(
-                [sys.executable, "scripts/profile_query.py", *run_names,
-                 "--sf", sf_dir, "--runs", "2"],
-                capture_output=True, text=True, timeout=420,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            adjudication_load = hostload.delta(adj_ls0, hostload.sample())
+
+        def _run_isolated(runs: int, timeout: int):
+            # stamp the subprocess's own host window: an
+            # adjudicated_min taken during a steal burst must carry
+            # the evidence that it, too, is noise-inflated (r10: a
+            # 15%-steal burst quadrupled one re-measure)
+            ls0 = hostload.sample()
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "scripts/profile_query.py",
+                     *run_names, "--sf", sf_dir, "--runs", str(runs)],
+                    capture_output=True, text=True, timeout=timeout,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+            except (OSError, subprocess.TimeoutExpired) as e:
+                print(f"bench adjudication skipped: {e}", file=sys.stderr)
+                return None, hostload.delta(ls0, hostload.sample())
+            load = hostload.delta(ls0, hostload.sample())
             if proc.returncode != 0:
                 # a crashed re-measure must not masquerade as the
                 # deliberate over-8 overflow nulls
@@ -236,14 +301,32 @@ def main() -> None:
                     f"{proc.stderr[-300:]}",
                     file=sys.stderr,
                 )
+            got: dict[str, float] = {}
             for ln in proc.stdout.splitlines():
                 try:
                     rec = json.loads(ln)
-                    adjudicated[rec["query"]] = rec["min"]
+                    got[rec["query"]] = rec["min"]
                 except (ValueError, KeyError):
                     continue
-        except (OSError, subprocess.TimeoutExpired) as e:
-            print(f"bench adjudication skipped: {e}", file=sys.stderr)
+            return got, load
+
+        # bounded hard: worst case two cooldowns + 420 s + 240 s of
+        # subprocess inside the driver's bench step — the re-measure
+        # must cost minutes at most, never double the step
+        _cooldown_until_quiet(90.0)
+        got, adjudication_load = _run_isolated(2, 420)
+        if got:
+            adjudicated = got
+        if adjudicated and _adjudication_noisy(adjudication_load):
+            # VERDICT r10 #2: retry once after a bounded cooldown
+            # rather than recording a burst-window number
+            _cooldown_until_quiet(90.0)
+            got2, load2 = _run_isolated(1, 240)
+            if got2:
+                adjudicated, adjudication_load = got2, load2
+        # whichever run's numbers survive, they are only recorded as
+        # numbers if THAT run's window was quiet
+        adjudicated = _gate_adjudicated(adjudicated, adjudication_load)
 
     # The driver captures only the LAST 2000 chars of output and
     # parses the final JSON line from it; round 2's full-name 71-query

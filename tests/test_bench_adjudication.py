@@ -58,3 +58,67 @@ def test_flag_rule_and_ordering():
     assert bench._flag_regressions(timings, prior) == ["q02_b", "q03_c"]
     assert bench._flag_regressions({}, prior) == []
     assert bench._flag_regressions(timings, {}) == []
+
+
+def test_flag_rule_zero_prior_can_flag():
+    """ADVICE r10: a prior median recorded as 0.0 (contract line
+    rounds to 2 dp, i.e. any <5 ms query) must still be comparable —
+    the old walrus-truthiness skipped it no matter how badly the
+    query regressed."""
+    assert bench._flag_regressions({"q07_fast": 0.9}, {"q07": 0.0}) == [
+        "q07_fast"
+    ]
+
+
+def test_noise_gate_blocks_numeric_min():
+    """VERDICT r10 #2: an adjudicated_min measured during a load
+    burst must be recorded as the explicit marker, never a number —
+    the r10 artifact wrote q90=25.04 s from a la1-6.86 window whose
+    true quiet min was ~6.9 s."""
+    burst = {"la1": 6.86, "steal_pct": 13.15}
+    adj = {"q90_triangle_counts": 25.04, "q82_semantic_dedup": 14.21}
+    gated = bench._gate_adjudicated(adj, burst)
+    assert set(gated) == set(adj)
+    assert all(v == bench.NOISE_MARKER for v in gated.values())
+    assert not any(isinstance(v, (int, float)) for v in gated.values())
+    # quiet window: numbers pass through untouched
+    assert bench._gate_adjudicated(adj, {"la1": 0.4, "steal_pct": 0.1}) == adj
+    # a missing stamp is NOT evidence of quiet
+    gated_none = bench._gate_adjudicated(adj, None)
+    assert all(v == bench.NOISE_MARKER for v in gated_none.values())
+    # nothing adjudicated → nothing to gate (no marker invention)
+    assert bench._gate_adjudicated({}, burst) == {}
+
+
+def test_noise_thresholds():
+    assert bench._adjudication_noisy({"la1": 2.1, "steal_pct": 0.0})
+    assert bench._adjudication_noisy({"la1": 0.1, "steal_pct": 2.5})
+    assert not bench._adjudication_noisy({"la1": 2.0, "steal_pct": 2.0})
+    # a stamp whose /proc reads failed carries no contrary evidence
+    assert not bench._adjudication_noisy({"la1": None, "steal_pct": None})
+    assert bench._adjudication_noisy(None)
+
+
+def test_cooldown_polls_until_quiet():
+    seq = iter([5.0, 3.0, 1.2])
+    sleeps: list[float] = []
+    la1 = bench._cooldown_until_quiet(
+        60.0, _la1=lambda: next(seq), _sleep=sleeps.append
+    )
+    assert la1 == 1.2
+    assert sleeps == [10.0, 10.0]
+
+
+def test_cooldown_gives_up_at_deadline():
+    sleeps: list[float] = []
+    la1 = bench._cooldown_until_quiet(
+        25.0, _la1=lambda: 9.9, _sleep=sleeps.append
+    )
+    assert la1 == 9.9
+    assert sum(sleeps) <= 25.0
+    # already-quiet host: returns immediately, no sleeping
+    none_sleeps: list[float] = []
+    bench._cooldown_until_quiet(
+        60.0, _la1=lambda: 0.3, _sleep=none_sleeps.append
+    )
+    assert none_sleeps == []
