@@ -490,9 +490,73 @@ FROM hll JOIN ex USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# q113 — the streaming tier surfaced as a driver-oracled query
+# (VERDICT r10 #5): replay the events table as three one-file
+# micro-batch deliveries through hll_register_stream's REAL
+# incremental fold (availableNow trigger, foreachBatch, sink-first
+# commit, eager-checkpointed standing state — streaming/pipeline.py),
+# then finalize the standing registers. Merge ≡ refit is the
+# sketch's pinned algebra, so the oracle estimates the UNSHARDED
+# table directly — a hash match proves the streaming fold's final
+# state equals the batch refit end to end.
+# ---------------------------------------------------------------------------
+
+def q113_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import hll_estimate_registers
+    from ..streaming.pipeline import hll_register_stream
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    n_shards = 3
+    d = tempfile.mkdtemp(prefix="q113_hll_replay_")
+    try:
+        for i in range(n_shards):
+            # one FILE per delivery: maxFilesPerTrigger=1 makes file
+            # count == micro-batch count (order is irrelevant — the
+            # max-merge is commutative and merge ≡ refit)
+            ev.filter(F.pmod("event_id", n_shards) == i).toPandas(
+            ).to_parquet(f"{d}/shard-{i}.parquet", index=False)
+        q = hll_register_stream(spark, d, ["event_type"], None)
+        q.awaitTermination(300)
+        regs = q.hllRegisterState["regs"]
+    finally:
+        # the standing state is an EAGER localCheckpoint — the input
+        # shards are dead weight once the stream drains
+        shutil.rmtree(d, ignore_errors=True)
+    est = hll_estimate_registers(
+        regs, ["event_type"], out_col="n_users_approx"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_users_approx", "n_users_exact"
+    )
+
+
+def _q113_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    inner = hll_sql("events", "event_type", "user_id", "n_users_approx")
+    return f"""
+WITH hll AS ({inner}),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact
+       FROM events GROUP BY 1)
+SELECT event_type, n_users_approx, n_users_exact
+FROM hll JOIN ex USING (event_type)
+"""
+
+
 # q108/q109 are r9 TAIL additions (pulled into the r10 window per the
 # COVERAGE.md invariant); q110 is the r10 TAIL addition (pinned right
-# after the five bumps in the r11 rotation note, registry.py).
+# after the five bumps in the r11 rotation note, registry.py); q113
+# is the r11 TAIL addition (enters the r12 window per the rotation
+# note).
 TAIL_QUERIES = [
     Query("q108_windowed_hll", q108_windowed_hll, _q108_sql(),
           ("A4", "streaming"),
@@ -503,4 +567,8 @@ TAIL_QUERIES = [
     Query("q110_hll_shard_union", q110_hll_shard_union, _q110_sql(),
           ("A4",),
           "HLL shard union: per-day registers max-merged, then finalized"),
+    Query("q113_hll_stream_replay", q113_hll_stream_replay, _q113_sql(),
+          ("A4", "streaming"),
+          "streaming HLL fold replayed over 3 micro-batch deliveries, "
+          "finalized == batch refit"),
 ]

@@ -105,12 +105,14 @@ def all_queries() -> dict[str, Query]:
 # exactly 2 rounds stale: q30_token_stats, q31_quality_score,
 # q33_fingerprint, q88_normalize_text, q69_train_split,
 # q70_quality_filter, q72_repetition_stats (pin these seven FIRST),
-# plus any r11 TAIL additions never driver-checked (pin them right
-# after the seven). 57 candidates for 50 slots → lead with the
-# seven bumps + TAILs, then the r10 cohort minus derisked bumps
-# (candidates: q01_pricing_summary, q03_row_number, q06_string_ops,
-# q07_date_parts, plus however many more the TAIL count requires —
-# pure column/date ops exercised by every other query); pin the
+# plus the r11 TAIL additions q112_neardup_index_lifecycle and
+# q113_hll_stream_replay (never driver-checked — pin them right
+# after the seven). 59 candidates for 50 slots → lead with the
+# seven bumps + two TAILs, then the r10 cohort minus NINE derisked
+# bumps (candidates: q01_pricing_summary, q03_row_number,
+# q06_string_ops, q07_date_parts, q10_semijoin, q11_antijoin,
+# q12_having, q13_count_distinct, q15_distinct_enum — pure
+# column/date/predicate ops exercised by every other query); pin the
 # bumped names first in the r13 note.
 # Steady-state invariant (COVERAGE.md): every query's last driver row
 # is ≤2 rounds old.
