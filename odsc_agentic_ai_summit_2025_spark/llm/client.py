@@ -78,7 +78,10 @@ _MONTHS = {
 _MONTHS.update({m[:3]: n for m, n in list(_MONTHS.items())})
 _MONTHS["sept"] = 9
 
-_NAME_TOKEN = r"[A-Z][\w'’-]*"  # no dot: a sentence period ends the name
+# À-Þ covers the Latin-1 uppercase range ("Ms. Soledad Ángela Vela"
+# broke the ASCII-only class mid-sequence); no dot: a sentence period
+# ends the name
+_NAME_TOKEN = r"[A-ZÀ-Þ][\w'’-]*"
 # separator excludes newlines: a name never wraps across bullet lines
 _NAME_SEQ = rf"{_NAME_TOKEN}(?:[^\S\n]+{_NAME_TOKEN})*"
 # prefix case-insensitive: a handful of notes are ALL-CAPS ("MRS.
@@ -86,7 +89,13 @@ _NAME_SEQ = rf"{_NAME_TOKEN}(?:[^\S\n]+{_NAME_TOKEN})*"
 # first letter, so lowercase notes never enter through this branch
 # \b keeps the case-insensitive alternation from matching the TAIL
 # of a word ("Adams. Cecila" must not read as "ms. Cecila")
-_LEAD_NAME_RE = re.compile(rf"\b((?i:Mr|Mrs|Ms)\.)\s+({_NAME_SEQ})")
+# the pronoun guard keeps "the title, Mr. He is male ..." from
+# reading "He" as the family name and starving the labeled patterns
+# behind it (r11 tuner pass)
+_LEAD_NAME_RE = re.compile(
+    rf"\b((?i:Mr|Mrs|Ms)\.)\s+"
+    rf"(?!(?:He|She|His|Her|They|It|The)\b)({_NAME_SEQ})"
+)
 # wrapped in a lookahead so a rejected candidate does not CONSUME the
 # next label ("Clinical Note: Patient: Veta ..." — the "Clinical
 # Note" match must not swallow the "Patient" label behind it)
@@ -95,7 +104,7 @@ _LABELED_NAME_RE = re.compile(
     rf"|patient(?:'s)? info(?:rmation)?|patient details|clinical note"
     rf"|Subject|Name|Patient)\b)"
     rf"(?i:\s*(?:is|:)?\s*-?\s*"
-    rf"(?:Officially named\s+)?(?:Mr\.|Mrs\.|Ms\.)?)[^\S\n]*({_NAME_SEQ}))",
+    rf"(?:(?:Officially\s+)?named\s+)?(?:Mr\.|Mrs\.|Ms\.)?)[^\S\n]*({_NAME_SEQ}))",
 )
 _PATIENT_NAME_RE = re.compile(
     rf"(?:patient|record for|note for|record of|visit of|summary for"
@@ -105,6 +114,16 @@ _PATIENT_NAME_RE = re.compile(
 )
 # a note that simply opens with the patient's name
 _START_NAME_RE = re.compile(rf"^({_NAME_SEQ})[, ]")
+# pre-marriage names: "previously known as (Mrs.) Emmaline Lorri
+# Torp" / "maiden name, which is Mrs. Aracelis Wisozk" — the gold
+# LLM most often records the former GIVEN names (all but the last
+# token) under `given` while keeping the current surname (measured
+# 4/6 vs 2/6 for keep-all-tokens on the r11 tuner pass)
+_FORMER_NAME_RE = re.compile(
+    rf"(?i:previously known as|formerly(?: known as)?|maiden name"
+    rf"(?:\s*,\s*which is| was| is)?|known as)"
+    rf"[,:]?\s*(?:(?i:Mrs?\.|Ms\.)\s*)?({_NAME_SEQ})"
+)
 # free-standing capitalized name sequence — ONLY used anchored to an
 # already-extracted family name (the single-token-lead fallback)
 _ANY_NAME_RE = re.compile(rf"({_NAME_SEQ})")
@@ -123,7 +142,12 @@ _LOWER_STOP = frozenset(
     "health single married divorced widowed he she her his him from lives resides "
     "information profile name uses speaks contact gender date address "
     "had received their there our this for communication named a an "
-    "the whose".split()
+    "the whose male female patient lived just finished also got it's "
+    "passed visited underwent".split()
+)
+# postfix label variant: "dianna teressa krajcik, official name."
+_LOWER_POSTFIX_NAME_RE = re.compile(
+    r"((?:[a-z][\w'’-]*[ ]?){2,4}),\s*official(?:ly)?\s+name"
 )
 _LOWER_NAME_RE = re.compile(
     r"(?:(?:official\s+)?name\s*,?\s*(?:is|:)"
@@ -148,7 +172,8 @@ def _lowercase_name(note: str) -> str | None:
     tokens wins."""
     if sum(c.isupper() for c in note) > 8:
         return None
-    for m in _LOWER_NAME_RE.finditer(note):
+    for m in (*_LOWER_POSTFIX_NAME_RE.finditer(note),
+              *_LOWER_NAME_RE.finditer(note)):
         toks = []
         for t in m.group(1).split():
             if t in _LOWER_STOP:
@@ -161,11 +186,18 @@ def _lowercase_name(note: str) -> str | None:
     return None
 
 
+_NOT_NAMES_LOWER = frozenset(t.lower() for t in _NOT_NAMES)
+
+
 def _plausible_name(cand: str) -> bool:
+    # case-INSENSITIVE stop check with the possessive stripped: the
+    # ALL-CAPS notes write "PATIENT'S NAME: THERESA ..." and the
+    # title-case set never matched their tokens (r11 tuner pass)
     toks = cand.split()
-    return (
-        2 <= len(toks) <= 4
-        and not any(t.rstrip(".,") in _NOT_NAMES for t in toks)
+    return 2 <= len(toks) <= 4 and not any(
+        t.rstrip(".,").removesuffix("'s").removesuffix("\u2019s").lower()
+        in _NOT_NAMES_LOWER
+        for t in toks
     )
 _LANGUAGES = (
     "English", "Spanish", "French", "Portuguese", "German", "Italian",
@@ -267,6 +299,21 @@ _FACILITY_RE = re.compile(
     r"|rehab|practice|office|organization|corporation|institution"
     r"|provider|\bllc\b|\binc\b|committee|services"
 )
+
+
+def _facility_owned(ctx: str) -> bool:
+    """Whether a street's leading context attributes it to a facility:
+    the facility word must be the LAST cue standing — "medical
+    overview for Mr. X ... a male living in Boston ... his residence
+    is at <street>" has 'medical' in the window, but the nearer
+    residence cue re-claims the street for the patient (r11 tuner
+    pass: the plain any-facility-word test nulled such addresses)."""
+    fm = rm = None
+    for m in _FACILITY_RE.finditer(ctx):
+        fm = m
+    for m in _RESIDENCE_RE.finditer(ctx):
+        rm = m
+    return fm is not None and (rm is None or fm.start() > rm.start())
 # composite fallback parts when the pieces are scattered across
 # sentences ("his residence is at 1048 Koepp Flat, with the postal
 # code 02116"; "from Salem, Massachusetts"). The street-only branch
@@ -406,15 +453,35 @@ def _encounter_date(note: str) -> str | None:
 
 
 _TITLE_TOKENS = frozenset("mr mrs ms miss mx dr".split())
+# trailing credentials are not family names ("Mrs. Layla Mariko Auer
+# PhD" → family "Auer", not "PhD"); measured +14 given / +14 family
+# cells on the reference gold (r11 tuner pass)
+_CRED_TOKENS = frozenset("phd md jd dds rn esq".split())
+
+
+# prose verbs/connectors that can only follow a name, never be part
+# of one — ALL-CAPS notes defeat the capitalization heuristic, so
+# "MRS. MONSERRATE FRANCINA BEDNAR WAS PROVIDED MEDICAL SERVICES"
+# reads as one NAME_SEQ and must be cut at "WAS" (r11 tuner pass)
+_NAME_PROSE_STOP = frozenset(
+    "was were is are has had been whose whom which provided underwent"
+    " received visited lives resides currently recently".split()
+)
 
 
 def _split_name(full: str) -> tuple[list[str], str]:
     toks = [t[:-2] if t.endswith(("'s", "’s")) else t
             for t in full.replace(",", "").split()]
+    for i, t in enumerate(toks):
+        if i and t.lower() in _NAME_PROSE_STOP:
+            toks = toks[:i]
+            break
     # leading courtesy titles are not given names ("Miss Marylouise
     # Bode" → given ["Marylouise"], family "Bode")
     while len(toks) > 1 and toks[0].rstrip(".").lower() in _TITLE_TOKENS:
         toks = toks[1:]
+    while len(toks) > 1 and toks[-1].rstrip(".").lower() in _CRED_TOKENS:
+        toks = toks[:-1]
     if len(toks) == 1:
         return [], toks[0]
     return toks[:-1], toks[-1]
@@ -472,6 +539,12 @@ class MockLLMClient:
                     )
                     if cand:
                         given, family = _split_name(cand)
+                    else:
+                        fm = _FORMER_NAME_RE.search(note)
+                        if fm:
+                            toks = _split_name(fm.group(1))[0]
+                            if toks:
+                                given = toks
         else:
             for pat in (_LABELED_NAME_RE, _PATIENT_NAME_RE, _START_NAME_RE):
                 cand = next(
@@ -569,7 +642,7 @@ class MockLLMClient:
                 "postalCode": (zm.group(1) if zm else None) or am.group(4),
                 "country": "US",
             }
-            if _RESIDENCE_RE.search(ctx) and not _FACILITY_RE.search(ctx):
+            if _RESIDENCE_RE.search(ctx) and not _facility_owned(ctx):
                 best = cand
                 break
             # a facility-context street is the hospital's, not the
@@ -598,8 +671,11 @@ class MockLLMClient:
                 (
                     m
                     for m in _STREET_ONLY_RE.finditer(note)
-                    if not _FACILITY_RE.search(
-                        note[max(0, m.start() - 90): m.start()]
+                    # window runs to the STREET itself, so the match's
+                    # own residence trigger participates in the
+                    # last-cue-wins contest
+                    if not _facility_owned(
+                        note[max(0, m.start() - 90): m.start(1)]
                     )
                 ),
                 None,
