@@ -308,7 +308,12 @@ def neardup_index_add(index, admitted_docs: DataFrame, text_col: str):
     fresh = admitted_docs.join(
         index.sigs.select(index.id_col), index.id_col, "left_anti"
     )
-    new_sigs = minhash_signatures(fresh, text_col, index.id_col)
+    # persisted like ivf_add_documents' merged lists: the delta feeds
+    # BOTH the signature union and the band-row explode — unpinned,
+    # the delivery's whole admit plan upstream of `admitted_docs`
+    # re-ran per consumer (q112: 14.1 s -> ~7 s at sf0.1). The CALLER
+    # owns the index lifetime; release when replacing it.
+    new_sigs = minhash_signatures(fresh, text_col, index.id_col).persist()
     return NearDupIndex(
         sigs=index.sigs.unionByName(new_sigs),
         bands=index.bands.unionByName(
