@@ -263,6 +263,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     adjudicated: dict[str, float] = {}
+    adjudicated_runs: dict[str, list] = {}
     adjudication_load = None
     prior = _prior_round_queries(sf_val)
     flagged = _flag_regressions(timings, prior)
@@ -306,6 +307,11 @@ def main() -> None:
                 try:
                     rec = json.loads(ln)
                     got[rec["query"]] = rec["min"]
+                    # full pass list into the detail artifact: the min
+                    # alone hides the cold/warm split that explains a
+                    # 2-run re-measure reading high (r11: q100 [15.8,
+                    # 8.4] cold-dominated vs its 7.3 prior)
+                    adjudicated_runs[rec["query"]] = rec.get("runs")
                 except (ValueError, KeyError):
                     continue
             return got, load
@@ -398,6 +404,7 @@ def main() -> None:
         "queries_load": {k: v for k, v in sorted(loads.items())},
         "flagged_vs_prior": flagged,
         "adjudicated_min": adjudicated,
+        "adjudicated_runs": adjudicated_runs,
         "adjudication_load": adjudication_load,
         "sf": sf_val,
     }
