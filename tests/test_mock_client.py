@@ -90,3 +90,65 @@ def test_number_variants_f8():
     assert "one" in number_variants("1")
     assert "2" in number_variants("two")
     assert number_variants("13") == ["13"]
+
+
+# --- r11 tuner-pass rules, pinned per behavior -----------------------------
+
+
+def test_trailing_credentials_are_not_family_names():
+    p = MockLLMClient().extract_patient(
+        "Patient named Mrs. Layla Mariko Auer PhD was seen today. "
+        "She was born on May 2, 1970."
+    )
+    assert p["name"]["family"] == "Auer"
+    assert p["name"]["given"] == ["Layla", "Mariko"]
+
+
+def test_all_caps_name_stops_at_prose_verb():
+    p = MockLLMClient().extract_patient(
+        "DURING AN AMBULATORY VISIT, MRS. MONSERRATE FRANCINA BEDNAR WAS "
+        "PROVIDED MEDICAL SERVICES."
+    )
+    assert p["name"]["family"] == "BEDNAR"
+    assert p["name"]["given"] == ["MONSERRATE", "FRANCINA"]
+
+
+def test_pronoun_after_title_is_not_a_family_name():
+    p = MockLLMClient().extract_patient(
+        "The individual's name is Avery Faustino Nitzsche and he goes by "
+        "the title, Mr. He is male and was born on the 29th of December, "
+        "1978."
+    )
+    assert p["name"]["family"] == "Nitzsche"
+    assert p["name"]["given"] == ["Avery", "Faustino"]
+
+
+def test_former_name_fills_given_for_single_token_lead():
+    p = MockLLMClient().extract_patient(
+        "Patient: Mrs. Halvorson, previously known as Stacia Tam. She is "
+        "a female, born on April 17, 1914."
+    )
+    assert p["name"]["family"] == "Halvorson"
+    assert p["name"]["given"] == ["Stacia"]
+
+
+def test_latin1_uppercase_tokens_stay_in_the_name():
+    p = MockLLMClient().extract_patient(
+        "Clinical Note: Ms. Vela underwent an examination. Ms. Soledad "
+        "Ángela Vela, a female patient, was born on the 26th of April, "
+        "1948."
+    )
+    assert p["name"]["family"] == "Vela"
+    assert p["name"]["given"] == ["Soledad", "Ángela"]
+
+
+def test_residence_cue_reclaims_street_from_facility_window():
+    p = MockLLMClient().extract_patient(
+        "This is the medical overview for Mr. Virgil Lawrence Stroman. "
+        "Virgil is a male living in Boston, Massachusetts. More "
+        "specifically, his residence is at 1048 Koepp Flat, with the "
+        "postal code 02116 in the United States."
+    )
+    assert p["address"]["line"] == "1048 Koepp Flat"
+    assert p["address"]["city"] == "Boston"
+    assert p["address"]["postalCode"] == "02116"
