@@ -163,3 +163,35 @@ def test_q110_hll_shuffles_registers_not_rows(spark, sf_dir):
     assert plan.rindex("Exchange") < plan.index("partial_max"), plan
     tail = plan[plan.rindex("FileScan"):][:400]
     assert "props" not in tail and "value" not in tail, tail
+
+
+def test_triangle_corners_enumerate_once(spark):
+    """The corner count must consume the wedge+closure join in ONE
+    pass (`explode(array(u,v,w))`) — the r10 shape's 3-branch
+    unionAll of corner projections re-ran the join per branch (union
+    branches reuse input exchanges but not the join itself; measured
+    3x the enumeration cost at gate scale, r11). Pinned on the
+    optimized plan: the per-corner aggregate sits directly on one
+    explode of the triangle rows, with no Union between them (the
+    degree table's endpoint union deeper in the plan is legitimate)."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release, sweep_blocks
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        triangle_counts,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a_id long, b_id long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    res = triangle_counts(pairs, verts)
+    plan = _optimized_plan(res)
+    assert plan.count("Generate explode(array(u") == 1, plan
+    agg_at = plan.index("AS n_triangles")
+    gen_at = plan.index("Generate explode(array(u")
+    assert agg_at < gen_at and "Union" not in plan[agg_at:gen_at], (
+        plan[agg_at:gen_at]
+    )
+    got = {r["id"]: r["n_triangles"] for r in res.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+    release(res)
+    sweep_blocks(spark)
