@@ -81,7 +81,7 @@ _MONTHS["sept"] = 9
 # À-Þ covers the Latin-1 uppercase range ("Ms. Soledad Ángela Vela"
 # broke the ASCII-only class mid-sequence); no dot: a sentence period
 # ends the name
-_NAME_TOKEN = r"[A-ZÀ-Þ][\w'’-]*"
+_NAME_TOKEN = r"[A-ZÀ-ÖØ-Þ][\w'’-]*"  # skip 0xD7 (×, not a letter)
 # separator excludes newlines: a name never wraps across bullet lines
 _NAME_SEQ = rf"{_NAME_TOKEN}(?:[^\S\n]+{_NAME_TOKEN})*"
 # prefix case-insensitive: a handful of notes are ALL-CAPS ("MRS.
@@ -94,7 +94,7 @@ _NAME_SEQ = rf"{_NAME_TOKEN}(?:[^\S\n]+{_NAME_TOKEN})*"
 # behind it (r11 tuner pass)
 _LEAD_NAME_RE = re.compile(
     rf"\b((?i:Mr|Mrs|Ms)\.)\s+"
-    rf"(?!(?:He|She|His|Her|They|It|The)\b)({_NAME_SEQ})"
+    rf"(?!(?i:He|She|His|Her|They|It|The)\b)({_NAME_SEQ})"
 )
 # wrapped in a lookahead so a rejected candidate does not CONSUME the
 # next label ("Clinical Note: Patient: Veta ..." — the "Clinical

@@ -276,8 +276,14 @@ def save_neardup_index(index, path: str) -> None:
         f"{path}/bands"
     )
     spark = index.sigs.sparkSession
+    # id type travels in the meta row: a partitionBy write of a
+    # ZERO-row bands frame emits no part files, so the load must be
+    # able to declare the schema instead of inferring it (day-0
+    # bootstrap: build over an empty corpus, save, load, then admit
+    # the first delivery)
+    id_type = index.sigs.schema[index.id_col].dataType.simpleString()
     spark.createDataFrame(
-        [(index.id_col,)], "id_col string"
+        [(index.id_col, id_type)], "id_col string, id_type string"
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -285,10 +291,18 @@ def load_neardup_index(spark: SparkSession, path: str):
     from .dedup import NearDupIndex
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col, id_type = meta["id_col"], meta["id_type"]
+    bands = spark.read.schema(
+        f"{id_col} {id_type}, bucket_key string, band_id int"
+    ).parquet(f"{path}/bands")
     return NearDupIndex(
-        sigs=spark.read.parquet(f"{path}/sigs"),
-        bands=spark.read.parquet(f"{path}/bands"),
-        id_col=meta["id_col"],
+        sigs=spark.read.schema(
+            f"{id_col} {id_type}, sig array<long>"
+        ).parquet(f"{path}/sigs"),
+        # canonical column order (the build emits id, band_id,
+        # bucket_key; the partition column reads back last)
+        bands=bands.select(id_col, "band_id", "bucket_key"),
+        id_col=id_col,
     )
 
 
@@ -308,16 +322,24 @@ def neardup_index_add(index, admitted_docs: DataFrame, text_col: str):
     fresh = admitted_docs.join(
         index.sigs.select(index.id_col), index.id_col, "left_anti"
     )
+    from ..cache import own
+
     # persisted like ivf_add_documents' merged lists: the delta feeds
     # BOTH the signature union and the band-row explode — unpinned,
     # the delivery's whole admit plan upstream of `admitted_docs`
-    # re-ran per consumer (q112: 14.1 s -> ~7 s at sf0.1). The CALLER
-    # owns the index lifetime; release when replacing it.
+    # re-ran per consumer (q112: 14.1 s -> ~7 s at sf0.1). The pin
+    # rides BOTH returned frames as an own() handle, so a caller's
+    # release() of either (or of an admit result built over them —
+    # handles inherit transitively) frees the delta; the CALLER owns
+    # the index lifetime.
     new_sigs = minhash_signatures(fresh, text_col, index.id_col).persist()
     return NearDupIndex(
-        sigs=index.sigs.unionByName(new_sigs),
-        bands=index.bands.unionByName(
-            _sig_band_rows(new_sigs, index.id_col)
+        sigs=own(index.sigs.unionByName(new_sigs), new_sigs),
+        bands=own(
+            index.bands.unionByName(
+                _sig_band_rows(new_sigs, index.id_col)
+            ),
+            new_sigs,
         ),
         id_col=index.id_col,
     )

@@ -762,10 +762,17 @@ def q112_neardup_index_lifecycle(
     )
     idx2 = neardup_index_add(idx, admitted_a, "text")
     idx2.bands = idx2.bands.persist()
-    return ops.neardup_admit_incremental(
+    final = ops.neardup_admit_incremental(
         idx2.sigs, delivery_b, "text", "doc_id",
         min_agree_e4=_Q111_MIN_AGREE_E4, existing_bands=idx2.bands,
     )
+    # everything this query pinned rides the result: the two band
+    # pins directly, admit A's internal pins via its result frame,
+    # and the add's signature delta via idx2.bands' inherited handle
+    # — release(result) (or bench's sweep) frees the lot
+    from ..cache import own
+
+    return own(final, admit_a, idx.bands, idx2.bands)
 
 
 def _q112_sql(min_agree_e4: int = _Q111_MIN_AGREE_E4) -> str:

@@ -522,7 +522,20 @@ def q113_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter(F.pmod("event_id", n_shards) == i).toPandas(
             ).to_parquet(f"{d}/shard-{i}.parquet", index=False)
         q = hll_register_stream(spark, d, ["event_type"], None)
-        q.awaitTermination(300)
+        try:
+            # fail LOUDLY on a stalled drain: returning the standing
+            # state after a False timeout would silently hand back a
+            # partially-folded frame with a correct-looking schema
+            if not q.awaitTermination(600):
+                raise RuntimeError(
+                    "q113: streaming fold did not drain within 600 s"
+                )
+        finally:
+            # stop before the outer finally deletes the input shards
+            # (harmless after a clean availableNow drain; essential on
+            # the timeout path — a still-running query must not race
+            # the rmtree)
+            q.stop()
         regs = q.hllRegisterState["regs"]
     finally:
         # the standing state is an EAGER localCheckpoint — the input

@@ -99,26 +99,62 @@ def test_noise_thresholds():
     assert bench._adjudication_noisy(None)
 
 
+def _mk_samples(rows):
+    """(la1, cumulative_steal_jiffies) -> hostload.sample() dicts with
+    a 1000-jiffy total per interval, so steal_pct == dsteal / 10."""
+    it = iter(rows)
+
+    def sample():
+        la1, js = next(it)
+        sample.jt = getattr(sample, "jt", 0) + 1000
+        return {"la1": la1, "jt": sample.jt, "js": js}
+
+    return sample
+
+
 def test_cooldown_polls_until_quiet():
-    seq = iter([5.0, 3.0, 1.2])
+    # la1 decays under the limit after two sleeps; steal stays quiet
     sleeps: list[float] = []
     la1 = bench._cooldown_until_quiet(
-        60.0, _la1=lambda: next(seq), _sleep=sleeps.append
+        60.0,
+        _sample=_mk_samples([(5.0, 0), (3.0, 5), (1.2, 10)]),
+        _sleep=sleeps.append,
     )
     assert la1 == 1.2
     assert sleeps == [10.0, 10.0]
 
 
+def test_cooldown_waits_out_steal_burst():
+    # la1 quiet from the second sample on, but the poll interval's
+    # steal delta stays hot (50/1000 jiffies = 5%) until the last —
+    # the cooldown must not hand the retry a still-stealing window
+    sleeps: list[float] = []
+    la1 = bench._cooldown_until_quiet(
+        60.0,
+        _sample=_mk_samples(
+            [(5.0, 0), (1.0, 50), (1.0, 100), (1.0, 105)]
+        ),
+        _sleep=sleeps.append,
+    )
+    assert la1 == 1.0
+    assert sleeps == [10.0, 10.0, 10.0]
+
+
 def test_cooldown_gives_up_at_deadline():
     sleeps: list[float] = []
     la1 = bench._cooldown_until_quiet(
-        25.0, _la1=lambda: 9.9, _sleep=sleeps.append
+        25.0,
+        _sample=_mk_samples([(9.9, 0)] * 10),
+        _sleep=sleeps.append,
     )
     assert la1 == 9.9
     assert sum(sleeps) <= 25.0
-    # already-quiet host: returns immediately, no sleeping
+    # already-quiet host: returns immediately, no sleeping (steal
+    # needs an interval to measure; the re-measure stamps it anyway)
     none_sleeps: list[float] = []
     bench._cooldown_until_quiet(
-        60.0, _la1=lambda: 0.3, _sleep=none_sleeps.append
+        60.0,
+        _sample=_mk_samples([(0.3, 0)]),
+        _sleep=none_sleeps.append,
     )
     assert none_sleeps == []
