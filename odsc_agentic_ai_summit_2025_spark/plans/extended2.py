@@ -503,6 +503,7 @@ FROM hll JOIN ex USING (event_type)
 # ---------------------------------------------------------------------------
 
 def q113_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
     import tempfile
 
@@ -514,13 +515,39 @@ def q113_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_shards = 3
     d = tempfile.mkdtemp(prefix="q113_hll_replay_")
+    # MICROS, not the INT96 default: INT96 footers read back as
+    # nanoseconds under pyarrow, which would flip the stream reader's
+    # ns-vs-µs footer detection onto the raw-long path and fail the
+    # scan. Save/restore is safe here because the writes are EAGER.
+    _ts_key = "spark.sql.parquet.outputTimestampType"
+    _ts_prev = spark.conf.get(_ts_key, None)
+    spark.conf.set(_ts_key, "TIMESTAMP_MICROS")
     try:
-        for i in range(n_shards):
-            # one FILE per delivery: maxFilesPerTrigger=1 makes file
-            # count == micro-batch count (order is irrelevant — the
-            # max-merge is commutative and merge ≡ refit)
-            ev.filter(F.pmod("event_id", n_shards) == i).toPandas(
-            ).to_parquet(f"{d}/shard-{i}.parquet", index=False)
+        try:
+            for i in range(n_shards):
+                # one FILE per delivery: maxFilesPerTrigger=1 makes
+                # file count == micro-batch count (order is irrelevant
+                # — the max-merge is commutative and merge ≡ refit).
+                # The shard is written EXECUTOR-SIDE (coalesce(1)
+                # keeps it one part file); only the finished file is
+                # renamed on the driver — the events rows never cross
+                # the driver, so the replay setup scales with the
+                # cluster, not driver memory.
+                stage = f"{d}/stage-{i}"
+                ev.filter(F.pmod("event_id", n_shards) == i).coalesce(
+                    1
+                ).write.parquet(stage)
+                part = next(
+                    p for p in os.listdir(stage)
+                    if p.startswith("part-") and p.endswith(".parquet")
+                )
+                os.rename(f"{stage}/{part}", f"{d}/shard-{i}.parquet")
+                shutil.rmtree(stage, ignore_errors=True)
+        finally:
+            if _ts_prev is None:
+                spark.conf.unset(_ts_key)
+            else:
+                spark.conf.set(_ts_key, _ts_prev)
         q = hll_register_stream(spark, d, ["event_type"], None)
         try:
             # fail LOUDLY on a stalled drain: returning the standing
