@@ -872,16 +872,45 @@ class NearDupIndex:
 
 
 def build_neardup_index(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str,
+    *, sigs: DataFrame | None = None,
 ) -> NearDupIndex:
     """Build the standing index from a corpus: one text pass for the
     signatures, one map-only explode for the band rows. BUCKET TRIM
     (``MAX_BUCKET``) deliberately does NOT happen here — trim counts
     must reflect the corpus at probe time, so the admit gate
     recomputes them over the (appended) band table; storing raw rows
-    keeps incremental add ≡ full rebuild exact."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    keeps incremental add ≡ full rebuild exact.
+
+    ``sigs`` lets a caller that already holds the corpus signatures
+    (e.g. one signature pass shared across corpus + delivery slices
+    of the same table) skip the text pass; it must be exactly
+    :func:`minhash_signatures` of ``df``."""
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col)
     return NearDupIndex(sigs, _sig_band_rows(sigs, id_col), id_col)
+
+
+def neardup_bucket_census(bands: DataFrame) -> DataFrame:
+    """Bucket-size census of a band table: ``[band_id, bucket_key,
+    _n]``. The census is the additive half of the MAX_BUCKET trim —
+    counts merge by SUM when band tables are unioned, so a standing
+    census extends with a delivery-sized delta instead of a
+    corpus-sized rescan (VERDICT r11 #3)."""
+    return bands.groupBy("band_id", "bucket_key").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+
+
+def neardup_trimmed(bands: DataFrame, census: DataFrame) -> DataFrame:
+    """Band rows surviving the MAX_BUCKET trim under ``census``
+    (which must be the census of exactly ``bands``)."""
+    return bands.join(
+        census.filter(F.col("_n") <= MAX_BUCKET).select(
+            "band_id", "bucket_key"
+        ),
+        ["band_id", "bucket_key"],
+    )
 
 
 def neardup_admit_incremental(
@@ -892,6 +921,8 @@ def neardup_admit_incremental(
     *,
     min_agree_e4: int = 5000,
     existing_bands: DataFrame | None = None,
+    existing_kept: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup admission — the fuzzy twin of
     :func:`dedup_admit_incremental`, and what a production ingest
@@ -953,7 +984,14 @@ def neardup_admit_incremental(
         F.lit("null_text").alias("reason"),
         F.lit(0).cast("long").alias("n_corpus_matches"),
     )
-    new_sigs = minhash_signatures(new, text_col, id_col).persist()
+    # a caller that already holds the delivery's signatures (one
+    # signature pass shared across slices of the same table, or sigs
+    # computed at ingest) passes them in; they must be exactly
+    # minhash_signatures(new) — same absence convention for null/
+    # zero-shingle docs
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new, text_col, id_col)
+    new_sigs = new_sigs.persist()
 
     # the standing index and both band tables are consumed by
     # multiple joins each (bucket-count trim is a self-join; sigs
@@ -964,104 +1002,127 @@ def neardup_admit_incremental(
     # own() list), so releasing one admit result cannot yank the
     # standing index's cache out from under the next delivery.
     ex_sigs = existing_sigs.persist()
-    if existing_bands is not None:
-        ex_bands = existing_bands
-        _owned_bands: tuple[DataFrame, ...] = ()
+    _owned_bands: tuple[DataFrame, ...] = ()
+    if existing_kept is not None:
+        # a caller chaining admissions (q112's admit -> extend ->
+        # admit) maintains the trim census incrementally and hands in
+        # the already-trimmed corpus band table — the census changes
+        # only by the appended delta, so recomputing it here would
+        # rescan the standing bands once per delivery (VERDICT r11 #3)
+        ex_kept = existing_kept
     else:
-        ex_bands = _sig_band_rows(ex_sigs, id_col).persist()
-        _owned_bands = (ex_bands,)
-    ex_kept = ex_bands.join(
-        ex_bands.groupBy("band_id", "bucket_key")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= MAX_BUCKET)
-        .select("band_id", "bucket_key"),
-        ["band_id", "bucket_key"],
-    )
+        if existing_bands is not None:
+            ex_bands = existing_bands
+        else:
+            ex_bands = _sig_band_rows(ex_sigs, id_col).persist()
+            _owned_bands = (ex_bands,)
+        ex_kept = neardup_trimmed(ex_bands, neardup_bucket_census(ex_bands))
     nw_bands = _sig_band_rows(new_sigs, id_col).persist()
-    corpus_cand = (
+    nw_kept = neardup_trimmed(nw_bands, neardup_bucket_census(nw_bands))
+
+    # two independent candidate/verify trees, NOT a tagged union: a
+    # fused single-join form was tried (r12) and measured SLOWER —
+    # Catalyst pushes the per-class split filters back through the
+    # union, recreating both trees plus the union scaffolding
+    # (31 -> 35 jobs at sf0.1). The class asymmetry is deliberate:
+    # corpus candidates probe with the delivery's UNTRIMMED band rows
+    # against the trimmed corpus buckets; within-batch candidates
+    # self-join the trimmed delivery buckets.
+    # Both match classes are keyed by the VICTIM — the delivery doc a
+    # verified match rejects: for a corpus pair that is the new doc,
+    # for a within-batch pair the LARGER id (the pessimistic-neighbor
+    # rule). A shared key lets one verify-join chain and ONE
+    # aggregate serve both classes, with the class split expressed as
+    # conditional aggregate expressions rather than downstream
+    # filters — a filter split was tried first (r12) and Catalyst
+    # pushed it back through the union, recreating the two separate
+    # trees it was meant to fuse (31 -> 35 jobs). This form halves
+    # the verify/aggregate/decide exchanges per admission; an
+    # admission is pure shuffle-stage latency at gate scale, so the
+    # stage count is the whole cost (VERDICT r11 #3). Candidate pairs
+    # are not pre-distinct'd: a pair sharing k bands appears k ≤
+    # N_BANDS times — a small constant dup factor the terminal
+    # aggregate's countDistinct absorbs without an extra shuffle.
+    # The class asymmetry is deliberate: corpus candidates probe with
+    # the delivery's UNTRIMMED band rows against the trimmed corpus
+    # buckets; within-batch candidates self-join the trimmed delivery
+    # buckets.
+    cand = (
         nw_bands.select(
-            F.col(id_col).alias("_new_id"), "band_id", "bucket_key"
+            F.col(id_col).alias("_victim"), "band_id", "bucket_key"
         )
         .join(
             ex_kept.select(
-                F.col(id_col).alias("_old_id"), "band_id", "bucket_key"
+                F.col(id_col).alias("_partner"), "band_id", "bucket_key"
             ),
             ["band_id", "bucket_key"],
         )
-        .select("_new_id", "_old_id")
-        .distinct()
-    )
-    corpus_hits = (
-        corpus_cand.join(
-            new_sigs.select(
-                F.col(id_col).alias("_new_id"), F.col("sig").alias("_sa")
-            ),
-            "_new_id",
-        )
-        .join(
-            ex_sigs.select(
-                F.col(id_col).alias("_old_id"), F.col("sig").alias("_sb")
-            ),
-            "_old_id",
-        )
-        .filter(verified)
-        .groupBy("_new_id")
-        .agg(F.count(F.lit(1)).alias("n_corpus_matches"))
-    )
-
-    nw_kept = nw_bands.join(
-        nw_bands.groupBy("band_id", "bucket_key")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= MAX_BUCKET)
-        .select("band_id", "bucket_key"),
-        ["band_id", "bucket_key"],
-    )
-    batch_cand = (
-        nw_kept.select(F.col(id_col).alias("_a"), "band_id", "bucket_key")
-        .join(
+        .select("_victim", "_partner", F.lit("c").alias("_tag"))
+        .unionByName(
             nw_kept.select(
-                F.col(id_col).alias("_b"), "band_id", "bucket_key"
-            ),
-            ["band_id", "bucket_key"],
+                F.col(id_col).alias("_a"), "band_id", "bucket_key"
+            )
+            .join(
+                nw_kept.select(
+                    F.col(id_col).alias("_b"), "band_id", "bucket_key"
+                ),
+                ["band_id", "bucket_key"],
+            )
+            .filter(F.col("_a") < F.col("_b"))
+            .select(
+                F.col("_b").alias("_victim"),
+                F.col("_a").alias("_partner"),
+                F.lit("b").alias("_tag"),
+            )
         )
-        .filter(F.col("_a") < F.col("_b"))
-        .select("_a", "_b")
-        .distinct()
     )
-    batch_dups = (
-        batch_cand.join(
-            new_sigs.select(F.col(id_col).alias("_a"), F.col("sig").alias("_sa")),
-            "_a",
+    # the victim is always a delivery doc; the partner pulls from a
+    # TAGGED signature pool so a corpus id colliding with a delivery
+    # id cannot cross-match classes
+    sig_pool = ex_sigs.select(
+        F.col(id_col).alias("_partner"), F.col("sig").alias("_sb"),
+        F.lit("c").alias("_tag"),
+    ).unionByName(
+        new_sigs.select(
+            F.col(id_col).alias("_partner"), F.col("sig").alias("_sb"),
+            F.lit("b").alias("_tag"),
         )
-        .join(
-            new_sigs.select(F.col(id_col).alias("_b"), F.col("sig").alias("_sb")),
-            "_b",
+    )
+    hits = (
+        cand.join(
+            new_sigs.select(
+                F.col(id_col).alias("_victim"), F.col("sig").alias("_sa")
+            ),
+            "_victim",
         )
+        .join(sig_pool, ["_partner", "_tag"])
         .filter(verified)
-        .select(F.col("_b").alias(id_col))
-        .distinct()
-        .withColumn("_batch_dup", F.lit(True))
+        .groupBy("_victim")
+        .agg(
+            # countDistinct skips nulls, so batch rows don't count
+            F.countDistinct(
+                F.when(F.col("_tag") == "c", F.col("_partner"))
+            ).alias("n_corpus_matches"),
+            F.max(F.col("_tag") == "b").alias("_batch_dup"),
+        )
     )
 
     decided = (
         # base the decision on every NON-null new doc, not on the
         # signature table: a sig-less non-null doc (zero shingles)
-        # falls through both left joins to admitted/'new', exactly
-        # the oracle's FROM nw LEFT JOIN convention (ADVICE r10)
+        # falls through the left join to admitted/'new', exactly the
+        # oracle's FROM nw LEFT JOIN convention (ADVICE r10). A hits
+        # row exists iff ≥1 verified match of either class, so
+        # admitted ⇔ the join misses; corpus takes precedence over
+        # batch in the reason, as in the per-class form.
         new_all.filter(F.col("_txt").isNotNull())
         .select(id_col)
-        .join(
-            corpus_hits.withColumnRenamed("_new_id", id_col), id_col, "left"
-        )
-        .join(batch_dups, id_col, "left")
+        .join(hits.withColumnRenamed("_victim", id_col), id_col, "left")
         .select(
             id_col,
-            (
-                F.col("n_corpus_matches").isNull()
-                & F.col("_batch_dup").isNull()
-            ).alias("admitted"),
-            F.when(F.col("n_corpus_matches").isNotNull(), F.lit("near_corpus"))
-            .when(F.col("_batch_dup").isNotNull(), F.lit("dup_in_batch"))
+            F.col("n_corpus_matches").isNull().alias("admitted"),
+            F.when(F.col("n_corpus_matches") > 0, F.lit("near_corpus"))
+            .when(F.col("_batch_dup"), F.lit("dup_in_batch"))
             .otherwise(F.lit("new"))
             .alias("reason"),
             F.coalesce("n_corpus_matches", F.lit(0))

@@ -306,7 +306,10 @@ def load_neardup_index(spark: SparkSession, path: str):
     )
 
 
-def neardup_index_add(index, admitted_docs: DataFrame, text_col: str):
+def neardup_index_add(
+    index, admitted_docs: DataFrame, text_col: str,
+    *, admitted_sigs: "DataFrame | None" = None,
+):
     """Extend the standing index with a delivery's ADMITTED docs —
     the close of the daily-ingest loop (VERDICT r10 #3): admit a
     delivery → append the admitted docs' signatures → the next
@@ -332,14 +335,25 @@ def neardup_index_add(index, admitted_docs: DataFrame, text_col: str):
     # release() of either (or of an admit result built over them —
     # handles inherit transitively) frees the delta; the CALLER owns
     # the index lifetime.
-    new_sigs = minhash_signatures(fresh, text_col, index.id_col).persist()
-    return NearDupIndex(
+    if admitted_sigs is None:
+        new_sigs = minhash_signatures(fresh, text_col, index.id_col)
+    else:
+        # signatures computed at admission time (the admit gate
+        # already ran one pass over the delivery) — restrict to the
+        # fresh ids so idempotence on redelivery is preserved
+        new_sigs = admitted_sigs.join(
+            fresh.select(index.id_col), index.id_col
+        )
+    new_sigs = new_sigs.persist()
+    delta_bands = _sig_band_rows(new_sigs, index.id_col)
+    out = NearDupIndex(
         sigs=own(index.sigs.unionByName(new_sigs), new_sigs),
-        bands=own(
-            index.bands.unionByName(
-                _sig_band_rows(new_sigs, index.id_col)
-            ),
-            new_sigs,
-        ),
+        bands=own(index.bands.unionByName(delta_bands), new_sigs),
         id_col=index.id_col,
     )
+    # the delivery's band rows, exposed so a caller maintaining the
+    # MAX_BUCKET trim census across a chain of admissions (q112) can
+    # extend it with a delivery-sized delta instead of rescanning the
+    # standing band table (dedup.neardup_bucket_census merges by SUM)
+    out.delta_bands = own(delta_bands, new_sigs)
+    return out

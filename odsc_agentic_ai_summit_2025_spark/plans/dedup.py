@@ -748,31 +748,62 @@ def q112_neardup_index_lifecycle(
     corpus = docs.filter(F.col("doc_id") % 3 == 1)
     delivery_a = docs.filter(F.col("doc_id") % 3 == 2)
     delivery_b = docs.filter(F.col("doc_id") % 3 == 0)
-    idx = ops.build_neardup_index(corpus, "text", "doc_id")
-    # the standing band table feeds the trim self-join + probe in
-    # each admit; caller-owned pin (the admit pins sigs itself) —
-    # bench's per-query sweep releases it
+    # ONE signature pass over the whole table, shared by the corpus
+    # build, both deliveries' admissions, and the index extend — the
+    # lifecycle replays three slices of the SAME parquet, so four
+    # separate mapInPandas passes (corpus, delivery A, delta,
+    # delivery B) were pure repeated cost: each respun Python workers
+    # and rescanned the text (profiled r12 — the slices' signature
+    # stages, not the join tree, dominated the cold run). In
+    # production the per-delivery signatures arrive precomputed from
+    # the ingest path; this is that shape.
+    all_sigs = ops.minhash_signatures(docs, "text", "doc_id").persist()
+    idx = ops.build_neardup_index(
+        corpus, "text", "doc_id",
+        sigs=all_sigs.filter(F.col("doc_id") % 3 == 1),
+    )
+    # the standing band table feeds the trim + probe in each admit;
+    # caller-owned pin — bench's per-query sweep releases it
     idx.bands = idx.bands.persist()
+    # the MAX_BUCKET trim census is maintained ACROSS the chain
+    # (VERDICT r11 #3): computed once over the standing bands, then
+    # extended with the delivery-sized delta after the append —
+    # the corpus band table is never re-censused per admission
+    census_1 = ops.neardup_bucket_census(idx.bands).persist()
+    sigs_a = all_sigs.filter(F.col("doc_id") % 3 == 2)
     admit_a = ops.neardup_admit_incremental(
         idx.sigs, delivery_a, "text", "doc_id",
-        min_agree_e4=_Q111_MIN_AGREE_E4, existing_bands=idx.bands,
+        min_agree_e4=_Q111_MIN_AGREE_E4,
+        existing_kept=ops.neardup_trimmed(idx.bands, census_1),
+        new_sigs=sigs_a,
     )
     admitted_a = delivery_a.join(
         admit_a.filter(F.col("admitted")).select("doc_id"), "doc_id"
     )
-    idx2 = neardup_index_add(idx, admitted_a, "text")
+    idx2 = neardup_index_add(idx, admitted_a, "text", admitted_sigs=sigs_a)
     idx2.bands = idx2.bands.persist()
+    census_2 = (
+        census_1.unionByName(ops.neardup_bucket_census(idx2.delta_bands))
+        .groupBy("band_id", "bucket_key")
+        .agg(F.sum("_n").alias("_n"))
+    )
     final = ops.neardup_admit_incremental(
         idx2.sigs, delivery_b, "text", "doc_id",
-        min_agree_e4=_Q111_MIN_AGREE_E4, existing_bands=idx2.bands,
+        min_agree_e4=_Q111_MIN_AGREE_E4,
+        existing_kept=ops.neardup_trimmed(idx2.bands, census_2),
+        new_sigs=all_sigs.filter(F.col("doc_id") % 3 == 0),
     )
-    # everything this query pinned rides the result: the two band
-    # pins directly, admit A's internal pins via its result frame,
-    # and the add's signature delta via idx2.bands' inherited handle
-    # — release(result) (or bench's sweep) frees the lot
+    # everything this query pinned rides the result: the signature,
+    # band, and census pins directly, admit A's internal pins via its
+    # result frame, and the add's signature delta via idx2.bands'
+    # inherited handle — release(result) (or bench's sweep) frees
+    # the lot
     from ..cache import own
 
-    return own(final, admit_a, idx.bands, idx2.bands)
+    return own(
+        final, admit_a, all_sigs, idx.bands, idx2.bands, census_1,
+        idx2.delta_bands,
+    )
 
 
 def _q112_sql(min_agree_e4: int = _Q111_MIN_AGREE_E4) -> str:
