@@ -227,7 +227,16 @@ _EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")
 # "681 Bosco Terrace Apt 39. The postal" before "The" (next
 # sentence). No '.' inside extra tokens either — a sentence period
 # ends the street ("561 Russel Trace. He doesn't ...").
-_STREET_STOP = r"(?!(?i:in|with|and|the|was|is|near|located|of|at|on|from|a|an)\b)"
+# "apt" excluded from the extras so the dedicated unit clause can
+# claim "Apt. 53" with its number ("858 Keebler Club Apt. 53" was
+# truncating at "Apt" when the extras consumed it); excluding
+# unit/suite as well measured NEGATIVE — both appear as legitimate
+# mid-name tokens more often than as unclaimed unit markers (r12
+# tuner pass, every variant measured)
+_STREET_STOP = (
+    r"(?!(?i:in|with|and|the|was|is|near|located|of|at|on|from|a|an"
+    r"|according|apt)\b)"
+)
 _UNIT_WORD = r"(?i:unit(?:[^\S\n]+number)?|suite|apt\.?|apartment(?:[^\S\n]+number)?)"
 _STREET = (
     # a number followed by a duration/measure noun is prose ("stayed
@@ -321,12 +330,47 @@ def _facility_owned(ctx: str) -> bool:
 # number+words pattern matches prose like "3 on a scale of 0 to 10".
 _STREET_ONLY_RE = re.compile(
     rf"(?i:home|resides?|residence|address|living|lives|hails"
-    rf"|place located|stays?|street)"
+    rf"|place located|stays?|street|letters?|mail\b|postman|deliver"
+    rf"|apartment|labell?ed)"
     rf"\D{{0,70}}?(?:at|is|of|from)?\s+({_STREET})"
 )
 _CITY_STATE_RE = re.compile(
     r"(?:from|in|of)\s+([A-Z][a-z]+(?:\s[A-Z][a-z]+)*),\s*"
     r"([A-Z][a-z]+(?:\s[A-Z][a-z]+)*)"
+)
+_CITY_WORD = (
+    r"([A-Za-z][\w'’-]*"
+    r"(?:[^\S\n](?!(?i:in|is|at|and|the|her|his|its|on|a|an|of|located"
+    r"|where|that|which|who|with|for|he|she|they)\b)"
+    r"[A-Za-z][\w'’-]*){0,2})"
+)
+# relaxed fallback for the rare all-lowercase / ALL-CAPS notes and
+# em-dash localities ("a place – Medford, Massachusetts") the strict
+# capitalized form misses; city words bounded and connector-stopped
+# like _CITY_WORD — a fully relaxed capture measured NEGATIVE on the
+# r12 tuner pass (prose fragments swallowed the city slot)
+_CITY_STATE_LOOSE_RE = re.compile(
+    rf"(?:(?i:from|in|of)|[–—])\s+{_CITY_WORD},\s*"
+    r"([A-Za-z]+(?:\s[A-Za-z]+)*)"
+)
+# label-style and prose city cues for notes where city and state never
+# sit adjacent ("City is Watertown.", "- city: newton", "the beautiful
+# city of Gloucester", "a town named Brockton") — the r11 line-field
+# misses clustered here: the street matched but the composite had no
+# city source, so the complete-address gate nulled the record.
+# Continuation words must not be prose connectors ("city of Gloucester
+# in the county" stops at "Gloucester").
+_CITY_CUE_RE = re.compile(
+    rf"(?i:\b(?:city|town))\b"
+    rf"(?:\s+is|\s+being|\s*[:=]|\s+(?:of|called|named|known[^\S\n]+as))\s*"
+    rf"{_CITY_WORD}"
+)
+_STATE_LABEL_RE = re.compile(
+    r"(?i:\bstate)\b(?:\s+is|\s*[:=])\s*(?:(?i:of)\s+)?"
+    r"([A-Za-z]+(?:[^\S\n][A-Za-z]+)?)"
+)
+_STATE_REV_RE = re.compile(
+    r"([A-Za-z]+(?:[^\S\n][A-Za-z]+)?)\s+(?i:is\s+(?:his|her|their)\s+state)"
 )
 _ZIP_RE = re.compile(r"(?i:postal\s*code|postcode|zip)\D{0,40}?(\d{5})")
 _ALLERGY_RE = re.compile(
@@ -666,6 +710,13 @@ class MockLLMClient:
                     if m.group(2).strip() in STATE_NAMES
                 ),
                 None,
+            ) or next(
+                (
+                    m
+                    for m in _CITY_STATE_LOOSE_RE.finditer(note)
+                    if m.group(2).strip().lower() in _lower_states
+                ),
+                None,
             )
             st = next(
                 (
@@ -680,7 +731,19 @@ class MockLLMClient:
                 ),
                 None,
             )
-            if cs or st:
+            comp_city = cs.group(1).strip() if cs else None
+            comp_state = cs.group(2).strip() if cs else None
+            if comp_city is None:
+                cm = _CITY_CUE_RE.search(note)
+                if cm:
+                    comp_city = cm.group(1).strip()
+            if comp_state is None:
+                sm = _STATE_LABEL_RE.search(note) or _STATE_REV_RE.search(
+                    note
+                )
+                if sm and sm.group(1).strip().lower() in _lower_states:
+                    comp_state = sm.group(1).strip()
+            if cs or st or comp_city is not None:
                 zm = _ZIP_RE.search(note)
                 if zm is None and cs is not None:
                     zm = re.match(
@@ -692,8 +755,8 @@ class MockLLMClient:
                     )
                     if st
                     else None,
-                    "city": cs.group(1).strip() if cs else None,
-                    "state": cs.group(2).strip() if cs else None,
+                    "city": comp_city,
+                    "state": comp_state,
                     "postalCode": zm.group(1) if zm else None,
                     "country": "US",
                 }
