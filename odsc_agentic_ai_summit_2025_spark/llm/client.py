@@ -492,6 +492,14 @@ def _encounter_date(note: str) -> str | None:
     for start, iso, m in sorted(cands, key=lambda c: c[0]):
         around = note[max(0, start - 30): m.end() + 30]
         if _TIME_NEAR_RE.search(around):
+            # death timestamps are written WITH clock times ("passed
+            # away on October 8, 2022, at 19:51:44") — a death date is
+            # never the encounter fallback (r12 tuner pass)
+            if re.search(
+                r"(?i)passed\s+away|died|death|deceased",
+                note[max(0, start - 45): start],
+            ):
+                continue
             return iso
     return None
 
@@ -957,17 +965,65 @@ class MockLLMClient:
         if "tetanus" in groups and ("dtap" in groups or "diphtheria" in low):
             found = [(p, g) for p, g in found if g != "tetanus"]
         found.sort()
+
+        def _is_honorific(p: int) -> bool:
+            # "Mr." / "Mrs." / "Ms." / "Dr." periods are not sentence
+            # boundaries — "On the 24th of July, 2022, Mr. Hansen
+            # received ... vaccine" was losing its leading date when
+            # the honorific period started the "sentence" (r12 tuner)
+            return bool(re.search(r"(?i)\b(?:mr|mrs|ms|dr|st)$",
+                                  low[max(0, p - 3): p]))
+
+        def _sent_bounds(pos: int) -> tuple[int, int]:
+            s = low.rfind(".", 0, pos)
+            while s != -1 and _is_honorific(s):
+                s = low.rfind(".", 0, s)
+            e = note.find(".", pos)
+            while e != -1 and _is_honorific(e):
+                e = note.find(".", e + 1)
+            return s + 1, e if e != -1 else len(note)
+
         out = []
         for pos, _grp in found:
-            # the vaccine's own sentence may carry its date
-            s = low.rfind(".", 0, pos) + 1
-            e = note.find(".", pos)
-            sent = note[s: e if e != -1 else len(note)]
+            # the vaccine's own sentence may carry its date — the text
+            # AFTER the mention first ("Given influenza ... vaccine on
+            # October 13, 2016"): bullet-style notes have few periods,
+            # so the "sentence" can reach back to the birth-date line,
+            # whose date would otherwise win as the leftmost match
+            s, e = _sent_bounds(pos)
+            d = _date_in(note[pos:e]) or _date_in(note[s:e])
+            _IMMU_NARRATIVE = (
+                r"(?i)inoculat|immuniz|vaccin|administer|shot|dose"
+                r"|took place|given"
+            )
+            # date in a FOLLOWING sentence, while each clearly
+            # continues the immunization narrative ("... flu shot. The
+            # inoculation took place on June 1, 2014.") — up to two
+            # hops (mRNA-details sentences often sit between the
+            # vaccine name and its dated administration line)
+            e_cur = e
+            for _hop in range(2):
+                if d is not None or e_cur >= len(note):
+                    break
+                s2, e2 = _sent_bounds(min(e_cur + 2, len(note) - 1))
+                nxt = note[s2:e2]
+                if not re.search(_IMMU_NARRATIVE, nxt):
+                    break
+                d = _date_in(note[s2:e2])
+                e_cur = e2
+            if d is None and s > 1:
+                # or the PRECEDING sentence ("On December 26, 2015,
+                # Mr. Ullrich had a medical encounter to undergo an
+                # immunization. ... The shot administered was ...")
+                s0, e0 = _sent_bounds(max(s - 2, 0))
+                prv = note[s0:e0]
+                if re.search(_IMMU_NARRATIVE, prv):
+                    d = _date_in(prv)
             out.append(
                 {
                     "traits": None,
                     "status": "completed",
-                    "occurrenceDateTime": _date_in(sent),
+                    "occurrenceDateTime": d,
                 }
             )
         if not out:
