@@ -243,7 +243,7 @@ _STREET = (
     # 2 nights", "3 beats"), never a street
     rf"\d{{1,5}}[^\S\n]+"
     rf"(?!(?i:night|day|week|month|year|hour|minute|time|beat|mg|ml"
-    rf"|kg|lb|bpm|percent)s?\b)"
+    rf"|kg|lb|bpm|percent|unit|dose)s?\b)"
     rf"[A-Za-z][\w'’-]*"
     rf"(?:[^\S\n]+{_STREET_STOP}[A-Za-z0-9][\w'’-]*){{0,5}}"
     rf"(?:,?[^\S\n]*{_UNIT_WORD}[^\S\n]*\w+)?"
@@ -341,7 +341,8 @@ _CITY_STATE_RE = re.compile(
 _CITY_WORD = (
     r"([A-Za-z][\w'’-]*"
     r"(?:[^\S\n](?!(?i:in|is|at|and|the|her|his|its|on|a|an|of|located"
-    r"|where|that|which|who|with|for|he|she|they)\b)"
+    r"|where|that|which|who|with|for|he|she|they|was|were|sits|lies"
+    r"|has|had|can|will|would|also|now|then|so|but|or|to|by)\b)"
     r"[A-Za-z][\w'’-]*){0,2})"
 )
 # relaxed fallback for the rare all-lowercase / ALL-CAPS notes and
@@ -351,7 +352,7 @@ _CITY_WORD = (
 # r12 tuner pass (prose fragments swallowed the city slot)
 _CITY_STATE_LOOSE_RE = re.compile(
     rf"(?:(?i:from|in|of)|[–—])\s+{_CITY_WORD},\s*"
-    r"([A-Za-z]+(?:\s[A-Za-z]+)*)"
+    r"([A-Za-z]+(?:\s[A-Za-z]+)?)"
 )
 # label-style and prose city cues for notes where city and state never
 # sit adjacent ("City is Watertown.", "- city: newton", "the beautiful
@@ -404,6 +405,11 @@ _VACCINE_GROUPS: list[tuple[str, str]] = [
     ("zoster", r"zoster|shingles"),
 ]
 _IMMUNIZATION_ANY_RE = re.compile(r"immuniz|vaccin|inoculat|\bjab\b|shot", re.I)
+# sentences that continue an immunization narrative — gates the
+# neighboring-sentence date search in extract_immunizations
+_IMMU_NARRATIVE_RE = re.compile(
+    r"(?i)inoculat|immuniz|vaccin|administer|shot|dose|took place|given"
+)
 _SENT_SPLIT_RE = re.compile(r"(?<=[.\n])")
 
 _SUBSTANCE_CATEGORY = {
@@ -746,11 +752,23 @@ class MockLLMClient:
                 if cm:
                     comp_city = cm.group(1).strip()
             if comp_state is None:
-                sm = _STATE_LABEL_RE.search(note) or _STATE_REV_RE.search(
-                    note
-                )
-                if sm and sm.group(1).strip().lower() in _lower_states:
-                    comp_state = sm.group(1).strip()
+                # the capture is greedy ("Massachusetts and" for a
+                # one-word state followed by prose) and the membership
+                # filter sits outside the regex, so trim like
+                # _trim_state: full capture first, then its first word
+                for sm in (
+                    _STATE_LABEL_RE.search(note),
+                    _STATE_REV_RE.search(note),
+                ):
+                    if sm is None:
+                        continue
+                    cand = sm.group(1).strip()
+                    for c in (cand, cand.split()[0]):
+                        if c.lower() in _lower_states:
+                            comp_state = c
+                            break
+                    if comp_state is not None:
+                        break
             if cs or st or comp_city is not None:
                 zm = _ZIP_RE.search(note)
                 if zm is None and cs is not None:
@@ -992,10 +1010,6 @@ class MockLLMClient:
             # whose date would otherwise win as the leftmost match
             s, e = _sent_bounds(pos)
             d = _date_in(note[pos:e]) or _date_in(note[s:e])
-            _IMMU_NARRATIVE = (
-                r"(?i)inoculat|immuniz|vaccin|administer|shot|dose"
-                r"|took place|given"
-            )
             # date in a FOLLOWING sentence, while each clearly
             # continues the immunization narrative ("... flu shot. The
             # inoculation took place on June 1, 2014.") — up to two
@@ -1007,7 +1021,7 @@ class MockLLMClient:
                     break
                 s2, e2 = _sent_bounds(min(e_cur + 2, len(note) - 1))
                 nxt = note[s2:e2]
-                if not re.search(_IMMU_NARRATIVE, nxt):
+                if not _IMMU_NARRATIVE_RE.search(nxt):
                     break
                 d = _date_in(note[s2:e2])
                 e_cur = e2
@@ -1017,7 +1031,7 @@ class MockLLMClient:
                 # immunization. ... The shot administered was ...")
                 s0, e0 = _sent_bounds(max(s - 2, 0))
                 prv = note[s0:e0]
-                if re.search(_IMMU_NARRATIVE, prv):
+                if _IMMU_NARRATIVE_RE.search(prv):
                     d = _date_in(prv)
             out.append(
                 {

@@ -865,10 +865,22 @@ class NearDupIndex:
     the reference's analog is idempotent ``MERGE`` re-ingest
     (src/build_graph.py:216)."""
 
-    def __init__(self, sigs: DataFrame, bands: DataFrame, id_col: str):
+    def __init__(
+        self,
+        sigs: DataFrame,
+        bands: DataFrame,
+        id_col: str,
+        delta_bands: DataFrame | None = None,
+    ):
         self.sigs = sigs
         self.bands = bands
         self.id_col = id_col
+        # the most recent delivery's band rows — set by
+        # index_io.neardup_index_add so a caller maintaining the
+        # MAX_BUCKET trim census across a chain of admissions can
+        # extend it with a delivery-sized delta (neardup_bucket_census
+        # merges by SUM); None on a fresh build or a loaded index
+        self.delta_bands = delta_bands
 
 
 def build_neardup_index(
@@ -1020,14 +1032,6 @@ def neardup_admit_incremental(
     nw_bands = _sig_band_rows(new_sigs, id_col).persist()
     nw_kept = neardup_trimmed(nw_bands, neardup_bucket_census(nw_bands))
 
-    # two independent candidate/verify trees, NOT a tagged union: a
-    # fused single-join form was tried (r12) and measured SLOWER —
-    # Catalyst pushes the per-class split filters back through the
-    # union, recreating both trees plus the union scaffolding
-    # (31 -> 35 jobs at sf0.1). The class asymmetry is deliberate:
-    # corpus candidates probe with the delivery's UNTRIMMED band rows
-    # against the trimmed corpus buckets; within-batch candidates
-    # self-join the trimmed delivery buckets.
     # Both match classes are keyed by the VICTIM — the delivery doc a
     # verified match rejects: for a corpus pair that is the new doc,
     # for a within-batch pair the LARGER id (the pessimistic-neighbor

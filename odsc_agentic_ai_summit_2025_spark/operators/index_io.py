@@ -346,14 +346,13 @@ def neardup_index_add(
         )
     new_sigs = new_sigs.persist()
     delta_bands = _sig_band_rows(new_sigs, index.id_col)
-    out = NearDupIndex(
+    # delta_bands (a declared NearDupIndex field, None elsewhere) lets
+    # a caller maintaining the MAX_BUCKET trim census across a chain
+    # of admissions (q112) extend it with a delivery-sized delta
+    # instead of rescanning the standing band table
+    return NearDupIndex(
         sigs=own(index.sigs.unionByName(new_sigs), new_sigs),
         bands=own(index.bands.unionByName(delta_bands), new_sigs),
         id_col=index.id_col,
+        delta_bands=own(delta_bands, new_sigs),
     )
-    # the delivery's band rows, exposed so a caller maintaining the
-    # MAX_BUCKET trim census across a chain of admissions (q112) can
-    # extend it with a delivery-sized delta instead of rescanning the
-    # standing band table (dedup.neardup_bucket_census merges by SUM)
-    out.delta_bands = own(delta_bands, new_sigs)
-    return out

@@ -158,3 +158,102 @@ def test_cooldown_gives_up_at_deadline():
         _sleep=none_sleeps.append,
     )
     assert none_sleeps == []
+
+
+# ---------------------------------------------------------------------------
+# _adjudicate_with_retry — the attempt/retry/gate sequence (r12 review:
+# the retry-on-failure branch and the runs snapshot/restore were
+# previously inline and untested)
+# ---------------------------------------------------------------------------
+
+_QUIET = {"la1": 0.5, "steal_pct": 0.1}
+_NOISY = {"la1": 9.0, "steal_pct": 11.0}
+
+
+def _seq_runner(attempts, runs_detail):
+    """run_isolated stub: pops (got, load, runs_per_query) per call and
+    mimics the real parse loop's side effect on the runs dict."""
+    calls = []
+
+    def run(runs, timeout):
+        calls.append((runs, timeout))
+        got, load, detail = attempts.pop(0)
+        for q, passes in (detail or {}).items():
+            runs_detail[q] = passes
+        return got, load
+
+    run.calls = calls
+    return run
+
+
+def test_retry_fires_on_failed_first_attempt():
+    """A first attempt that produced nothing (timeout/crash/empty
+    parse) must still get the one bounded retry (ADVICE r11)."""
+    runs_detail = {}
+    run = _seq_runner(
+        [
+            (None, _QUIET, None),                      # attempt 1 fails
+            ({"q01_x": 1.2}, _QUIET, {"q01_x": [1.5, 1.2]}),
+        ],
+        runs_detail,
+    )
+    adj, adj_runs, load = bench._adjudicate_with_retry(
+        run, runs_detail, cooldown=lambda *_: None
+    )
+    assert len(run.calls) == 2
+    assert run.calls[1] == (2, 360)  # retry keeps the 2-run protocol
+    assert adj == {"q01_x": 1.2}
+    assert adj_runs == {"q01_x": [1.5, 1.2]}
+    assert load == _QUIET
+
+
+def test_retry_runs_reflect_surviving_attempt():
+    """When the retry succeeds, attempt 1's per-pass lists must NOT
+    leak into the published runs detail (ADVICE r11: stale attempt-1
+    entries for queries absent from the retry's output)."""
+    runs_detail = {}
+    run = _seq_runner(
+        [
+            ({"q01_x": 9.9, "q02_y": 3.0}, _NOISY,
+             {"q01_x": [9.9, 12.0], "q02_y": [3.0, 3.1]}),
+            ({"q01_x": 1.2}, _QUIET, {"q01_x": [1.5, 1.2]}),
+        ],
+        runs_detail,
+    )
+    adj, adj_runs, _ = bench._adjudicate_with_retry(
+        run, runs_detail, cooldown=lambda *_: None
+    )
+    assert adj == {"q01_x": 1.2}
+    assert adj_runs == {"q01_x": [1.5, 1.2]}  # no stale q02_y entry
+
+
+def test_retry_failure_restores_first_attempt_runs_gated():
+    """If the retry produces nothing, attempt 1's numbers survive but
+    both dicts carry the noise marker when attempt 1 was noisy — the
+    pass lists must not be readable as plan evidence either."""
+    runs_detail = {}
+    run = _seq_runner(
+        [
+            ({"q01_x": 9.9}, _NOISY, {"q01_x": [9.9, 12.0]}),
+            (None, _NOISY, None),
+        ],
+        runs_detail,
+    )
+    adj, adj_runs, _ = bench._adjudicate_with_retry(
+        run, runs_detail, cooldown=lambda *_: None
+    )
+    assert adj == {"q01_x": bench.NOISE_MARKER}
+    assert adj_runs == {"q01_x": bench.NOISE_MARKER}
+
+
+def test_quiet_first_attempt_skips_retry():
+    runs_detail = {}
+    run = _seq_runner(
+        [({"q01_x": 1.0}, _QUIET, {"q01_x": [1.3, 1.0]})], runs_detail
+    )
+    adj, adj_runs, _ = bench._adjudicate_with_retry(
+        run, runs_detail, cooldown=lambda *_: None
+    )
+    assert len(run.calls) == 1
+    assert adj == {"q01_x": 1.0}
+    assert adj_runs == {"q01_x": [1.3, 1.0]}
