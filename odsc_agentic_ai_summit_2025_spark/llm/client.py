@@ -530,6 +530,10 @@ _NAME_PROSE_STOP = frozenset(
 def _split_name(full: str) -> tuple[list[str], str]:
     toks = [t[:-2] if t.endswith(("'s", "’s")) else t
             for t in full.replace(",", "").split()]
+    # quoted names ("the last name 'Batz'") keep the trailing quote —
+    # the name token class allows apostrophes for O'Brien-style names,
+    # so strip quotes only at token EDGES (r12 tuner pass)
+    toks = [t.strip("'’\"") or t for t in toks]
     for i, t in enumerate(toks):
         if i and t.lower() in _NAME_PROSE_STOP:
             toks = toks[:i]
