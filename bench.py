@@ -465,7 +465,19 @@ def main() -> None:
     try:
         import pathlib
 
-        out = pathlib.Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+        # Externally-triggered runs (the per-round driver bench) land in
+        # BENCH_LOCAL.latest.json, which is gitignored — so a driver run
+        # after the round's final commit no longer dirties the tree and
+        # the committed BENCH_LOCAL.json is unambiguously what the
+        # builder measured at freeze (VERDICT r11 "What's wrong" #2).
+        # Builder runs set SPARK_GRAFT_BENCH_COMMIT=1 to write the
+        # canonical file.
+        name = (
+            "BENCH_LOCAL.json"
+            if os.environ.get("SPARK_GRAFT_BENCH_COMMIT", "0") == "1"
+            else "BENCH_LOCAL.latest.json"
+        )
+        out = pathlib.Path(__file__).resolve().parent / name
         out.write_text(json.dumps(detail, indent=1))
     except OSError:
         pass  # read-only checkout: stdout line is the contract
