@@ -272,10 +272,29 @@ _ADDR_RE = re.compile(
     rf"({_STREET})(?:,| in)\s*"
     rf"{_CITY_PREFIX}"
     r"([A-Za-z][\w'’-]*(?:[^\S\n][A-Za-z][\w'’-]*){0,3})"
-    r"(?:,\s*|\s+(?i:in)\s+)(?:(?i:the\s+state\s+of\s+|state\s+of\s+)?)"
+    r"(?:,\s*(?:(?i:in)\s+)?|\s+(?i:in)\s+)(?:(?i:the\s+state\s+of\s+|state\s+of\s+)?)"
     r"([A-Za-z]+(?:[^\S\n][A-Za-z]+)*)"
     r"(?:[^\d]{0,60}?(\d{5}))?"
 )
+
+
+_CITY_TRAIL_STOP = {
+    "which", "is", "in", "that", "located", "where", "the", "a", "an",
+    "with", "and", "it", "its", "was", "being", "lies", "sits",
+}
+
+
+def _trim_city(raw: str) -> str | None:
+    """The _ADDR_RE city slot is an untriggered up-to-4-word capture,
+    so prose connectors ride along ("Fairhaven which is in the state
+    of Massachusetts" → city "Fairhaven which is"; "697 Bahringer
+    Dale, which is located in the state of Massachusetts" → city
+    "which is located"). Strip trailing connector words; a capture
+    that is ALL connectors is no city at all."""
+    words = raw.split()
+    while words and words[-1].lower() in _CITY_TRAIL_STOP:
+        words.pop()
+    return " ".join(words) or None
 
 
 def _trim_state(raw: str, lower_states) -> str | None:
@@ -301,7 +320,8 @@ def _trim_state(raw: str, lower_states) -> str | None:
 # matches inside facility/visit sentences are the hospital's address
 # (the gold leaves patient address null there)
 _RESIDENCE_RE = re.compile(
-    r"(?i)resid|lives?|living|home|(?<!email )address|hails|domicil|dwell|stay"
+    r"(?i)resid|lives?|living|home|(?<!email )(?<!office )address"
+    r"|hails|domicil|dwell|stay"
 )
 _FACILITY_RE = re.compile(
     r"(?i)hospital|clinic\b|cent(?:er|re)|medical|facility|visit|encounter"
@@ -363,16 +383,31 @@ _CITY_STATE_LOOSE_RE = re.compile(
 # in the county" stops at "Gloucester").
 _CITY_CUE_RE = re.compile(
     rf"(?i:\b(?:city|town))\b"
-    rf"(?:\s+is|\s+being|\s*[:=]|\s+(?:of|called|named|known[^\S\n]+as))\s*"
+    rf"(?i:\s+is|\s+being|\s*[:=]|\s+(?:of|called|named|known[^\S\n]+as))\s*"
     rf"{_CITY_WORD}"
 )
 _STATE_LABEL_RE = re.compile(
-    r"(?i:\bstate)\b(?:\s+is|\s*[:=])\s*(?:(?i:of)\s+)?"
+    r"(?i:\bstate)\b(?:\s+is|\s*[:=]|\s+(?i:of))\s*(?:(?i:of)\s+)?"
     r"([A-Za-z]+(?:[^\S\n][A-Za-z]+)?)"
 )
 _STATE_REV_RE = re.compile(
     r"([A-Za-z]+(?:[^\S\n][A-Za-z]+)?)\s+(?i:is\s+(?:his|her|their)\s+state)"
 )
+_BARE_STATE_RE = None
+
+
+def _bare_state_re():
+    """Alternation over the 50 full state names (word-bounded, built
+    once): the bare-mention fallback for comp_state."""
+    global _BARE_STATE_RE
+    if _BARE_STATE_RE is None:
+        from .eval_states import STATE_NAMES
+
+        names = sorted(STATE_NAMES, key=len, reverse=True)
+        _BARE_STATE_RE = re.compile(
+            r"\b(" + "|".join(re.escape(n) for n in names) + r")\b", re.I
+        )
+    return _BARE_STATE_RE
 _ZIP_RE = re.compile(r"(?i:postal\s*code|postcode|zip)\D{0,40}?(\d{5})")
 _ALLERGY_RE = re.compile(
     r"allerg\w+\s+(?:towards?|to)\s+(?:the\s+substance\s+)?['\"]?([a-z][\w -]*?)['\"]?[,.\s]"
@@ -696,7 +731,7 @@ class MockLLMClient:
                 "line": _with_pre_unit(
                     am.group(1).strip().rstrip(",."), note, am.start()
                 ),
-                "city": am.group(2).strip(),
+                "city": _trim_city(am.group(2).strip()),
                 "state": state,
                 # an explicitly LABELED postal code wins over the
                 # positional capture (the gold trusts the label when
@@ -751,6 +786,22 @@ class MockLLMClient:
             )
             comp_city = cs.group(1).strip() if cs else None
             comp_state = cs.group(2).strip() if cs else None
+            if cs is None:
+                # reversed order: "Lives in Massachusetts, Upton" —
+                # the STATE leads; accept when side 1 is a state and
+                # side 2 is not
+                rv = next(
+                    (
+                        m
+                        for m in _CITY_STATE_RE.finditer(note)
+                        if m.group(1).strip() in STATE_NAMES
+                        and m.group(2).strip() not in STATE_NAMES
+                    ),
+                    None,
+                )
+                if rv is not None:
+                    comp_city = rv.group(2).strip()
+                    comp_state = rv.group(1).strip()
             if comp_city is None:
                 cm = _CITY_CUE_RE.search(note)
                 if cm:
@@ -773,6 +824,18 @@ class MockLLMClient:
                             break
                     if comp_state is not None:
                         break
+            if comp_state is None:
+                # last resort: a bare full state name anywhere in the
+                # note ("lives in the heart of Massachusetts, in the
+                # beautiful city of Gloucester"). Patient residences
+                # use full names, facility addresses the "MA"-style
+                # abbreviation (the standing r8/r9 finding), so a full
+                # name is near-unambiguous; this only matters when a
+                # street+city was independently found, since state
+                # alone never creates an address
+                bm = _bare_state_re().search(note)
+                if bm:
+                    comp_state = bm.group(1)
             if cs or st or comp_city is not None:
                 zm = _ZIP_RE.search(note)
                 if zm is None and cs is not None:
