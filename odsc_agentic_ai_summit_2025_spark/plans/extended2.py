@@ -592,11 +592,94 @@ FROM hll JOIN ex USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# q114 — the DSIR fit-once/score-many SERVING loop surfaced as a
+# driver-oracled query (VERDICT r12 #2, the q113 pattern): the count
+# model is fit ONCE in batch on the doc_id<250 slice (exactly q102's
+# serving split), then the corpus is replayed as three one-file
+# micro-batch deliveries through dsir_score_stream's REAL streaming
+# drive (availableNow trigger, foreachBatch, stream-static model
+# join) — each delivery is scored and appended to the sink
+# EXECUTOR-SIDE (foreachBatch df.write; no rows ever cross the
+# driver). Scoring is per-doc given a fixed model, so the union of
+# per-delivery scores IS the batch serving answer — the oracle is
+# q102's SQL verbatim, and a hash match proves the streamed drive
+# end-to-end equals the batch refit, neutral-term path included.
+# ---------------------------------------------------------------------------
+
+def q114_dsir_stream_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..cache import release_frame
+    from ..operators.curation import dsir_model
+    from ..streaming.pipeline import dsir_score_stream
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = dsir_model(
+        docs.filter(F.col("doc_id") < 250), "text", "source", "src1", n=2
+    )
+    n_shards = 3
+    d = tempfile.mkdtemp(prefix="q114_dsir_stream_")
+    try:
+        in_dir = f"{d}/in"
+        out_dir = f"{d}/out"
+        os.mkdir(in_dir)
+        for i in range(n_shards):
+            # one FILE per delivery (maxFilesPerTrigger=1 in the
+            # stream makes file count == micro-batch count), written
+            # EXECUTOR-SIDE exactly like q113's replay shards:
+            # coalesce(1) keeps one part file, the driver only
+            # renames the finished file — document text never
+            # crosses the driver.
+            stage = f"{in_dir}/stage-{i}"
+            docs.filter(F.pmod("doc_id", n_shards) == i).coalesce(
+                1
+            ).write.parquet(stage)
+            part = next(
+                p for p in os.listdir(stage)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            os.rename(f"{stage}/{part}", f"{in_dir}/shard-{i}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
+
+        def _sink(scored: DataFrame, batch_id: int) -> None:
+            # append-mode parquet from inside foreachBatch: the
+            # scored rows flow executor→sink files directly
+            scored.write.mode("append").parquet(out_dir)
+
+        q = dsir_score_stream(spark, in_dir, model, _sink)
+        try:
+            # fail LOUDLY on a stalled drain (q113 rationale: a False
+            # timeout would silently score a delivery prefix)
+            if not q.awaitTermination(600):
+                raise RuntimeError(
+                    "q114: streaming scorer did not drain within 600 s"
+                )
+        finally:
+            q.stop()
+            # the stream pinned the model for its per-batch joins
+            release_frame(q.dsirModelHandle)
+        # eager checkpoint so the result survives the rmtree below
+        # (3 small columns per doc — the text stayed in the shards)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q114_sql() -> str:
+    from .curation import _q102_sql
+
+    return _q102_sql()
+
+
 # q108/q109 are r9 TAIL additions (pulled into the r10 window per the
 # COVERAGE.md invariant); q110 is the r10 TAIL addition (pinned right
 # after the five bumps in the r11 rotation note, registry.py); q113
 # is the r11 TAIL addition (enters the r12 window per the rotation
-# note).
+# note); q114 is the r13 TAIL addition (pinned right after the nine
+# bumps in the r14 rotation note).
 TAIL_QUERIES = [
     Query("q108_windowed_hll", q108_windowed_hll, _q108_sql(),
           ("A4", "streaming"),
@@ -611,4 +694,8 @@ TAIL_QUERIES = [
           ("A4", "streaming"),
           "streaming HLL fold replayed over 3 micro-batch deliveries, "
           "finalized == batch refit"),
+    Query("q114_dsir_stream_scoring", q114_dsir_stream_scoring, _q114_sql(),
+          ("streaming",),
+          "DSIR fit-once model serving 3 streamed deliveries, "
+          "union of scores == batch serving split"),
 ]
