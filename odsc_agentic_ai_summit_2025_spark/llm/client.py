@@ -278,10 +278,19 @@ _ADDR_RE = re.compile(
 )
 
 
-_CITY_TRAIL_STOP = {
-    "which", "is", "in", "that", "located", "where", "the", "a", "an",
-    "with", "and", "it", "its", "was", "being", "lies", "sits",
-}
+# ONE connector-word vocabulary for every city-slot guard: both the
+# trailing-word trimmer (_trim_city) and the multi-word continuation
+# lookahead (_CITY_WORD) derive from this frozenset — the two lists
+# were hand-duplicated before r13 and had drifted (r12 post-freeze
+# review). Tuner-verified neutral on the corpus: 39228/40890 with the
+# split lists and with this union.
+_CONNECTOR_WORDS = frozenset(
+    "a also an and at being but by can for had has he her his in is it its "
+    "lies located now of on or she sits so that the then they to was were "
+    "where which who will with would".split()
+)
+
+_CITY_TRAIL_STOP = _CONNECTOR_WORDS
 
 
 def _trim_city(raw: str) -> str | None:
@@ -360,9 +369,7 @@ _CITY_STATE_RE = re.compile(
 )
 _CITY_WORD = (
     r"([A-Za-z][\w'’-]*"
-    r"(?:[^\S\n](?!(?i:in|is|at|and|the|her|his|its|on|a|an|of|located"
-    r"|where|that|which|who|with|for|he|she|they|was|were|sits|lies"
-    r"|has|had|can|will|would|also|now|then|so|but|or|to|by)\b)"
+    rf"(?:[^\S\n](?!(?i:{'|'.join(sorted(_CONNECTOR_WORDS))})\b)"
     r"[A-Za-z][\w'’-]*){0,2})"
 )
 # relaxed fallback for the rare all-lowercase / ALL-CAPS notes and
@@ -1055,9 +1062,17 @@ class MockLLMClient:
             # "Mr." / "Mrs." / "Ms." / "Dr." periods are not sentence
             # boundaries — "On the 24th of July, 2022, Mr. Hansen
             # received ... vaccine" was losing its leading date when
-            # the honorific period started the "sentence" (r12 tuner)
-            return bool(re.search(r"(?i)\b(?:mr|mrs|ms|dr|st)$",
-                                  low[max(0, p - 3): p]))
+            # the honorific period started the "sentence" (r12 tuner).
+            # The lookback is 6 chars, not 3: a 3-char slice filled by
+            # "mrs" hides the preceding character, so \b matched at
+            # the slice start and any word ENDING in "mrs" passed as
+            # an honorific (ADVICE r12). "st" is OUT of the list: a
+            # street-abbreviation period ("Elm St.") is a genuine
+            # boundary more often than a "St. Mary" one isn't —
+            # removal measured neutral on the corpus (r13 tuner,
+            # 39228/40890 with and without).
+            return bool(re.search(r"(?i)\b(?:mr|mrs|ms|dr)$",
+                                  low[max(0, p - 6): p]))
 
         def _sent_bounds(pos: int) -> tuple[int, int]:
             s = low.rfind(".", 0, pos)
