@@ -120,35 +120,37 @@ def _adjudicate_with_retry(
     quiet stamp on it (VERDICT r10 #2).
 
     Returns ``(adjudicated, adjudicated_runs, load)`` with the noise
-    gate applied to BOTH dicts — whichever attempt's numbers survive,
-    they are recorded as numbers only if THAT attempt's window was
-    quiet; the raw per-pass lists must not be readable as plan
-    evidence when the mins are not (ADVICE r11). The runs detail
-    always reflects the attempt whose mins are published: attempt 1's
-    passes are snapshotted and cleared before the retry, restored
-    only if the retry produced nothing.
+    gate applied PER ATTEMPT before merging — each attempt's numbers
+    are recorded as numbers only if THAT attempt's window was quiet;
+    the raw per-pass lists must not be readable as plan evidence when
+    the mins are not (ADVICE r11). A retry whose parse is PARTIAL
+    (covers fewer queries than attempt 1) overlays per-query instead
+    of replacing wholesale (ADVICE r12): attempt-2 values win where
+    present, and attempt-1 entries missing from the retry keep their
+    own already-gated values rather than silently vanishing — so a
+    quietly-measured attempt-1 min survives a partial retry, while a
+    noisy attempt-1 entry stays a marker however quiet the retry was.
     """
     if cooldown is None:
         cooldown = _cooldown_until_quiet
-    adjudicated: dict = {}
     cooldown(90.0)
     got, load = run_isolated(2, 420)
-    if got:
-        adjudicated = got
-    if not adjudicated or _adjudication_noisy(load):
+    adjudicated = _gate_adjudicated(dict(got) if got else {}, load)
+    runs = _gate_adjudicated(dict(adjudicated_runs), load)
+    if not got or _adjudication_noisy(load):
         cooldown(90.0)
-        runs_first = dict(adjudicated_runs)
         adjudicated_runs.clear()
         got2, load2 = run_isolated(2, 360)
         if got2:
-            adjudicated, load = got2, load2
-        else:
-            adjudicated_runs.update(runs_first)
-    return (
-        _gate_adjudicated(adjudicated, load),
-        _gate_adjudicated(adjudicated_runs, load),
-        load,
-    )
+            adjudicated = {**adjudicated, **_gate_adjudicated(got2, load2)}
+            runs = {
+                **runs,
+                **_gate_adjudicated(dict(adjudicated_runs), load2),
+            }
+            load = load2
+    adjudicated_runs.clear()
+    adjudicated_runs.update(runs)
+    return adjudicated, adjudicated_runs, load
 
 
 def _cooldown_until_quiet(
@@ -479,6 +481,16 @@ def main() -> None:
         )
         out = pathlib.Path(__file__).resolve().parent / name
         out.write_text(json.dumps(detail, indent=1))
+        if name != "BENCH_LOCAL.json":
+            # ADVICE r12: a forgotten env var at freeze silently ships
+            # a stale canonical artifact — make the non-canonical path
+            # impossible to miss (stderr: the stdout contract is ONE
+            # JSON line)
+            print(
+                "bench: non-canonical run wrote BENCH_LOCAL.latest.json; "
+                "set SPARK_GRAFT_BENCH_COMMIT=1 to update BENCH_LOCAL.json",
+                file=sys.stderr,
+            )
     except OSError:
         pass  # read-only checkout: stdout line is the contract
     print(json.dumps(line, separators=(",", ":")))

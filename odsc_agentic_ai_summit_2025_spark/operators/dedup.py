@@ -883,6 +883,25 @@ class NearDupIndex:
         self.delta_bands = delta_bands
 
 
+def _check_sig_frame(sigs: DataFrame, id_col: str, param: str) -> None:
+    """Schema guard on a caller-provided signature frame (ADVICE r12):
+    the deep precondition — 'must be exactly minhash_signatures(df)' —
+    is only provable with a job, but a frame with the wrong columns
+    (or an id under another name) silently corrupts admission
+    decisions, and THAT much is checkable for free."""
+    want = {id_col, "sig"}
+    if set(sigs.columns) != want:
+        raise ValueError(
+            f"{param} must be a minhash_signatures frame with columns "
+            f"{sorted(want)}, got {sorted(sigs.columns)}"
+        )
+    sig_type = dict(sigs.dtypes)["sig"]
+    if sig_type != "array<bigint>":
+        raise ValueError(
+            f"{param}.sig must be array<bigint>, got {sig_type}"
+        )
+
+
 def build_neardup_index(
     df: DataFrame, text_col: str, id_col: str,
     *, sigs: DataFrame | None = None,
@@ -900,6 +919,8 @@ def build_neardup_index(
     :func:`minhash_signatures` of ``df``."""
     if sigs is None:
         sigs = minhash_signatures(df, text_col, id_col)
+    else:
+        _check_sig_frame(sigs, id_col, "sigs")
     return NearDupIndex(sigs, _sig_band_rows(sigs, id_col), id_col)
 
 
@@ -916,7 +937,30 @@ def neardup_bucket_census(bands: DataFrame) -> DataFrame:
 
 def neardup_trimmed(bands: DataFrame, census: DataFrame) -> DataFrame:
     """Band rows surviving the MAX_BUCKET trim under ``census``
-    (which must be the census of exactly ``bands``)."""
+    (which must be the census of exactly ``bands``). The schema is
+    checked for free; the census-of-exactly-``bands`` equivalence
+    costs a job, so it runs only under ``SPARK_GRAFT_DEBUG_CHECKS=1``
+    (ADVICE r12 hardening — the chain test opts in)."""
+    want = {"band_id", "bucket_key", "_n"}
+    if not want <= set(census.columns):
+        raise ValueError(
+            f"census must be a neardup_bucket_census frame with columns "
+            f"{sorted(want)}, got {sorted(census.columns)}"
+        )
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DEBUG_CHECKS") == "1":
+        fresh = neardup_bucket_census(bands)
+        cen = census.select("band_id", "bucket_key", "_n")
+        if (
+            not cen.exceptAll(fresh).isEmpty()
+            or not fresh.exceptAll(cen).isEmpty()
+        ):
+            raise AssertionError(
+                "census does not equal neardup_bucket_census(bands) — "
+                "a mismatched standing census corrupts the MAX_BUCKET "
+                "trim (debug check)"
+            )
     return bands.join(
         census.filter(F.col("_n") <= MAX_BUCKET).select(
             "band_id", "bucket_key"
@@ -1003,6 +1047,9 @@ def neardup_admit_incremental(
     # zero-shingle docs
     if new_sigs is None:
         new_sigs = minhash_signatures(new, text_col, id_col)
+    else:
+        _check_sig_frame(new_sigs, id_col, "new_sigs")
+    _check_sig_frame(existing_sigs, id_col, "existing_sigs")
     new_sigs = new_sigs.persist()
 
     # the standing index and both band tables are consumed by

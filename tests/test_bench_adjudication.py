@@ -60,6 +60,19 @@ def test_flag_rule_and_ordering():
     assert bench._flag_regressions(timings, {}) == []
 
 
+def test_flag_order_is_magnitude_not_alphabetical():
+    """VERDICT r12 #4: the [:8] adjudication cap consumes `flagged`
+    head-first, so the ordering must put the LARGEST absolute
+    regression first — here the alphabetical order (q01, q02, q03) is
+    exactly inverse to the magnitude order, so a sort regression to
+    name order cannot pass."""
+    prior = {"q01": 1.0, "q02": 1.0, "q03": 1.0}
+    timings = {"q01_a": 2.0, "q02_b": 3.0, "q03_c": 4.0}
+    assert bench._flag_regressions(timings, prior) == [
+        "q03_c", "q02_b", "q01_a"
+    ]
+
+
 def test_flag_rule_zero_prior_can_flag():
     """ADVICE r10: a prior median recorded as 0.0 (contract line
     rounds to 2 dp, i.e. any <5 ms query) must still be comparable —
@@ -207,10 +220,13 @@ def test_retry_fires_on_failed_first_attempt():
     assert load == _QUIET
 
 
-def test_retry_runs_reflect_surviving_attempt():
-    """When the retry succeeds, attempt 1's per-pass lists must NOT
-    leak into the published runs detail (ADVICE r11: stale attempt-1
-    entries for queries absent from the retry's output)."""
+def test_partial_retry_overlays_per_query_gated_by_own_window():
+    """ADVICE r12: a retry whose parse covers fewer queries than
+    attempt 1 must overlay per-query, not replace wholesale — and each
+    attempt's values carry ITS OWN window's noise gate. Attempt 1 was
+    noisy, so its q02_y entry survives the partial retry as the
+    MARKER (never as the 3.0 number, never silently dropped); the
+    retry's quiet q01_x number wins its slot."""
     runs_detail = {}
     run = _seq_runner(
         [
@@ -220,11 +236,49 @@ def test_retry_runs_reflect_surviving_attempt():
         ],
         runs_detail,
     )
+    adj, adj_runs, load = bench._adjudicate_with_retry(
+        run, runs_detail, cooldown=lambda *_: None
+    )
+    assert adj == {"q01_x": 1.2, "q02_y": bench.NOISE_MARKER}
+    assert adj_runs == {
+        "q01_x": [1.5, 1.2], "q02_y": bench.NOISE_MARKER
+    }
+    assert load == _QUIET
+
+
+def test_partial_retry_keeps_quiet_first_attempt_numbers():
+    """The other ADVICE r12 failure shape: attempt 1 parsed BOTH
+    queries in a quiet window but the subprocess exited non-zero →
+    retry fires; the retry's partial parse must not lose attempt 1's
+    quietly-measured q02_y min."""
+    runs_detail = {}
+    run = _seq_runner(
+        [
+            (None, _QUIET, None),                      # failed parse
+            ({"q01_x": 1.2}, _QUIET, {"q01_x": [1.5, 1.2]}),
+        ],
+        runs_detail,
+    )
     adj, adj_runs, _ = bench._adjudicate_with_retry(
         run, runs_detail, cooldown=lambda *_: None
     )
     assert adj == {"q01_x": 1.2}
-    assert adj_runs == {"q01_x": [1.5, 1.2]}  # no stale q02_y entry
+    assert adj_runs == {"q01_x": [1.5, 1.2]}
+    # quiet attempt-1 numbers + quiet partial retry: both survive
+    runs_detail2 = {}
+    run2 = _seq_runner(
+        [
+            ({"q01_x": 2.0, "q02_y": 3.0}, _QUIET,
+             {"q01_x": [2.2, 2.0], "q02_y": [3.0, 3.4]}),
+        ],
+        runs_detail2,
+    )
+    adj2, adj_runs2, _ = bench._adjudicate_with_retry(
+        run2, runs_detail2, cooldown=lambda *_: None
+    )
+    assert len(run2.calls) == 1  # quiet + parsed → no retry at all
+    assert adj2 == {"q01_x": 2.0, "q02_y": 3.0}
+    assert adj_runs2 == {"q01_x": [2.2, 2.0], "q02_y": [3.0, 3.4]}
 
 
 def test_retry_failure_restores_first_attempt_runs_gated():

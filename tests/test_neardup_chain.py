@@ -95,3 +95,47 @@ def test_delta_bands_none_outside_add(spark, sf_dir):
     assert idx.delta_bands is None
     idx2 = neardup_index_add(idx, delivery, "text")
     assert idx2.delta_bands is not None
+
+
+def test_sig_frame_schema_guard(spark, sf_dir):
+    """ADVICE r12 hardening: a caller-supplied signature frame with
+    the wrong columns (or the id under another name) must raise, not
+    silently corrupt admission decisions."""
+    import pytest
+
+    corpus, delivery = _corpus_delivery(spark, sf_dir)
+    bogus = corpus.select("doc_id", "text")  # not a sig frame
+    with pytest.raises(ValueError, match="sigs must be"):
+        dd.build_neardup_index(corpus, "text", "doc_id", sigs=bogus)
+    good = dd.minhash_signatures(corpus, "text", "doc_id")
+    with pytest.raises(ValueError, match="new_sigs must be"):
+        dd.neardup_admit_incremental(
+            good, delivery, "text", "doc_id", new_sigs=bogus
+        )
+    with pytest.raises(ValueError, match="existing_sigs must be"):
+        dd.neardup_admit_incremental(bogus, delivery, "text", "doc_id")
+    # an id column under another name is exactly the silent-corruption
+    # case the guard exists for
+    renamed = good.withColumnRenamed("doc_id", "id")
+    with pytest.raises(ValueError, match="sigs must be"):
+        dd.build_neardup_index(corpus, "text", "doc_id", sigs=renamed)
+    with pytest.raises(ValueError, match="census must be"):
+        dd.neardup_trimmed(
+            dd._sig_band_rows(good, "doc_id"), good
+        )
+
+
+def test_census_equivalence_debug_check(spark, sf_dir, monkeypatch):
+    """The opt-in deep check: under SPARK_GRAFT_DEBUG_CHECKS=1 a
+    census that is NOT the census of exactly `bands` raises; the true
+    census passes."""
+    import pytest
+
+    corpus, delivery = _corpus_delivery(spark, sf_dir)
+    bands = dd.build_neardup_index(corpus, "text", "doc_id").bands
+    other = dd.build_neardup_index(delivery, "text", "doc_id").bands
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_CHECKS", "1")
+    ok = dd.neardup_trimmed(bands, dd.neardup_bucket_census(bands))
+    assert ok.count() >= 0
+    with pytest.raises(AssertionError, match="census does not equal"):
+        dd.neardup_trimmed(bands, dd.neardup_bucket_census(other))
