@@ -358,7 +358,7 @@ def _facility_owned(ctx: str) -> bool:
 # fires only on an explicit residence phrase — an untriggered
 # number+words pattern matches prose like "3 on a scale of 0 to 10".
 _STREET_ONLY_RE = re.compile(
-    rf"(?i:home|resides?|residence|address|living|lives|hails"
+    rf"(?i:home|resid\w*|address|living|lives|hails"
     rf"|place located|stays?|street|letters?|mail\b|postman|deliver"
     rf"|apartment|labell?ed)"
     rf"\D{{0,70}}?(?:at|is|of|from)?\s+({_STREET})"
@@ -389,7 +389,7 @@ _CITY_STATE_LOOSE_RE = re.compile(
 # Continuation words must not be prose connectors ("city of Gloucester
 # in the county" stops at "Gloucester").
 _CITY_CUE_RE = re.compile(
-    rf"(?i:\b(?:city|town))\b"
+    rf"(?i:\b(?:city|town|place))\b"
     rf"(?i:\s+is|\s+being|\s*[:=]|\s+(?:of|called|named|known[^\S\n]+as))\s*"
     rf"{_CITY_WORD}"
 )
@@ -429,7 +429,7 @@ _VACCINE_SENT_RE = re.compile(r"[^.]*vaccin[^.]*\.", re.I)
 # and pertussis") — the td entry requires \btd\b or a tetanus
 # mention with no diphtheria nearby.
 _VACCINE_GROUPS: list[tuple[str, str]] = [
-    ("influenza", r"influenza|flu (?:shot|vaccine|jab)"),
+    ("influenza", r"influenza|flu (?:shot|vaccine|jab)|seasonal flu\b"),
     ("dtap", r"\bdtap\b"),
     ("hepb", r"hep(?:atitis)?\.?\s*b\b"),
     ("hepa", r"hep(?:atitis)?\.?\s*a\b"),
@@ -446,7 +446,13 @@ _VACCINE_GROUPS: list[tuple[str, str]] = [
     ("hib", r"\bhib\b"),
     ("zoster", r"zoster|shingles"),
 ]
-_IMMUNIZATION_ANY_RE = re.compile(r"immuniz|vaccin|inoculat|\bjab\b|shot", re.I)
+# \bshots?\b, not bare "shot": "a snapShot of medical history" was
+# inventing a generic immunization entry for notes with no vaccine at
+# all (r13 tuner, rids 168/180 class)
+_IMMUNIZATION_ANY_RE = re.compile(
+    r"immuniz|vaccin|\bvacc\b|inoculat|\bjab\b|\bshots?\b",
+    re.I,
+)
 # sentences that continue an immunization narrative — gates the
 # neighboring-sentence date search in extract_immunizations
 _IMMU_NARRATIVE_RE = re.compile(
@@ -469,8 +475,9 @@ _SUBSTANCE_CATEGORY = {
 }
 
 _NEVER_MARRIED_RE = re.compile(
-    r"never[\s\S]{0,22}(?:marri|hitched)|unmarried|not married"
+    r"never[\s\S]{0,22}(?:marri|hitched)|unmarried|not (?:been )?married"
     r"|hasn'?t (?:been )?marri|not hitched"
+    r"|yet to[\s\S]{0,30}(?:matrimonial|vows|marri)"
     r"|marital status\s*:?\s*(?:single|never)",
     re.I,
 )
@@ -888,11 +895,11 @@ class MockLLMClient:
             marital = "Widowed"
         elif re.search(r"\bmatrimony\b|\bwedlock\b", low) or any(
             # maiden-name prose ("known as X before she got married")
-            # is not a marital-status statement — the gold leaves
-            # those null; require a match without "before"/"maybe"
-            # immediately upstream
+            # IS a marital-status statement to the gold LLM — it
+            # records Married there (r13 tuner: +6 on dropping the
+            # old "before" guard); only hedged mentions stay null
             not re.search(
-                r"(?i)\b(?:before|maybe|perhaps)\b[^.\n]{0,24}$",
+                r"(?i)\b(?:maybe|perhaps)\b[^.\n]{0,24}$",
                 low[max(0, mm.start() - 30): mm.start()],
             )
             for mm in re.finditer(r"\bmarried\b|\bhitched\b", low)
@@ -976,9 +983,24 @@ class MockLLMClient:
         # any extracted name token is the patient's prefix (emitted
         # as written; the eval compares case-insensitively)
         if prefix is None and family:
-            anchor = (given[0] if given else family)
+            # both anchors, given-first: "Miss Armstrong" prefixes the
+            # FAMILY name while the note introduced the patient by her
+            # full given names (r13 tuner, +Miss-before-family class)
+            anchors = ([given[0]] if given else []) + [family]
+            for anchor in anchors:
+                pm = re.search(
+                    rf"\b((?i:Mr|Mrs|Ms|Miss)\.?)[^\S\n]+"
+                    rf"{re.escape(anchor)}",
+                    note,
+                )
+                if pm:
+                    prefix = pm.group(1)
+                    break
+        if prefix is None:
+            # bullet-label form: "- Prefix used: Ms." (r13 tuner)
             pm = re.search(
-                rf"\b((?i:Mr|Mrs|Ms|Miss)\.?)[^\S\n]+{re.escape(anchor)}",
+                r"(?i)\bprefix(?:\s+used)?\s*(?::|=|\bis\b)\s*"
+                r"((?i:Mr|Mrs|Ms|Miss|Dr)\.?)",
                 note,
             )
             if pm:
@@ -1054,7 +1076,11 @@ class MockLLMClient:
                 found.append((m.start(), grp))
         # tetanus inside a DTaP description is not a separate Td shot
         groups = {g for _, g in found}
-        if "tetanus" in groups and ("dtap" in groups or "diphtheria" in low):
+        if "tetanus" in groups and (
+            "dtap" in groups or "td" in groups or "diphtheria" in low
+        ):
+            # Td IS a tetanus toxoid: "Td (adult), tetanus toxoid
+            # injection" is one vaccine, not two (r13 tuner)
             found = [(p, g) for p, g in found if g != "tetanus"]
         found.sort()
 
@@ -1074,12 +1100,24 @@ class MockLLMClient:
             return bool(re.search(r"(?i)\b(?:mr|mrs|ms|dr)$",
                                   low[max(0, p - 6): p]))
 
+        def _is_decimal(p: int) -> bool:
+            # a period between digits is a decimal point ("0.3mL",
+            # "30.61 kilograms"), not a sentence end — cutting there
+            # truncated the vaccine sentence before its date, which
+            # then fell back to the bullet block's birth date (r13
+            # tuner, rid 273 class)
+            return (
+                0 < p < len(note) - 1
+                and note[p - 1].isdigit()
+                and note[p + 1].isdigit()
+            )
+
         def _sent_bounds(pos: int) -> tuple[int, int]:
             s = low.rfind(".", 0, pos)
-            while s != -1 and _is_honorific(s):
+            while s != -1 and (_is_honorific(s) or _is_decimal(s)):
                 s = low.rfind(".", 0, s)
             e = note.find(".", pos)
-            while e != -1 and _is_honorific(e):
+            while e != -1 and (_is_honorific(e) or _is_decimal(e)):
                 e = note.find(".", e + 1)
             return s + 1, e if e != -1 else len(note)
 
@@ -1098,7 +1136,7 @@ class MockLLMClient:
             # hops (mRNA-details sentences often sit between the
             # vaccine name and its dated administration line)
             e_cur = e
-            for _hop in range(2):
+            for _hop in range(3):
                 if d is not None or e_cur >= len(note):
                     break
                 s2, e2 = _sent_bounds(min(e_cur + 2, len(note) - 1))
@@ -1111,6 +1149,7 @@ class MockLLMClient:
                 # or the PRECEDING sentence ("On December 26, 2015,
                 # Mr. Ullrich had a medical encounter to undergo an
                 # immunization. ... The shot administered was ...")
+                # (a second hop back measured NEGATIVE, r13 tuner)
                 s0, e0 = _sent_bounds(max(s - 2, 0))
                 prv = note[s0:e0]
                 if _IMMU_NARRATIVE_RE.search(prv):
