@@ -135,26 +135,30 @@ def ivf_build(
     bc = spark.sparkContext.broadcast(centers)
 
     def assign(batches):
+        # Arrow-native (guide §4.2): the vector column decodes to an
+        # (n, dim) matrix via one flatten+reshape instead of a Python
+        # loop per cell — value-identical float64s, ~4 µs/row cheaper
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+
+        from ..functions import arrowkit as ak
 
         cts = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            m = ak.fixed_matrix(b.column(b.schema.get_field_index(vec_col)))
             # cosine assignment (matching the spherical training and
             # the cosine probe): normalize, then argmin ||v-c||² over
             # unit vectors ≡ argmax v·c
-            m /= np.maximum(
+            m = m / np.maximum(
                 np.linalg.norm(m, axis=1, keepdims=True), 1e-300
             )
             scores = 2 * (m @ cts.T) - (cts * cts).sum(1)[None, :]
-            out = pdf.copy()
-            out["cluster_id"] = scores.argmax(1).astype("int32")
-            yield out
+            yield b.append_column(
+                "cluster_id",
+                pa.array(scores.argmax(1).astype(np.int32)),
+            )
 
     from pyspark.sql import types as T
 
@@ -169,7 +173,7 @@ def ivf_build(
     # in-memory analog is persist(), which also keeps a search from
     # re-running the assignment kernel per action.
     assigned = (
-        ensure_min_partitions(corpus).mapInPandas(assign, out_schema).persist()
+        ensure_min_partitions(corpus).mapInArrow(assign, out_schema).persist()
     )
     return IvfIndex(centroids, assigned, vec_col, id_col)
 
@@ -283,33 +287,33 @@ def knn_self_join(
     np_probe = nprobe
 
     def route(batches):
+        # Arrow-native decode + encode (guide §4.2): flatten+reshape
+        # in, np.repeat of matrix rows out — no per-cell Python
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+
+        from ..functions import arrowkit as ak
 
         c = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
                 continue
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            raw = ak.fixed_matrix(b.column(b.schema.get_field_index(vec_col)))
+            m = raw / np.maximum(
+                np.linalg.norm(raw, axis=1, keepdims=True), 1e-300
             )
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
             sims = m @ c.T  # (n, K)
             # stable argsort on -sims → cosine desc, cluster id asc
             order = np.argsort(-sims, axis=1, kind="stable")[:, :np_probe]
-            yield pd.DataFrame(
-                {
-                    "q_id": np.repeat(
-                        pdf[id_col].to_numpy(dtype=np.int64), order.shape[1]
-                    ),
-                    "qv": list(
-                        np.repeat(pdf[vec_col].to_numpy(), order.shape[1])
-                    ),
-                    "cluster_id": order.reshape(-1).astype(np.int32),
-                }
+            ids = ak.i64(b.column(b.schema.get_field_index(id_col)))
+            yield ak.batch(
+                q_id=np.repeat(ids, order.shape[1]),
+                qv=ak.list_f64(np.repeat(raw, order.shape[1], axis=0)),
+                cluster_id=pa.array(order.reshape(-1).astype(np.int32)),
             )
 
-    probes = ensure_min_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+    probes = ensure_min_partitions(corpus.select(id_col, vec_col)).mapInArrow(
         route, "q_id long, qv array<double>, cluster_id int"
     )
     lists = index.assigned.select(
@@ -317,30 +321,71 @@ def knn_self_join(
         F.col(index.vec_col).alias("nv"),
         "cluster_id",
     )
-    joined = probes.join(lists, "cluster_id").filter(
-        F.col("n_id") != F.col("q_id")
-    )
 
-    def score(batches):
+    kk = k
+
+    def cluster_topk(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        # Per-cluster GEMM + per-cluster top-k (guide §2.3/§8): the
+        # previous shape joined probes × member lists FIRST, shipping
+        # every candidate row with BOTH vectors through the Python
+        # boundary (n·nprobe·avg_cluster rows × ~1 KB — 4.8 s, ~1 GB
+        # of Arrow transfer at the q82 gate config, r13 profile).
+        # Cogrouping by cluster ships each vector ONCE per probe/
+        # member row, scores a cluster with one (chunked) matmul, and
+        # pre-reduces to per-cluster top-k before anything shuffles —
+        # the global top-k of a union is the top-k of per-group
+        # top-ks, so the window downstream sees min(k, |cluster|)
+        # rows per (query, probed cluster) instead of |cluster|.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
-            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
-            yield pd.DataFrame(
+        from ..functions import arrowkit as ak
+
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table(
                 {
-                    "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
-                    "n_id": pdf["n_id"].to_numpy(dtype=np.int64),
-                    "cos": (A * B).sum(axis=1),
+                    "q_id": pa.array([], type=pa.int64()),
+                    "n_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
                 }
             )
+        q_ids = ak.i64(left.column("q_id"))
+        A = ak.fixed_matrix(left.column("qv"))
+        n_ids = ak.i64(right.column("n_id"))
+        B = ak.fixed_matrix(right.column("nv"))
+        # pre-sort members by id: stable argsort on -cos then breaks
+        # exact-cos ties by n_id ascending — the window's tie order
+        ordb = np.argsort(n_ids, kind="stable")
+        n_ids, B = n_ids[ordb], B[ordb]
+        A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        out_q, out_n, out_c = [], [], []
+        take = min(kk, len(n_ids))
+        # chunk the query side so per-group memory stays bounded at
+        # scale (chunk × |cluster| floats, not |probes| × |cluster|)
+        for lo in range(0, len(q_ids), 4096):
+            qa, aa = q_ids[lo : lo + 4096], A[lo : lo + 4096]
+            sims = aa @ B.T  # (chunk, nc)
+            sims[qa[:, None] == n_ids[None, :]] = -np.inf  # self-pairs
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            picked = np.take_along_axis(sims, idx, axis=1)
+            live = np.isfinite(picked)
+            out_q.append(np.repeat(qa, take)[live.ravel()])
+            out_n.append(n_ids[idx.ravel()][live.ravel()])
+            out_c.append(picked.ravel()[live.ravel()])
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "n_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
 
-    scored = joined.mapInPandas(score, "q_id long, n_id long, cos double")
+    scored = (
+        probes.groupBy("cluster_id")
+        .cogroup(lists.groupBy("cluster_id"))
+        .applyInArrow(cluster_topk, "q_id long, n_id long, cos double")
+    )
     wk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     # include_score adds the raw cosine — for DOWNSTREAM thresholding
     # (semantic dedup), never for oracle comparison: raw float scores

@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): measured r13,
+        # forcing size-targeted coalescing (parallelismFirst=false,
+        # 64 MB advisory) serialized the byte-small but CPU-dense
+        # post-shuffle stages of the LSH/kNN tier onto one core —
+        # q63 4.9 s → 19.4 s quiet min. The per-stage scheduler cost
+        # of `cpus`-task tiny stages (~2.5 ms/task) is the cheaper
+        # side of that trade on every shape this engine runs.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

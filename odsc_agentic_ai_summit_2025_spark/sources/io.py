@@ -16,6 +16,8 @@ Reference behaviors re-expressed Spark-first:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -97,8 +99,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(path)
 
 
-def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Fan a kernel stage's input out to at least ``min_parts`` splits.
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the frame's optimized plan —
+    driver-side only (no job; the same analysis/optimization the later
+    action reuses). None when the estimate is unavailable or absurd
+    (joins without stats default to child-size products)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    # 1 PB guard: an unknown-stats product estimate, not a real size
+    if size <= 0 or size > (1 << 50):
+        return None
+    return size
+
+
+def ensure_min_partitions(
+    df: DataFrame,
+    min_parts: int | None = None,
+    split_mb: int | None = None,
+) -> DataFrame:
+    """Fan a kernel stage's input out to a scale-appropriate split count.
 
     Arrow kernels (``mapInPandas`` / pandas UDF stages) inherit the
     upstream split count; a small or single-row-group parquet file
@@ -109,9 +132,32 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     shuffle, which is narrow data next to the kernel compute it
     unlocks. Kernels here are row-local, so round-robin placement
     cannot change any result.
+
+    The fan-out target is SIZE-ADAPTIVE (optimization guide §2: derive
+    partitioning from input size, not a constant tuned for one mode):
+    ``ceil(estimated_bytes / split_mb)`` splits, clamped to
+    ``[1, defaultParallelism]``. A gate-scale corpus (hundreds of KB)
+    therefore runs its kernel in the scan stage itself — no fan-out
+    exchange, no per-task Python worker forks beyond the splits the
+    data actually warrants (measured r13: a 32-task mapInPandas stage
+    costs ~0.35 s more than a right-sized one on this host) — while
+    anything approaching ``defaultParallelism × split_mb`` bytes fans
+    out exactly as before. ``split_mb`` defaults from
+    ``$SPARK_GRAFT_KERNEL_SPLIT_MB`` (8 MB): per-byte kernel cost
+    here is tokenize/hash/GEMM-scale, so 8 MB splits keep tasks in
+    the 0.1-1 s range on one core. Callers with unusually heavy
+    kernels pass a smaller ``split_mb``; an explicit ``min_parts``
+    bypasses the estimate entirely (exact legacy semantics).
     """
     if min_parts is None:
-        min_parts = df.sparkSession.sparkContext.defaultParallelism
+        cap = df.sparkSession.sparkContext.defaultParallelism
+        if split_mb is None:
+            split_mb = int(os.environ.get("SPARK_GRAFT_KERNEL_SPLIT_MB", "8"))
+        est = _plan_size_bytes(df)
+        if est is None:
+            min_parts = cap  # unknown size: legacy full fan-out
+        else:
+            min_parts = max(1, min(cap, -(-est // (split_mb * (1 << 20)))))
     if df.rdd.getNumPartitions() >= min_parts:
         return df
     return df.repartition(min_parts)
