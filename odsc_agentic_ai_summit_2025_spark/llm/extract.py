@@ -63,8 +63,11 @@ def extract_fhir(
 
     from ..sources.io import ensure_min_partitions
 
+    # cost: the 3-protocol-call regex battery measured ~350x a
+    # hash-scale kernel per byte (r13 A/B: 26.9 s on one split vs
+    # 2.85 s fanned out at sf0.1) — size splits accordingly
     return ensure_min_partitions(
-        notes.select("record_id", "note")
+        notes.select("record_id", "note"), cost=500.0
     ).mapInPandas(run, EXTRACTED_FHIR)
 
 
@@ -142,8 +145,10 @@ def extract_fhir_with_usage(
 
     from ..sources.io import ensure_min_partitions
 
+    # same kernel cost class as extract_fhir (the metering wrapper
+    # adds negligible per-row work next to the regex battery)
     return ensure_min_partitions(
-        notes.select("record_id", "note")
+        notes.select("record_id", "note"), cost=500.0
     ).mapInPandas(run, out_schema)
 
 

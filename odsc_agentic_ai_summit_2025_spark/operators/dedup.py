@@ -273,7 +273,11 @@ def simhash_table(
     # inside the kernel; drop such rows like the MinHash tier does
     # (the oracle twins filter identically)
     hashed = (
-        ensure_min_partitions(df)
+        # cost: the JVM-side per-token char_poly_hash transform plus
+        # the bit-plane kernel measured ~0.7 s serial on sf0.1's
+        # ~3 MB of text (r13 stage profile) — ~4x hash-scale per
+        # byte, doubled for the parquet-compressed size estimate
+        ensure_min_partitions(df, cost=8.0)
         .withColumn("_th", token_hashes(F.col(text_col)))
         .filter(F.col("_th").isNotNull())
     )
@@ -372,8 +376,21 @@ def simhash_near_pairs(
     banded = sh.select(
         id_col, "_sh", F.explode(chunks).alias("c")
     ).select(id_col, "_sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("_sh").alias("_sa"), "ci", "cv"
+    # Fan the probe side of the candidate join out before the
+    # explosion: at the demo's 16 bits the 4-bit chunks make wide
+    # buckets, so the join EMITS quadratically many candidate rows
+    # from byte-tiny inputs (~3M pairs from 20k band rows at sf0.1).
+    # Input-byte-sized planning (AQE coalescing, broadcast-probe
+    # partitioning) therefore serializes the generate+verify stage
+    # onto one core — measured 7.3 s in one task (r13 stage profile);
+    # fanned, the same work spreads across the cluster. cost=512
+    # encodes that per-INPUT-byte blowup for the size-adaptive split.
+    a = ensure_min_partitions(
+        banded.select(
+            F.col(id_col).alias("a_id"), F.col("_sh").alias("_sa"),
+            "ci", "cv",
+        ),
+        cost=512.0,
     )
     b = banded.select(
         F.col(id_col).alias("b_id"), F.col("_sh").alias("_sb"), "ci", "cv"

@@ -120,6 +120,7 @@ def ensure_min_partitions(
     df: DataFrame,
     min_parts: int | None = None,
     split_mb: int | None = None,
+    cost: float = 1.0,
 ) -> DataFrame:
     """Fan a kernel stage's input out to a scale-appropriate split count.
 
@@ -146,18 +147,28 @@ def ensure_min_partitions(
     ``$SPARK_GRAFT_KERNEL_SPLIT_MB`` (8 MB): per-byte kernel cost
     here is tokenize/hash/GEMM-scale, so 8 MB splits keep tasks in
     the 0.1-1 s range on one core. Callers with unusually heavy
-    kernels pass a smaller ``split_mb``; an explicit ``min_parts``
-    bypasses the estimate entirely (exact legacy semantics).
+    kernels pass ``cost`` — the kernel's per-byte cost relative to
+    that hash-scale assumption (e.g. the regex-battery extraction
+    kernel measured ~350x hash speed per byte, r13 A/B: 26.9 s serial
+    vs 2.85 s fanned at sf0.1) — which divides the split size so the
+    fan-out matches the actual CPU-seconds in the stage, at any scale.
+    An explicit ``min_parts`` bypasses the estimate entirely (exact
+    legacy semantics); ``$SPARK_GRAFT_KERNEL_SPLIT_MB=0`` forces
+    legacy full fan-out everywhere (A/B debug knob).
     """
     if min_parts is None:
         cap = df.sparkSession.sparkContext.defaultParallelism
         if split_mb is None:
             split_mb = int(os.environ.get("SPARK_GRAFT_KERNEL_SPLIT_MB", "8"))
-        est = _plan_size_bytes(df)
-        if est is None:
-            min_parts = cap  # unknown size: legacy full fan-out
+        if split_mb <= 0:
+            min_parts = cap  # <=0: explicit legacy full fan-out (debug/A-B)
         else:
-            min_parts = max(1, min(cap, -(-est // (split_mb * (1 << 20)))))
+            est = _plan_size_bytes(df)
+            if est is None:
+                min_parts = cap  # unknown size: legacy full fan-out
+            else:
+                split_bytes = max(1, int(split_mb * (1 << 20) / cost))
+                min_parts = max(1, min(cap, -(-est // split_bytes)))
     if df.rdd.getNumPartitions() >= min_parts:
         return df
     return df.repartition(min_parts)
