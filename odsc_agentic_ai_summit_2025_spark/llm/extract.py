@@ -145,10 +145,14 @@ def extract_fhir_with_usage(
 
     from ..sources.io import ensure_min_partitions
 
-    # same kernel cost class as extract_fhir (the metering wrapper
-    # adds negligible per-row work next to the regex battery)
+    # cost=1000, deliberately ABOVE extract_fhir's 500: the metering
+    # wrapper drives all three protocol calls per note (usage rows),
+    # where the guarded path short-circuits some — r13 same-protocol
+    # A/B on q68: min 1.905 at 1000 vs 2.359 at 500, while the
+    # cheaper q106/q64 extraction paths measured better AT 500
+    # (1.41/0.71 vs 1.71/0.88), so only this site gets the bump
     return ensure_min_partitions(
-        notes.select("record_id", "note"), cost=500.0
+        notes.select("record_id", "note"), cost=1000.0
     ).mapInPandas(run, out_schema)
 
 

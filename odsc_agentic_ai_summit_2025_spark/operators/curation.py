@@ -735,8 +735,13 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     # NULL text → NULL token array → every stat NULL; the oracle's
     # explode+join form drops such docs entirely, so drop them here
-    # too (row-set parity, and a null-stats row is useless anyway)
-    out = ensure_min_partitions(df).filter(toks.isNotNull()).select(
+    # too (row-set parity, and a null-stats row is useless anyway).
+    # cost=128: the longest-equal-run aggregate fold + two ngram
+    # array ops are interpreted per-element — measured r13 (q72,
+    # documents 0.6 MB parquet): cost=1 fanned to ONE split and
+    # serialized ~0.85 s of fold battery (quiet min 1.05 vs 0.64 at
+    # full fan-out); cost=128 restores the r12-class 0.6 s.
+    out = ensure_min_partitions(df, cost=128.0).filter(toks.isNotNull()).select(
         F.col(id_col),
         F.size(g2).alias("_n2"),
         F.size(F.array_distinct(g2)).alias("_n2d"),
