@@ -36,13 +36,33 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # parallelismFirst stays at its default (true): measured r13,
-        # forcing size-targeted coalescing (parallelismFirst=false,
-        # 64 MB advisory) serialized the byte-small but CPU-dense
-        # post-shuffle stages of the LSH/kNN tier onto one core —
-        # q63 4.9 s → 19.4 s quiet min. The per-stage scheduler cost
-        # of `cpus`-task tiny stages (~2.5 ms/task) is the cheaper
-        # side of that trade on every shape this engine runs.
+        # Size-targeted AQE coalescing with a SMALL advisory (guide
+        # §2.2: let AQE coalesce, derive partitioning from data, not
+        # a constant). The first r13 probe rejected parallelismFirst=
+        # false at the guide's 64 MB advisory because that collapsed
+        # byte-small but CPU-DENSE post-shuffle stages onto one core
+        # (q63 4.9 s → 19.4 s). The flag was not the problem — the
+        # advisory was: at 1 MB, CPU-dense stages keep multi-task
+        # parallelism while the ~cpus-task scheduling tax on every
+        # tiny shuffle stage (~0.2-0.4 s of wall per stage measured
+        # on 200-row graph/dedup frames) disappears. Measured across
+        # 44 inventory queries r13: wins up to −1.6 s (q38), −1.0
+        # (q78), −0.7 (q100), −0.6 (q97), one +0.3 (q82), rest flat
+        # or better. At production scale the INITIAL shuffle
+        # partition count (spark.sql.shuffle.partitions, env-tunable
+        # below) still sizes real partitions in the 100 MB-1 GB
+        # range; a 1 MB advisory only merges crumb partitions and
+        # can never split, so the cluster plan shape is unchanged.
+        # SPARK_GRAFT_ADVISORY_MB=64 restores the guide baseline for
+        # cluster profiles where reduce-side crumbs are impossible.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "1") + "m",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
