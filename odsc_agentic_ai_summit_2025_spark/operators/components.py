@@ -146,6 +146,11 @@ def connected_components(
     # the session's shuffle partitioning must be restored on any exit
     try:
         sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        # the previous round's stepped table: it backs the LAZY jump
+        # checkpoint until the next round's sum materializes it, so
+        # its release is deferred exactly one round (r13 — see the
+        # one-job-per-round note at the jump below)
+        jump_input = None
         for _ in range(max_iterations):
             neighbor_min = (
                 edges.join(
@@ -158,8 +163,9 @@ def connected_components(
             # checkpointed BEFORE the self-join below, which would
             # otherwise evaluate the step plan (a shuffle join + agg)
             # once per side. Lazy: the convergence sum right after is
-            # the materializing action, so the round has exactly 2
-            # job barriers (stepped sum + jump checkpoint).
+            # the materializing action, so the round has exactly ONE
+            # job barrier (the sum computes the pending lazy jump and
+            # this round's step in one job).
             stepped = (
                 labels.join(neighbor_min, id_col, "left")
                 .select(
@@ -172,8 +178,12 @@ def connected_components(
             )
             cur_sum, _ = _label_sum(stepped)
             # stepped is materialized → the previous round's label
-            # blocks back nothing live; release them now
+            # blocks (and the stepped table behind the now-computed
+            # lazy jump) back nothing live; release them now
             release_frame(labels)
+            if jump_input is not None:
+                release_frame(jump_input)
+                jump_input = None
             if cur_sum == prev_sum:
                 # the STEP changed nothing (sums of a pointwise-
                 # decreasing chain are equal ⇒ the frames are equal):
@@ -198,9 +208,16 @@ def connected_components(
             # trips Catalyst's self-join disambiguation — the outer
             # join resolves against the inner alias, convergence
             # stalls, and planning time grows ~5× per round. One jump
-            # between checkpoints is the stable form. stepped is
-            # materialized above, so its double consumption here reads
-            # blocks, never recomputes.)
+            # between checkpoints is the stable form — LAZY since r13:
+            # localCheckpoint(eager=False) still swaps the plan for a
+            # concrete LogicalRDD immediately (the alias hygiene the
+            # eager form bought), but materialization folds into the
+            # NEXT round's convergence-sum job instead of paying its
+            # own eager job — ~0.25 s of pure job/stage protocol per
+            # round at gate scale (q100 trace), one fewer barrier per
+            # round at any scale. stepped is materialized above, so
+            # its double consumption here reads blocks; it stays
+            # alive (jump_input) until the jump RDD computes.
             labels = (
                 stepped.alias("a")
                 .join(
@@ -218,10 +235,15 @@ def connected_components(
                         F.coalesce("_jlab", F.col("a.cluster_id")),
                     ).alias("cluster_id"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            # labels materialized → stepped's blocks are dead weight
-            release_frame(stepped)
+            jump_input = stepped
+        if jump_input is not None:
+            # budget exhausted with a pending lazy jump: the loop exit
+            # paths below either raise or hand over to the star
+            # variant — the un-materialized jump and its input back
+            # nothing they need
+            release_frame(jump_input)
         if not converged:
             if algorithm == "minlabel":
                 # the raise abandons the final round's label table —
