@@ -146,6 +146,21 @@ def connected_components(
     # the session's shuffle partitioning must be restored on any exit
     try:
         sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        # The cached edge table and the init label table inherited the
+        # SESSION's partitioning (the candidate generator's reduce
+        # outputs — cpus partitions); every round's map stage re-scans
+        # them, and since .rdd conversion executes AQE stages eagerly
+        # in Spark 4.1, each round paid a ~cpus-task map stage
+        # (~0.3 s wall at gate scale, q100 trace) just to read a few
+        # KB of cached blocks. A plan-level coalesce to loop_parts
+        # reads the SAME cached blocks (no second copy) with
+        # loop_parts tasks; skipped at scale, where loop_parts ==
+        # defaultParallelism and the real split must stay.
+        labels_store = labels  # the checkpointed frame releases target
+        edges_scan = edges
+        if loop_parts < sess.sparkContext.defaultParallelism:
+            edges_scan = edges.coalesce(loop_parts)
+            labels = labels.coalesce(loop_parts)
         # the previous round's stepped table: it backs the LAZY jump
         # checkpoint until the next round's sum materializes it, so
         # its release is deferred exactly one round (r13 — see the
@@ -153,7 +168,7 @@ def connected_components(
         jump_input = None
         for _ in range(max_iterations):
             neighbor_min = (
-                edges.join(
+                edges_scan.join(
                     labels.withColumnRenamed(id_col, "src"), "src"
                 )
                 .groupBy("dst")
@@ -180,7 +195,7 @@ def connected_components(
             # stepped is materialized → the previous round's label
             # blocks (and the stepped table behind the now-computed
             # lazy jump) back nothing live; release them now
-            release_frame(labels)
+            release_frame(labels_store)
             if jump_input is not None:
                 release_frame(jump_input)
                 jump_input = None
@@ -237,6 +252,7 @@ def connected_components(
                 )
                 .localCheckpoint(eager=False)
             )
+            labels_store = labels
             jump_input = stepped
         if jump_input is not None:
             # budget exhausted with a pending lazy jump: the loop exit
@@ -249,7 +265,7 @@ def connected_components(
                 # the raise abandons the final round's label table —
                 # free its checkpoint blocks or a catch-and-retry
                 # session leaks one label table per attempt
-                release_frame(labels)
+                release_frame(labels_store)
                 raise RuntimeError(
                     f"connected_components: no fixpoint after "
                     f"{max_iterations} rounds — use algorithm='star' "
@@ -257,7 +273,7 @@ def connected_components(
                 )
             # auto: the budget being exhausted is the signal that the
             # topology wants the star variant — hand over wholesale
-            release_frame(labels)
+            release_frame(labels_store)
             return own(
                 _star_components(edges, nodes, id_col, max_iterations),
                 pairs,
