@@ -604,7 +604,18 @@ def knn_bruteforce(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             nv /= np.maximum(np.linalg.norm(nv, axis=1, keepdims=True), 1e-300)
-            sims = nv @ mat.T  # (batch, n_queries)
+            # einsum (no BLAS dispatch), NOT `nv @ mat.T`: BLAS routes
+            # single-row batches through dgemv, whose reduction order
+            # differs from dgemm's by a last-ulp rounding — so the same
+            # (neighbor, query) pair scored in different partition
+            # layouts produced unequal cos bits, and the id tie-break
+            # below silently became partition-dependent (r13: eleven
+            # singleton partitions each scored an exact-duplicate at
+            # 1.0+2e-16 and outranked ids 1..3). einsum's fixed
+            # ascending-d loop makes cos a pure function of the two
+            # vectors; query sets here are small broadcast sets, so
+            # the non-BLAS contraction costs nothing measurable.
+            sims = np.einsum("nd,qd->nq", nv, mat)  # (batch, n_queries)
             out_q, out_n, out_c = [], [], []
             for j in range(len(ids)):
                 col = sims[:, j]
