@@ -110,22 +110,23 @@ def _subblock_assignments(
     bc = spark.sparkContext.broadcast(pm)
 
     def assign(batches):
+        # Arrow-native (guide §4.2): the vector column decodes via one
+        # flatten+reshape and PASSES THROUGH zero-copy (append_column
+        # re-uses the input buffers) — value-identical float64 math
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+
+        from ..functions import arrowkit as ak
 
         mat = bc.value
         pows = (1 << np.arange(mat.shape[1])).astype(np.int64)
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = ak.fixed_matrix(b.column(b.schema.get_field_index(vec_col)))
             bits = (m @ mat) > 0
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    vec_col: pdf[vec_col],
-                    "bid": (bits * pows).sum(axis=1),
-                }
+            yield b.append_column(
+                "bid", pa.array((bits * pows).sum(axis=1), type=pa.int64())
             )
 
     from ..sources.io import ensure_min_partitions
@@ -135,8 +136,18 @@ def _subblock_assignments(
     # GEMM pass re-runs for each. Handle attached to the returned
     # frame (cache.own); the caller releases after materializing.
     assigned = (
-        ensure_min_partitions(df.select(id_col, vec_col))
-        .mapInPandas(assign, f"{id_col} long, {vec_col} array<double>, bid long")
+        ensure_min_partitions(
+            # explicit JVM-side cast: the declared output schema says
+            # array<double> and the Arrow kernel passes the column
+            # through zero-copy, so a float32 input (the embeddings
+            # fixture) must widen BEFORE the boundary (exact cast —
+            # same float64s the pandas path produced via np.asarray)
+            df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias(vec_col),
+            )
+        )
+        .mapInArrow(assign, f"{id_col} long, {vec_col} array<double>, bid long")
         .persist()
     )
     census = assigned.groupBy("bid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -438,21 +449,26 @@ def neardup_pairs_lsh(
     # vector), so there is no separate limit(1) probe job — at tiny
     # data every job barrier shows up in the gate timings, and at
     # scale the probe was a wasted partial evaluation of whatever
-    # embedding plan sits upstream.
+    # embedding plan sits upstream. Arrow-native decode (guide §4.2):
+    # one flatten+reshape per batch, value-identical float64s.
     def partial_mean(batches):
         import numpy as np
-        import pandas as pd
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        from ..functions import arrowkit as ak
+
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-            yield pd.DataFrame({"s": [m.sum(axis=0).tolist()], "n": [len(m)]})
+            m = ak.fixed_matrix(b.column(0))
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            yield ak.batch(
+                s=ak.list_f64(m.sum(axis=0)[None, :]),
+                n=np.array([m.shape[0]], dtype=np.int64),
+            )
 
     parts = (
         df.select(vec_col)
-        .mapInPandas(partial_mean, "s array<double>, n long")
+        .mapInArrow(partial_mean, "s array<double>, n long")
         .collect()
     )
     if not parts:
@@ -487,32 +503,39 @@ def neardup_pairs_lsh(
 
     def bucketize(batches):
         import numpy as np
-        import pandas as pd
+
+        from ..functions import arrowkit as ak
 
         pm, mu = bc.value
         pows = (1 << np.arange(rp)).astype(np.int64)
-        for pdf in batches:
-            n = len(pdf)
+        for b in batches:
+            n = b.num_rows
             if n == 0:
                 continue
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            m = ak.fixed_matrix(b.column(b.schema.get_field_index(vec_col)))
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
             bits = ((m - mu) @ pm) > 0  # (n, b*r)
             bkts = (bits.reshape(n, nt, rp) * pows).sum(axis=2)  # (n, b)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(ids, nt),
-                    "t": np.tile(np.arange(nt, dtype=np.int32), n),
-                    "bkt": bkts.reshape(-1),
-                }
+            ids = ak.i64(b.column(b.schema.get_field_index(id_col)))
+            yield ak.batch(
+                id=np.repeat(ids, nt),
+                t=np.tile(np.arange(nt, dtype=np.int32), n),
+                bkt=bkts.reshape(-1),
             )
 
     from ..sources.io import ensure_min_partitions
 
-    keyed = ensure_min_partitions(df.select(id_col, vec_col)).mapInPandas(
-        bucketize, "id long, t int, bkt long"
+    # persisted: the band table feeds BOTH the bucket-size census and
+    # the candidate-join probe — unpersisted, the bucketize kernel ran
+    # twice (two identical map stages in the r13 q63 trace); what is
+    # cached is the ids-only (id, table, bucket) table, the smallest
+    # frame in the plan
+    keyed = (
+        ensure_min_partitions(df.select(id_col, vec_col))
+        .mapInArrow(bucketize, "id long, t int, bkt long")
+        .persist()
     )
+    bands = keyed
     # skew guard: the (table, bucket) census is ≤ b·2^r rows → broadcast
     ok_buckets = (
         keyed.groupBy("t", "bkt")
@@ -536,19 +559,24 @@ def neardup_pairs_lsh(
 
     def verify(batches):
         import numpy as np
-        import pandas as pd
 
-        for pdf in batches:
-            if pdf.empty:
+        from ..functions import arrowkit as ak
+
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
-            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
-            cos = (A * B).sum(axis=1)
-            yield pdf.loc[cos >= thr, ["a_id", "b_id"]]
+            s = b.schema
+            A = ak.fixed_matrix(b.column(s.get_field_index("_va")))
+            B = ak.fixed_matrix(b.column(s.get_field_index("_vb")))
+            A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            keep = (A * B).sum(axis=1) >= thr
+            yield ak.batch(
+                a_id=ak.i64(b.column(s.get_field_index("a_id")))[keep],
+                b_id=ak.i64(b.column(s.get_field_index("b_id")))[keep],
+            )
 
-    return own(pairs.mapInPandas(verify, "a_id long, b_id long"), df)
+    return own(pairs.mapInArrow(verify, "a_id long, b_id long"), df, bands)
 
 
 def knn_bruteforce(
@@ -593,17 +621,19 @@ def knn_bruteforce(
 
     def local_topk(batches):
         import numpy as np
-        import pandas as pd
+
+        from ..functions import arrowkit as ak
 
         ids, mat = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            n_id = pdf[id_col].to_numpy(dtype=np.int64)
-            nv = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            s = b.schema
+            n_id = ak.i64(b.column(s.get_field_index(id_col)))
+            nv = ak.fixed_matrix(b.column(s.get_field_index(vec_col)))
+            nv = nv / np.maximum(
+                np.linalg.norm(nv, axis=1, keepdims=True), 1e-300
             )
-            nv /= np.maximum(np.linalg.norm(nv, axis=1, keepdims=True), 1e-300)
             # einsum (no BLAS dispatch), NOT `nv @ mat.T`: BLAS routes
             # single-row batches through dgemv, whose reduction order
             # differs from dgemm's by a last-ulp rounding — so the same
@@ -641,19 +671,17 @@ def knn_bruteforce(
                 out_n.append(n_id[top])
                 out_c.append(col[top])
             if out_q:
-                yield pd.DataFrame(
-                    {
-                        "q_id": np.concatenate(out_q),
-                        "n_id": np.concatenate(out_n),
-                        "cos": np.concatenate(out_c),
-                    }
+                yield ak.batch(
+                    q_id=np.concatenate(out_q),
+                    n_id=np.concatenate(out_n),
+                    cos=np.concatenate(out_c),
                 )
 
     from ..sources.io import ensure_min_partitions
 
     cand = ensure_min_partitions(
         corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
-    ).mapInPandas(local_topk, "q_id long, n_id long, cos double")
+    ).mapInArrow(local_topk, "q_id long, n_id long, cos double")
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

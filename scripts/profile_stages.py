@@ -117,12 +117,18 @@ def main() -> None:
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sid = si["Stage ID"]
-                stages[sid] = {
-                    "name": si.get("Stage Name", "")[:60],
-                    "tasks": si.get("Number of Tasks", 0),
-                    "t0": si.get("Submission Time", 0),
-                    "t1": si.get("Completion Time", 0),
-                }
+                # merge, don't replace: TaskEnd events for this stage
+                # arrive BEFORE StageCompleted, so reassigning here
+                # clobbered the accumulated task_ms/py_ms/sh_* fields
+                st = stages.setdefault(sid, {})
+                st.update(
+                    {
+                        "name": si.get("Stage Name", "")[:60],
+                        "tasks": si.get("Number of Tasks", 0),
+                        "t0": si.get("Submission Time", 0),
+                        "t1": si.get("Completion Time", 0),
+                    }
+                )
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 st = stages.setdefault(sid, {})
