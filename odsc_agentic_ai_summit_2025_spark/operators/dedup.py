@@ -134,15 +134,18 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     b_vec = np.array([b for (_, b) in MINHASH_PARAMS], dtype=np.int64)
 
     def sig_bands(batches):
-        import pandas as pd
+        # Arrow-native decode (guide §4.2): the token-hash list column
+        # flattens to one int64 buffer + lengths instead of a Python
+        # round trip per cell — identical arithmetic downstream
+        from ..functions import arrowkit as ak
 
-        for pdf in batches:
-            n = len(pdf)
+        for b in batches:
+            n = b.num_rows
             if n == 0:
                 continue
-            cells = [np.asarray(hs, dtype=np.int64) for hs in pdf["hs"]]
-            lengths = np.fromiter(map(len, cells), dtype=np.int64, count=n)
-            flat = np.concatenate(cells)
+            flat, lengths = ak.flat_with_lengths(
+                b.column(b.schema.get_field_index("hs")), dtype=np.int64
+            )
             # (N_HASH, total_tokens) permuted hashes, then per-doc min
             # via reduceat over the doc boundaries — one BLAS-free
             # vectorized pass per batch instead of a Python loop per
@@ -161,11 +164,10 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
                         np.char.add(k, "_"), sig[lo + j].astype("U10")
                     )
                 key_cols.append(k)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(
-                        pdf[id_col].to_numpy(dtype=np.int64), N_BANDS
-                    ),
+            ids = ak.i64(b.column(b.schema.get_field_index(id_col)))
+            yield ak.batch(
+                **{
+                    id_col: np.repeat(ids, N_BANDS),
                     "band_id": np.tile(
                         np.arange(N_BANDS, dtype=np.int32), n
                     ),
@@ -173,7 +175,7 @@ def minhash_band_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame
                 }
             )
 
-    return doc_hashes.mapInPandas(
+    return doc_hashes.mapInArrow(
         sig_bands, f"{id_col} long, band_id int, bucket_key string"
     )
 
@@ -816,33 +818,34 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).filter(F.col("hs").isNotNull() & (F.size("hs") > 0))
 
     def sigs(batches):
-        import pandas as pd
+        # Arrow-native decode, same arithmetic (guide §4.2)
+        from ..functions import arrowkit as ak
 
-        for pdf in batches:
-            n = len(pdf)
+        for b in batches:
+            n = b.num_rows
             if n == 0:
                 continue
-            cells = [np.asarray(hs, dtype=np.int64) for hs in pdf["hs"]]
-            lengths = np.fromiter(map(len, cells), dtype=np.int64, count=n)
-            flat = np.concatenate(cells)
+            flat, lengths = ak.flat_with_lengths(
+                b.column(b.schema.get_field_index("hs")), dtype=np.int64
+            )
             prod = (
                 a_vec[:, None] * flat[None, :] + b_vec[:, None]
             ) % MINHASH_P
             starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
             sig = np.minimum.reduceat(prod, starts, axis=1)  # (H, n)
-            yield pd.DataFrame(
-                {
-                    # pass the id column through untouched — its type
-                    # is whatever the input schema declares (ADVICE
-                    # r10: a hardcoded int64 cast would miscast
-                    # string/int32 ids at runtime, not at the API)
-                    id_col: pdf[id_col],
-                    "sig": list(sig.T),
+            # pass the id column through untouched (zero-copy) — its
+            # type is whatever the input schema declares (ADVICE r10:
+            # a hardcoded int64 cast would miscast string/int32 ids at
+            # runtime, not at the API)
+            yield ak.batch(
+                **{
+                    id_col: b.column(b.schema.get_field_index(id_col)),
+                    "sig": ak.list_i64(sig.T),
                 }
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return doc_hashes.mapInPandas(
+    return doc_hashes.mapInArrow(
         sigs, f"{id_col} {id_type}, sig array<long>"
     )
 
