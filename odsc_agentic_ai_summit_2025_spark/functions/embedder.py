@@ -110,23 +110,27 @@ def embed(
     )
 
     def densify(batches):
+        # Arrow-native end to end (guide §4.2): the token-list column
+        # flattens to ONE contiguous string buffer (+ lengths), the
+        # rolling char hash folds straight over those bytes
+        # (char_poly_hash_arrow — value-identical to the pandas path's
+        # char_poly_hash_np by property test), and every OTHER input
+        # column passes through zero-copy instead of round-tripping
+        # through pandas object cells (the text column is the widest
+        # thing in the batch and was paying that toll for nothing).
         import numpy as np
-        import pandas as pd  # noqa: F401
 
-        from ..functions.text import char_poly_hash_np
+        from ..functions import arrowkit as ak
+        from ..functions.text import char_poly_hash_arrow
 
-        for pdf in batches:
-            n = len(pdf)
+        for b in batches:
+            n = b.num_rows
             if n == 0:
                 continue
-            cells = [
-                [] if c is None else list(c) for c in pdf["_t"]
-            ]
-            lengths = np.fromiter(map(len, cells), dtype=np.int64, count=n)
+            ti = b.schema.get_field_index("_t")
+            flat, lengths = ak.flat_with_lengths(b.column(ti))
             if lengths.sum():
-                flat_h = char_poly_hash_np(
-                    [t for cell in cells for t in cell]
-                )
+                flat_h = char_poly_hash_arrow(flat)
                 flat_b = flat_h % dim
                 # (h - h%dim)/dim is an exact integer; parity of it
                 # picks the sign — same math as the oracle CTE
@@ -139,11 +143,11 @@ def embed(
                 v = np.zeros((n, dim))
             nrm = np.sqrt((v * v).sum(axis=1, keepdims=True))
             np.divide(v, nrm, out=v, where=nrm > 0)
-            out = pdf.drop(columns=["_t"])
-            out[out_col] = list(v)
-            yield out
+            yield b.remove_column(ti).append_column(
+                out_col, ak.list_f64(v)
+            )
 
-    return with_contrib.mapInPandas(densify, out_schema)
+    return with_contrib.mapInArrow(densify, out_schema)
 
 
 def embed_sql_vector_cte(

@@ -111,6 +111,38 @@ def char_poly_hash_np(tokens, mod: int = HASH_MOD, mult: int = HASH_MULT):
     return h
 
 
+def char_poly_hash_arrow(arr, mod: int = HASH_MOD, mult: int = HASH_MULT):
+    """:func:`char_poly_hash_np` evaluated straight over a pyarrow
+    string array's byte buffers — tokens are ASCII (``[a-z0-9]+``), so
+    byte == codepoint and the rolling fold can gather from the single
+    contiguous data buffer per character position instead of first
+    materializing one Python/numpy unicode object per token
+    (guide §4.2: operations that only re-slice bytes should run on
+    the buffers). Value-identical to ``char_poly_hash_np``
+    (property-tested)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    bufs = arr.buffers()  # [validity, offsets(int32), data(uint8)]
+    offs = np.frombuffer(
+        bufs[1], dtype=np.int32, count=n + 1 + arr.offset
+    )[arr.offset:].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8).astype(np.int64)
+    starts, lengths = offs[:-1], offs[1:] - offs[:-1]
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(int(lengths.max())):
+        live = lengths > j
+        if not live.any():
+            break
+        h[live] = (h[live] * mult + data[starts[live] + j]) % mod
+    return h
+
+
 def char_poly_hash_sql(expr: str, mod: int = HASH_MOD, mult: int = HASH_MULT) -> str:
     """The DuckDB-SQL twin of :func:`char_poly_hash`."""
     return (

@@ -152,6 +152,30 @@ def test_char_poly_hash_np_matches_expression(spark, toks):
 
 @settings(**SETTINGS)
 @given(toks=token_strategy)
+def test_char_poly_hash_arrow_matches_np(toks):
+    """The Arrow-buffer fold (byte gather over the string column's
+    contiguous data buffer) must equal the UCS4-view fold
+    value-for-value — this is what lets the embedder hash tokens
+    straight off the flattened token-list column (r13)."""
+    import pyarrow as pa
+
+    from odsc_agentic_ai_summit_2025_spark.functions.text import (
+        char_poly_hash_arrow,
+        char_poly_hash_np,
+    )
+
+    arr = pa.array(toks, type=pa.string())
+    assert list(char_poly_hash_arrow(arr)) == list(char_poly_hash_np(toks))
+    # sliced arrays carry a non-zero offset — the buffer math must
+    # honor it
+    if len(toks) > 1:
+        assert list(char_poly_hash_arrow(arr.slice(1))) == list(
+            char_poly_hash_np(toks[1:])
+        )
+
+
+@settings(**SETTINGS)
+@given(toks=token_strategy)
 def test_embed_kernel_matches_oracle_math(spark, toks):
     """End-to-end embed() on a synthetic doc must equal the plain
     Python reconstruction of the documented math (hash → bucket/sign
