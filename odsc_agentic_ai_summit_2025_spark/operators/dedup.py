@@ -289,21 +289,25 @@ def simhash_table(
     )
 
     def kernel(batches):
+        # Arrow-native decode (guide §4.2): one list-column flatten +
+        # lengths per batch; the id/text columns pass through
+        # zero-copy. Bit-plane vote math unchanged.
         import numpy as np
-        import pandas as pd  # noqa: F401
+        import pyarrow as pa
+
+        from ..functions import arrowkit as ak
 
         shifts = np.arange(bits, dtype=np.int64)
         weights = (np.int64(1) << shifts).astype(np.int64)
-        for pdf in batches:
-            n = len(pdf)
+        for b in batches:
+            n = b.num_rows
             if n == 0:
                 continue
-            cells = [np.asarray(c, dtype=np.int64) for c in pdf["_th"]]
-            lengths = np.fromiter(map(len, cells), dtype=np.int64, count=n)
+            ti = b.schema.get_field_index("_th")
+            flat, lengths = ak.flat_with_lengths(b.column(ti), dtype=np.int64)
             sh = np.zeros(n, dtype=np.int64)
             nz = lengths > 0
             if nz.any():
-                flat = np.concatenate([c for c in cells if len(c)])
                 ones = np.add.reduceat(
                     (flat[:, None] >> shifts) & 1,
                     np.concatenate(([0], np.cumsum(lengths[nz])[:-1])),
@@ -311,11 +315,11 @@ def simhash_table(
                 )  # (n_nonzero, bits) count of 1-votes per bit
                 votes_pos = 2 * ones > lengths[nz, None]
                 sh[nz] = (votes_pos * weights).sum(axis=1)
-            out = pdf.drop(columns=["_th"])
-            out[out_col] = sh
-            yield out
+            yield b.remove_column(ti).append_column(
+                out_col, pa.array(sh, type=pa.int64())
+            )
 
-    return hashed.mapInPandas(kernel, out_schema)
+    return hashed.mapInArrow(kernel, out_schema)
 
 
 def simhash_near_pairs(

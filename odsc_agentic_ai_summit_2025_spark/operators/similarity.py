@@ -330,28 +330,54 @@ def embedding_neardup_pairs(
     thr = threshold
 
     def score_blocks(batches):
+        # Arrow-native decode (guide §4.2): each list<struct{id, v}>
+        # payload column flattens ONCE per batch (ids + one (N, dim)
+        # matrix + row boundaries); the per-pair loop then slices
+        # numpy views instead of re-decoding every item through a
+        # Python round trip per cell. Same per-pair GEMM shapes →
+        # same float64 bits.
         import numpy as np
-        import pandas as pd
+        import pyarrow.compute as pc
 
-        for pdf in batches:
+        from ..functions import arrowkit as ak
+
+        def flat_items(col):
+            la = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+            lens = (
+                pc.list_value_length(la)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            st = la.flatten()
+            ids = ak.i64(st.field("id"))
+            mat = ak.fixed_matrix(st.field("v"))
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+            )
+            return ids, mat, np.concatenate(([0], np.cumsum(lens)))
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            s = b.schema
+            ids_fa, mat_fa, bnd_a = flat_items(
+                b.column(s.get_field_index("items_a"))
+            )
+            ids_fb, mat_fb, bnd_b = flat_items(
+                b.column(s.get_field_index("items_b"))
+            )
+            bida = ak.i64(b.column(s.get_field_index("bid_a")))
+            bidb = ak.i64(b.column(s.get_field_index("bid_b")))
             out_a, out_b = [], []
-            # rows here are block PAIRS (few per batch, a GEMM each):
-            # iterate raw column arrays, not pdf.iterrows() — the
-            # per-row Series construction costs more than the math
-            for items_a, items_b, bid_a, bid_b in zip(
-                pdf["items_a"].to_numpy(),
-                pdf["items_b"].to_numpy(),
-                pdf["bid_a"].to_numpy(),
-                pdf["bid_b"].to_numpy(),
-            ):
-                ia = np.array([it["id"] for it in items_a])
-                ib = np.array([it["id"] for it in items_b])
-                ma = np.stack([np.asarray(it["v"], dtype=np.float64) for it in items_a])
-                mb = np.stack([np.asarray(it["v"], dtype=np.float64) for it in items_b])
-                ma /= np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-300)
-                mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-300)
+            # rows here are block PAIRS (few per batch, a GEMM each)
+            for r in range(b.num_rows):
+                ia = ids_fa[bnd_a[r]:bnd_a[r + 1]]
+                ib = ids_fb[bnd_b[r]:bnd_b[r + 1]]
+                ma = mat_fa[bnd_a[r]:bnd_a[r + 1]]
+                mb = mat_fb[bnd_b[r]:bnd_b[r + 1]]
                 sim_mat = ma @ mb.T
-                if bid_a == bid_b:
+                if bida[r] == bidb[r]:
                     # self-block: identical item sets on both sides —
                     # keep the strict upper triangle or every pair
                     # (and every self-pair) appears twice
@@ -366,18 +392,16 @@ def embedding_neardup_pairs(
                 out_a.append(lo[keep])
                 out_b.append(hi[keep])
             if out_a:
-                yield pd.DataFrame(
-                    {
-                        "a_id": np.concatenate(out_a),
-                        "b_id": np.concatenate(out_b),
-                    }
+                yield ak.batch(
+                    a_id=np.concatenate(out_a),
+                    b_id=np.concatenate(out_b),
                 )
 
     # a pair lands in exactly one unordered block pair (each id has
     # exactly one bucket) → genuinely distinct-free, no dedupe shuffle.
     # df rides along so a caller-supplied frame's own caches release
     # with the result (the r5 generator-orphan convention).
-    return own(grid.mapInPandas(score_blocks, "a_id long, b_id long"), sub, df)
+    return own(grid.mapInArrow(score_blocks, "a_id long, b_id long"), sub, df)
 
 
 def neardup_pairs_lsh(
