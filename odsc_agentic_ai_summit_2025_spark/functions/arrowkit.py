@@ -103,6 +103,18 @@ def list_i64(mat: np.ndarray) -> pa.ListArray:
     )
 
 
+def list_i32(mat: np.ndarray) -> pa.ListArray:
+    """(n, dim) ndarray → list<int> column (one values buffer)."""
+    n, dim = mat.shape
+    offsets = pa.array(
+        np.arange(0, (n + 1) * dim, dim, dtype=np.int32), type=pa.int32()
+    )
+    return pa.ListArray.from_arrays(
+        offsets, pa.array(np.ascontiguousarray(mat).reshape(-1),
+                          type=pa.int32())
+    )
+
+
 def batch(**cols) -> pa.RecordBatch:
     """RecordBatch from name → (numpy array | pa.Array) pairs, with
     numpy ints/floats mapped to the Spark-schema arrow types the

@@ -156,26 +156,31 @@ def semantic_decontamination(
     thr = float(threshold)
 
     def hits(batches):
+        # Arrow-native decode (guide §4.2) — same float64 GEMM
         import numpy as np
-        import pandas as pd
+
+        from ..functions import arrowkit as ak
 
         mat = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            doc_id = pdf[id_col].to_numpy(dtype=np.int64)
-            nv = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            nv /= np.maximum(
+            sch = b.schema
+            nv = ak.fixed_matrix(b.column(sch.get_field_index(vec_col)))
+            nv = nv / np.maximum(
                 np.linalg.norm(nv, axis=1, keepdims=True), 1e-300
             )
             n = (nv @ mat.T >= thr).sum(axis=1).astype(np.int64)
-            yield pd.DataFrame({id_col: doc_id, "n_bench_hits": n})
+            yield ak.batch(
+                **{
+                    id_col: b.column(sch.get_field_index(id_col)),
+                    "n_bench_hits": n,
+                }
+            )
 
     out = ensure_min_partitions(
         corpus.select(F.col(id_col), F.col(vec_col))
-    ).mapInPandas(hits, f"{id_col} long, n_bench_hits long")
+    ).mapInArrow(hits, f"{id_col} long, n_bench_hits long")
     return out.select(
         id_col,
         "n_bench_hits",

@@ -149,31 +149,33 @@ def ivf_add_documents(index: IvfIndex, new_corpus: DataFrame) -> IvfIndex:
     vec_col = index.vec_col
 
     def assign(batches):
+        # Arrow-native decode + zero-copy pass-through (guide §4.2),
+        # mirroring ivf_build's kernel exactly — same float64 math,
+        # or incremental-add ≢ rebuild
         import numpy as np
-        import pandas as pd  # noqa: F401
+        import pyarrow as pa
+
+        from ..functions import arrowkit as ak
 
         cts = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            # cosine assignment — must mirror ivf_build's kernel
-            # exactly or incremental-add ≢ rebuild
-            m /= np.maximum(
+            m = ak.fixed_matrix(b.column(b.schema.get_field_index(vec_col)))
+            m = m / np.maximum(
                 np.linalg.norm(m, axis=1, keepdims=True), 1e-300
             )
             scores = 2 * (m @ cts.T) - (cts * cts).sum(1)[None, :]
-            out = pdf.copy()
-            out["cluster_id"] = scores.argmax(1).astype("int32")
-            yield out
+            yield b.append_column(
+                "cluster_id",
+                pa.array(scores.argmax(1).astype(np.int32)),
+            )
 
     out_schema = T.StructType(
         list(new_corpus.schema.fields)
         + [T.StructField("cluster_id", T.IntegerType())]
     )
-    added = ensure_min_partitions(fresh).mapInPandas(assign, out_schema)
+    added = ensure_min_partitions(fresh).mapInArrow(assign, out_schema)
     # persisted like ivf_build's assignment: an index is a long-lived
     # artifact whose cache the CALLER owns — unpersist the old index's
     # `assigned` when replacing it, or clearCache between builds

@@ -131,15 +131,19 @@ def pq_encode(
     bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
 
     def encode(batches):
+        # Arrow-native decode (guide §4.2): one flatten+reshape per
+        # batch, ids pass through zero-copy; argmin math unchanged
         import numpy as np
-        import pandas as pd
+
+        from ..functions import arrowkit as ak
 
         cb = bc.value  # (m, k, dsub)
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            v = np.stack([np.asarray(a, dtype=np.float64) for a in pdf[vec_col]])
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            sch = b.schema
+            v = ak.fixed_matrix(b.column(sch.get_field_index(vec_col)))
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
             sub = v.reshape(len(v), m, dd // m)
             codes = np.empty((len(v), m), dtype=np.int32)
             for j in range(m):
@@ -147,13 +151,16 @@ def pq_encode(
                 # argmin ‖s−c‖² = argmin(‖c‖² − 2s·c), ties → low id
                 d2 = (c * c).sum(1)[None, :] - 2.0 * (sub[:, j, :] @ c.T)
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "code": list(codes)}
+            yield ak.batch(
+                **{
+                    id_col: b.column(sch.get_field_index(id_col)),
+                    "code": ak.list_i32(codes),
+                }
             )
 
     from ..sources.io import ensure_min_partitions
 
-    return ensure_min_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+    return ensure_min_partitions(corpus.select(id_col, vec_col)).mapInArrow(
         encode, f"{id_col} long, code array<int>"
     )
 
@@ -199,15 +206,19 @@ def pq_search(
 
     def adc_topn(batches):
         import numpy as np
-        import pandas as pd
+
+        from ..functions import arrowkit as ak
 
         ids, tbl = bc.value
         jj = np.arange(m)[None, :]
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            n_id = pdf[id_col].to_numpy(dtype=np.int64)
-            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            sch = b.schema
+            n_id = ak.i64(b.column(sch.get_field_index(id_col)))
+            codes = ak.fixed_matrix(
+                b.column(sch.get_field_index("code")), dtype=np.int64
+            )
             out_q, out_n, out_s = [], [], []
             for qi in range(len(ids)):
                 # gather-sum: approx ip = Σ_j table[qi, j, code[:, j]]
@@ -232,15 +243,13 @@ def pq_search(
                 out_n.append(n_id[top])
                 out_s.append(scores[top])
             if out_q:
-                yield pd.DataFrame(
-                    {
-                        "q_id": np.concatenate(out_q),
-                        "n_id": np.concatenate(out_n),
-                        "adc": np.concatenate(out_s),
-                    }
+                yield ak.batch(
+                    q_id=np.concatenate(out_q),
+                    n_id=np.concatenate(out_n),
+                    adc=np.concatenate(out_s),
                 )
 
-    cand = index.codes.mapInPandas(adc_topn, "q_id long, n_id long, adc double")
+    cand = index.codes.mapInArrow(adc_topn, "q_id long, n_id long, adc double")
     return _shortlist_and_rerank(
         cand, corpus, q_ids, q_mat, index, shortlist, k
     )
@@ -338,8 +347,13 @@ def ivfpq_search(
     tables = np.einsum(
         "qjd,jkd->qjk", q_mat.reshape(len(q_ids), m, dsub), pq_index.codebooks
     )
-    qpos = {int(i): j for j, i in enumerate(q_ids)}
-    bc = corpus.sparkSession.sparkContext.broadcast((qpos, tables))
+    # id → table-row mapping as sorted arrays so the kernel can
+    # vectorize the lookup (searchsorted) instead of a dict probe per
+    # row
+    qsort = np.argsort(q_ids)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids[qsort], qsort.astype(np.int64), tables)
+    )
 
     # stage 1 — probe routing (same shape as ivf_search stage 1)
     qdf = corpus.sparkSession.createDataFrame(
@@ -368,25 +382,30 @@ def ivfpq_search(
 
     def adc_score(batches):
         import numpy as np
-        import pandas as pd
 
-        pos, tbl = bc.value
+        from ..functions import arrowkit as ak
+
+        sorted_ids, perm, tbl = bc.value
         jj = np.arange(m)[None, :]
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            qi = np.array([pos[int(q)] for q in pdf["q_id"]], dtype=np.int64)
-            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            sch = b.schema
+            q_col = b.column(sch.get_field_index("q_id"))
+            # every q_id here came from the probe table built from
+            # q_ids, so searchsorted is an exact (vectorized) lookup
+            qi = perm[np.searchsorted(sorted_ids, ak.i64(q_col))]
+            codes = ak.fixed_matrix(
+                b.column(sch.get_field_index("code")), dtype=np.int64
+            )
             scores = tbl[qi[:, None], jj, codes].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
-                    "n_id": pdf["n_id"].to_numpy(dtype=np.int64),
-                    "adc": scores,
-                }
+            yield ak.batch(
+                q_id=q_col,
+                n_id=b.column(sch.get_field_index("n_id")),
+                adc=scores,
             )
 
-    cand = scan.mapInPandas(adc_score, "q_id long, n_id long, adc double")
+    cand = scan.mapInArrow(adc_score, "q_id long, n_id long, adc double")
     return _shortlist_and_rerank(
         cand, corpus, q_ids, q_mat, pq_index, shortlist, k
     )
