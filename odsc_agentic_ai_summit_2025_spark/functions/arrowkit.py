@@ -71,6 +71,25 @@ def flat_with_lengths(arr, dtype=None):
     return flat, lengths
 
 
+def flat_bytes(arr):
+    """binary column → ``(values: uint8 ndarray, lengths: int64
+    ndarray)`` where ``values`` is the concatenation of every cell's
+    bytes (the column's own contiguous data buffer, zero-copy).
+    Null cells count as length 0, matching ``bytes(None)``-guarded
+    kernels that skip them."""
+    a = _plain(arr)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    bufs = a.buffers()  # [validity, offsets(int32), data(uint8)]
+    offs = np.frombuffer(
+        bufs[1], dtype=np.int32, count=n + 1 + a.offset
+    )[a.offset:].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lengths = offs[1:] - offs[:-1]
+    return data[offs[0]:offs[-1]], lengths
+
+
 def i64(arr) -> np.ndarray:
     return np.asarray(_plain(arr), dtype=np.int64)
 

@@ -229,20 +229,37 @@ def byte_histogram(media: DataFrame, n_bins: int = N_HIST_BINS) -> DataFrame:
         ]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        # Arrow-native (guide §4.2): the payload column's bytes are
+        # already ONE contiguous buffer — a single segmented bincount
+        # over (row · n_bins + bin) replaces the per-payload Python
+        # loop; identical counts, identical normalization
         import numpy as np
 
-        for pdf in batches:
-            feats = []
-            for p in pdf["payload"]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
-                hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1),
-                                   minlength=n_bins).astype(np.float64)
-                total = hist.sum()
-                feats.append((hist / total if total else hist).tolist())
-            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+        from ..functions import arrowkit as ak
 
-    return ensure_min_partitions(media).mapInPandas(run, out_schema)
+        shift = 8 - n_bins.bit_length() + 1
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            sch = b.schema
+            data, lengths = ak.flat_bytes(
+                b.column(sch.get_field_index("payload"))
+            )
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            hist = np.bincount(
+                row_idx * n_bins + (data.astype(np.int64) >> shift),
+                minlength=n * n_bins,
+            ).astype(np.float64).reshape(n, n_bins)
+            totals = hist.sum(axis=1, keepdims=True)
+            np.divide(hist, totals, out=hist, where=totals > 0)
+            yield ak.batch(
+                media_id=b.column(sch.get_field_index("media_id")),
+                features=ak.list_f64(hist),
+            )
+
+    return ensure_min_partitions(media).mapInArrow(run, out_schema)
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
