@@ -64,11 +64,45 @@ def test_connected_components_chain_converges(spark):
     n = 200
     chain = [(i, i + 1) for i in range(n - 1)]
     pairs = spark.createDataFrame(chain, "a_id long, b_id long")
-    comp = connected_components(pairs)
+    # driver_max_edges=0 forces the DISTRIBUTED loop (the r13 driver
+    # fast path would otherwise absorb a graph this small) — this
+    # test exists to pin the pointer-jumping convergence bound
+    comp = connected_components(pairs, driver_max_edges=0)
     rows = dedup_decisions(comp).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert sorted(r["id"] for r in rows if r["keep"]) == [0]
     assert all(r["cluster_size"] == n for r in rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_driver_components_match_distributed_loop(spark, seed):
+    """The r13 driver fast path (bounded edge list solved with numpy
+    min-label + pointer jumping) must label every vertex identically
+    to the distributed fixpoint loop — including isolated vertices."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(1000 + seed)
+    n = 150
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(110)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, vertices=verts).collect()
+    }
+    loop = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, vertices=verts, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == loop
+    assert len(fast) == n
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
