@@ -260,33 +260,47 @@ def embedding_neardup_pairs(
     )
 
     # per-sub-block angular summaries: centroid direction + max member
-    # angle. Group sizes are census-bounded, so applyInPandas is safe.
-    def block_stats(pdf):
+    # angle. Group sizes are census-bounded, so a grouped-map kernel
+    # is safe; Arrow-native (guide §4.2) — one flatten+reshape per
+    # group, same float64 math as the pandas form.
+    def block_stats(tbl):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        from ..functions import arrowkit as ak
+
+        m = ak.fixed_matrix(tbl.column("v"))
+        sid = tbl.column("sid")[0].as_py()
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
         m = m / np.maximum(nrm, 1e-300)
         c = m.mean(axis=0)
         cn = np.linalg.norm(c)
         if cn < 1e-12:
             # degenerate (members cancel): no useful cap — full radius
-            return pd.DataFrame(
-                {"sid": [pdf["sid"].iloc[0]], "radius": [math.pi]}
-                | {"centroid": [([1.0] + [0.0] * (m.shape[1] - 1))]}
+            return pa.table(
+                {
+                    "sid": pa.array([sid], pa.int64()),
+                    "radius": pa.array([math.pi], pa.float64()),
+                    "centroid": ak.list_f64(
+                        np.array([[1.0] + [0.0] * (m.shape[1] - 1)])
+                    ),
+                }
             )
         c = c / cn
         dots = np.clip(m @ c, -1.0, 1.0)
         radius = float(np.arccos(dots.min())) + 1e-7  # safety margin
-        return pd.DataFrame(
-            {"sid": [pdf["sid"].iloc[0]], "radius": [radius], "centroid": [c.tolist()]}
+        return pa.table(
+            {
+                "sid": pa.array([sid], pa.int64()),
+                "radius": pa.array([radius], pa.float64()),
+                "centroid": ak.list_f64(c[None, :]),
+            }
         )
 
     stats = (
         sub.select("sid", F.col(vec_col).alias("v"))
         .groupBy("sid")
-        .applyInPandas(block_stats, "sid long, radius double, centroid array<double>")
+        .applyInArrow(block_stats, "sid long, radius double, centroid array<double>")
         .collect()
     )
 
