@@ -363,8 +363,14 @@ def _driver_components(
             if np.array_equal(nm, prev):
                 break
             lab = nm
+        # emit via pandas: near the edge cap the endpoint table is
+        # millions of rows, and the Arrow path (enabled in the engine
+        # session) ships the two int64 buffers directly instead of
+        # serializing one Python tuple per row
+        import pandas as pd
+
         labeled = spark.createDataFrame(
-            [(int(uniq[i]), int(uniq[lab[i]])) for i in range(len(uniq))],
+            pd.DataFrame({id_col: uniq, "cluster_id": uniq[lab]}),
             small_schema,
         )
     else:
