@@ -98,84 +98,90 @@ def all_queries() -> dict[str, Query]:
     return ordered
 
 
-# Round-14 rotation plan: after r13 the stale set is the r12 window
-# (q30/q31/q33, q88, q69/q70/q72, q112/q113, q52/q53/q55, q108/q109,
-# q105, q08/q09/q14, q19-q25, q34-q45, q63, q66, q76, q78-q81,
-# q96-q101 — 50 queries, all r12-green) plus the NINE queries bumped
-# out of the r13 window at exactly 2 rounds stale:
-# q02_filter_project, q32_lang_id, q46_frame_sample, q48_sessionize,
-# q50_email_stats, q54_asof_join, q56_decile_stats, q59_salted_agg,
-# q61_chunk_docs (pin these nine FIRST), plus
-# q114_dsir_stream_scoring (the r13 TAIL, never driver-checked —
-# pull it forward like q112/q113 were in r12). 60 candidates for 50
-# slots → lead with the nine bumps + q114, then the r12 cohort minus
-# TEN derisked bumps (candidates: q30/q31/q33/q88/q69/q70/q72 —
-# single-kernel text/split ops rechecked twice in two rounds — plus
-# q19/q22/q23 window/pivot/rollup single-operator cells; pin the
-# bumped names first in the r15 note).
+# Round-15 rotation plan: after r14 the stale set is the r13 window
+# (q01/q03-q07, q10-q13, q15-q18, q47, q49, q51, q57/q58, q60, q62,
+# q64/q65, q67/q68, q71, q73-q75, q77, q82-q87, q89-q95, q102-q104,
+# q106/q107, q110/q111 — 50 queries, all r13-green) plus the TEN
+# queries bumped out of the r14 window at exactly 2 rounds stale:
+# q30_token_stats, q31_quality_score, q33_fingerprint,
+# q88_normalize_text, q69_train_split, q70_quality_filter,
+# q72_repetition_stats, q19_window_running, q22_pivot, q23_rollup
+# (pin these ten FIRST). 60 candidates for 50 slots → lead with the
+# ten bumps, then the r13 cohort minus TEN derisked bumps
+# (candidates: q04/q05/q16/q17/q18 single-expression relational cells
+# plus q57/q58/q60/q62/q73 — approx-agg/window single-operator cells
+# every other window's kernels exercise; pin the bumped names first
+# in the r16 note).
 # Steady-state invariant (COVERAGE.md): every query's last driver row
 # is ≤2 rounds old.
 #
-# Round-13 gate window head (executes the rotation pinned in the r12
-# note): the nine exactly-2-rounds-stale bumps q01_pricing_summary /
-# q03_row_number / q06_string_ops / q07_date_parts / q10_semijoin /
-# q11_antijoin / q12_having / q13_count_distinct / q15_distinct_enum
-# lead, then the r11 cohort minus the nine derisked bumps
-# q02_filter_project / q32_lang_id / q46_frame_sample /
-# q48_sessionize / q50_email_stats / q54_asof_join /
-# q56_decile_stats / q59_salted_agg / q61_chunk_docs (single-operator
-# column/window/date ops whose kernels every other window exercises;
-# they age to exactly 2 rounds and lead r14). 50 head entries; the
-# ≤2-rounds-stale invariant holds a second consecutive round.
+# Round-14 gate window head (executes the rotation pinned in the r13
+# note and prescribed as VERDICT r13 item #1): the nine
+# exactly-2-rounds-stale bumps q02_filter_project / q32_lang_id /
+# q46_frame_sample / q48_sessionize / q50_email_stats / q54_asof_join
+# / q56_decile_stats / q59_salted_agg / q61_chunk_docs lead, then
+# q114_dsir_stream_scoring (the r13 TAIL addition, never
+# driver-checked — pulled forward exactly like q112/q113 were in
+# r12), then the r12 cohort minus the ten derisked bumps
+# q30_token_stats / q31_quality_score / q33_fingerprint /
+# q88_normalize_text / q69_train_split / q70_quality_filter /
+# q72_repetition_stats (single-kernel text/split ops rechecked twice
+# in two rounds) / q19_window_running / q22_pivot / q23_rollup
+# (window/pivot/rollup single-operator cells; they age to exactly 2
+# rounds and lead r15). This window deliberately contains the entire
+# r13 Arrow-kernel rewrite cohort (q34-q45, q63, q66, q76, q78-q81,
+# q96-q101, q112) so the driver's oracle finally sees those rewritten
+# versions. 50 head entries; the ≤2-rounds-stale invariant holds a
+# third consecutive round.
 _GATE_HEAD = (
-    "q01_pricing_summary",
-    "q03_row_number",
-    "q06_string_ops",
-    "q07_date_parts",
-    "q10_semijoin",
-    "q11_antijoin",
-    "q12_having",
-    "q13_count_distinct",
-    "q15_distinct_enum",
-    "q04_case_when",
-    "q05_coalesce",
-    "q16_range_count",
-    "q17_topk",
-    "q18_union",
-    "q110_hll_shard_union",
-    "q111_neardup_admit",
-    "q106_pii_scan",
-    "q107_semantic_decontam",
-    "q102_dsir_serving",
-    "q103_variable_paths",
-    "q47_ivf_knn",
-    "q49_guardrail_mask",
-    "q51_hash_embed_knn",
-    "q57_approx_distinct",
-    "q58_heavy_hitters",
-    "q60_corr_moments",
-    "q62_window_join",
-    "q64_guardrail_trace",
-    "q65_judge_scores",
-    "q67_pii_trace",
-    "q68_extract_usage",
-    "q71_decontamination",
-    "q73_source_mix",
-    "q74_embedding_outliers",
-    "q75_bloom_decontam",
-    "q77_bpe_tokens",
-    "q83_substring_dupes",
-    "q84_tfidf_top_terms",
-    "q85_weighted_resample",
-    "q86_dedup_admit",
-    "q87_stratified_sample",
-    "q92_ngram_novelty",
-    "q93_curriculum_order",
-    "q94_vocab_coverage",
-    "q95_token_budget_sample",
-    "q82_semantic_dedup",
-    "q89_editdist_pairs",
-    "q90_triangle_counts",
-    "q91_pagerank",
-    "q104_dsir_cms",
+    "q02_filter_project",
+    "q32_lang_id",
+    "q46_frame_sample",
+    "q48_sessionize",
+    "q50_email_stats",
+    "q54_asof_join",
+    "q56_decile_stats",
+    "q59_salted_agg",
+    "q61_chunk_docs",
+    "q114_dsir_stream_scoring",
+    "q112_neardup_index_lifecycle",
+    "q113_hll_stream_replay",
+    "q52_percentiles",
+    "q53_cube",
+    "q55_rolling_revenue",
+    "q108_windowed_hll",
+    "q109_hdr_quantiles",
+    "q105_undirected_paths",
+    "q08_join_agg",
+    "q09_multihop_revenue",
+    "q14_argmax",
+    "q20_window_rank",
+    "q21_json_extract",
+    "q24_time_bucket",
+    "q25_above_avg",
+    "q34_dedup_exact",
+    "q35_jaccard_pairs",
+    "q36_minhash_lsh",
+    "q37_simhash",
+    "q38_embedding_neardup",
+    "q39_knn_bruteforce",
+    "q40_bm25_topk",
+    "q41_fts_postings",
+    "q42_lsh_buckets",
+    "q43_hybrid_rrf",
+    "q44_blob_stats",
+    "q45_byte_histogram",
+    "q63_neardup_lsh",
+    "q66_dedup_clusters",
+    "q76_pq_knn",
+    "q78_simhash_pairs",
+    "q79_ivfpq_knn",
+    "q80_pack_sequences",
+    "q81_knn_self_join",
+    "q96_epoch_shards",
+    "q97_bpe_segment",
+    "q98_dsir_importance",
+    "q99_quality_reps",
+    "q100_curation_pipeline",
+    "q101_distinct_ngrams",
 )
