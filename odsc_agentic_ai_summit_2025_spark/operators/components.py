@@ -589,7 +589,123 @@ def quality_representatives(
     )
 
 
-def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
+def _graph_driver_max_edges(override: int | None) -> int:
+    """Shared cap for the graph-analytics driver fast paths (triangle
+    counts, fixed-point PageRank) — the same decision class as
+    ``connected_components``'s ``driver_max_edges``: a candidate-pair
+    graph small enough to collect is solved on the driver in one
+    vectorized numpy pass instead of a multi-stage shuffle ladder
+    whose per-job driver latency dominates at any scale. 0 disables
+    (distributed path only)."""
+    if override is not None:
+        return override
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES", "2000000")
+    )
+
+
+def _driver_triangle_counts(
+    edge_rows: list, nodes: DataFrame, wedge_cap: int = 64_000_000
+) -> DataFrame | None:
+    """Driver-solved per-vertex triangle counts for a bounded pair
+    list: an ENTRY-level numpy replication of the distributed
+    degree-ordered wedge join — same multiset-degree orientation,
+    same strict ``(deg, id)`` wedge ordering, same closing-edge
+    multiplicity semantics — so the counts are identical for any
+    input the distributed plan accepts (duplicate pairs and
+    self-loops included). Only edge ENDPOINTS reach the driver; the
+    vertex set stays distributed and the output plan is lazy and
+    vertex-sized (broadcast LEFT-join back, zero-fill).
+
+    Returns ``None`` when the wedge budget (Σ per-source out-pairs)
+    exceeds ``wedge_cap`` — the signal that the quadratic wedge
+    expansion wants the distributed join after all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = nodes.sparkSession
+    id_type = nodes.schema["id"].dataType.simpleString()
+    small_schema = f"id {id_type}, n_triangles long"
+    if edge_rows:
+        m = len(edge_rows)
+        a = np.fromiter((r[0] for r in edge_rows), np.int64, count=m)
+        b = np.fromiter((r[1] for r in edge_rows), np.int64, count=m)
+        uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[:m], inv[m:]
+        nv = len(uniq)
+        # multiset degree over both endpoints (the distributed deg
+        # table counts duplicate pair rows too)
+        deg = np.bincount(ai, minlength=nv) + np.bincount(bi, minlength=nv)
+        # orient each entry from its lower-(deg, id) endpoint; uniq is
+        # sorted, so index order == id order
+        lower_first = (deg[ai] < deg[bi]) | (
+            (deg[ai] == deg[bi]) & (ai < bi)
+        )
+        src = np.where(lower_first, ai, bi)
+        dst = np.where(lower_first, bi, ai)
+        # sort entries by (src, rank(dst)) with rank = (deg, id): a
+        # group's sorted order makes every in-order entry pair satisfy
+        # rank_i <= rank_j, and rank ties are exactly dst ties
+        order = np.lexsort((dst, deg[dst], src))
+        src, dst = src[order], dst[order]
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        change[1:] = src[1:] != src[:-1]
+        gstart = np.maximum.accumulate(
+            np.where(change, np.arange(m), 0)
+        )
+        loc = np.arange(m) - gstart  # 0-based index within the group
+        W = int(loc.sum())  # Σ k·(k−1)/2 over groups
+        if W > wedge_cap:
+            return None
+        if W:
+            cum = np.concatenate(([0], np.cumsum(loc)))
+            j_idx = np.repeat(np.arange(m), loc)
+            i_idx = np.arange(W) - cum[j_idx] + gstart[j_idx]
+            v, w = dst[i_idx], dst[j_idx]
+            u = src[j_idx]
+            strict = v != w  # rank_i < rank_j ⟺ dst differs
+            u, v, w = u[strict], v[strict], w[strict]
+            # closing-edge multiplicity: each matching oriented entry
+            # closes the wedge once (the distributed join multiplies)
+            ekeys = np.sort(src.astype(np.int64) * nv + dst)
+            wkeys = v.astype(np.int64) * nv + w
+            c = np.searchsorted(ekeys, wkeys, side="right") - (
+                np.searchsorted(ekeys, wkeys, side="left")
+            )
+            closed = c > 0
+            c = c[closed]
+            n_tri = np.zeros(nv, dtype=np.int64)
+            np.add.at(n_tri, u[closed], c)
+            np.add.at(n_tri, v[closed], c)
+            np.add.at(n_tri, w[closed], c)
+        else:
+            n_tri = np.zeros(nv, dtype=np.int64)
+        nz = n_tri > 0
+        labeled = spark.createDataFrame(
+            pd.DataFrame({"id": uniq[nz], "n_triangles": n_tri[nz]}),
+            small_schema,
+        )
+    else:
+        labeled = spark.createDataFrame([], small_schema)
+    return nodes.join(
+        F.broadcast(labeled.withColumnRenamed("n_triangles", "_nt")),
+        "id",
+        "left",
+    ).select(
+        "id",
+        F.coalesce("_nt", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    driver_max_edges: int | None = None,
+) -> DataFrame:
     """Per-vertex triangle participation over an undirected pair list
     (``a_id < b_id``) — the clustering-coefficient numerator, and for
     a near-dup graph a direct "mutually-similar triple" detector.
@@ -618,10 +734,33 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
     and skipping the input pin re-ran the generator per consumer
     (caught by bench.py's r10 self-adjudication: q90 2.6→12 s).
     Released via ``cache.release(result)``.
+
+    ``driver_max_edges`` (default from
+    ``SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES``, 0 disables): when the
+    pair list fits under the cap AND the wedge expansion fits the
+    driver budget, the counts are solved on the driver in one
+    vectorized numpy pass (``_driver_triangle_counts`` — an exact
+    entry-level replication of this wedge join) instead of the
+    5-shuffle ladder, whose per-job driver latency dominates at
+    candidate-graph sizes (same §5 bounded-driver-work class as
+    ``connected_components``). The count that gates it materializes
+    the same persist the degree pass would; over-cap graphs take the
+    join ladder unchanged.
     """
     e = pairs.select(
         F.col("a_id").alias("a"), F.col("b_id").alias("b")
     ).persist()
+    cap = _graph_driver_max_edges(driver_max_edges)
+    if cap > 0 and e.count() <= cap:
+        out = _driver_triangle_counts(
+            e.collect(),
+            vertices.select(F.col("id")).distinct(),
+        )
+        if out is not None:
+            # the edge cache backs nothing in the output plan, but it
+            # rides the result so release() reaches the generator's
+            # own pins exactly like the distributed path
+            return own(out, e, pairs, vertices)
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
@@ -688,6 +827,75 @@ def triangle_counts(pairs: DataFrame, vertices: DataFrame) -> DataFrame:
     )
 
 
+def _driver_pagerank(
+    sym_rows: list,
+    verts: DataFrame,
+    base: int,
+    teleport: int,
+    iterations: int,
+) -> DataFrame:
+    """Driver-solved fixed-point PageRank for a bounded symmetric
+    edge list — the identical int64 arithmetic as the unrolled
+    distributed plan (multiset degree over ALL sym rows; pr rows
+    exist only for edge endpoints that are IN ``verts``, checked with
+    one broadcast semi-join; ``div`` = floor division on the
+    non-negative operands here), so the result is bit-identical.
+    Isolated ``verts`` rows never receive edge mass: their pr is the
+    constant ``teleport`` after step 1 (``base`` at 0 iterations) —
+    applied as the LEFT-join fill, so the vertex set itself stays
+    distributed and only endpoints reach the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = verts.sparkSession
+    id_type = verts.schema["id"].dataType.simpleString()
+    small_schema = f"id {id_type}, _pr long"
+    if sym_rows:
+        m = len(sym_rows)
+        s_raw = np.fromiter((r[0] for r in sym_rows), np.int64, count=m)
+        d_raw = np.fromiter((r[1] for r in sym_rows), np.int64, count=m)
+        uniq, inv = np.unique(
+            np.concatenate([s_raw, d_raw]), return_inverse=True
+        )
+        s, d = inv[:m], inv[m:]
+        nv = len(uniq)
+        # which endpoints hold a pr row: the distributed plan's
+        # pr-table join keeps only verts members as contribution
+        # SOURCES (and deg still counts every sym row) — one
+        # endpoint-sized broadcast semi-join settles membership
+        ep = spark.createDataFrame(
+            pd.DataFrame({"id": uniq}), f"id {id_type}"
+        )
+        member = {
+            r[0]
+            for r in verts.join(F.broadcast(ep), "id", "left_semi").collect()
+        }
+        in_verts = np.fromiter(
+            (int(u) in member for u in uniq), dtype=bool, count=nv
+        )
+        deg = np.bincount(s, minlength=nv).astype(np.int64)
+        pr = np.full(nv, base, dtype=np.int64)
+        src_mask = in_verts[s]
+        sm, dm = s[src_mask], d[src_mask]
+        for _ in range(iterations):
+            contrib = pr[sm] // deg[sm]
+            incoming = np.zeros(nv, dtype=np.int64)
+            np.add.at(incoming, dm, contrib)
+            pr = teleport + (85 * incoming) // 100
+        labeled = spark.createDataFrame(
+            pd.DataFrame({"id": uniq[in_verts], "_pr": pr[in_verts]}),
+            small_schema,
+        )
+    else:
+        labeled = spark.createDataFrame([], small_schema)
+    fill = base if iterations == 0 else teleport
+    return verts.join(F.broadcast(labeled), "id", "left").select(
+        "id",
+        F.coalesce("_pr", F.lit(fill)).cast("long").alias("pr_e9"),
+    )
+
+
 def pagerank_fixed(
     pairs: DataFrame,
     vertices: DataFrame,
@@ -695,6 +903,7 @@ def pagerank_fixed(
     iterations: int = 3,
     scale: int = 10**9,
     checkpoint_every: int | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Exact-integer PageRank over the symmetric closure of an
     undirected pair list: ``iterations`` unrolled power steps in e9
@@ -742,6 +951,18 @@ def pagerank_fixed(
     n = verts.count()
     base = int(scale) // max(n, 1)
     teleport = (15 * base) // 100
+    # Driver fast path (guide §5 bounded driver work, §1.2 fewer job
+    # barriers — the connected_components precedent): a candidate-pair
+    # graph under the cap is solved in one vectorized int64 numpy pass
+    # instead of `iterations` chained join+agg shuffle stages. The
+    # count materializes the same persist the degree table would; the
+    # collected rows are the symmetric closure (2 per pair).
+    cap = _graph_driver_max_edges(driver_max_edges)
+    if cap > 0 and sym.count() <= 2 * cap:
+        out = _driver_pagerank(
+            sym.collect(), verts, base, teleport, iterations
+        )
+        return own(out, sym, verts, pairs, vertices)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     pr = verts.select("id", F.lit(base).cast("long").alias("pr_e9"))
     ckpts: list[DataFrame] = []

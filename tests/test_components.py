@@ -262,12 +262,15 @@ def test_triangle_counts_k4_plus_chain(spark):
     assert all(got[i] == 0 for i in (10, 11, 12, 13, 99))
 
 
-def test_triangle_counts_hub_star_vs_bruteforce(spark):
+@pytest.mark.parametrize("cap", [None, 0])
+def test_triangle_counts_hub_star_vs_bruteforce(spark, cap):
     """Degree-oriented counting (r10) on the hub shape that hot-keyed
     the old id-ordered join: a mid-id hub tied to every spoke plus
     ring edges among consecutive spokes, checked per-vertex against a
     brute-force Python count. Orientation must not change counts —
-    they are a property of the undirected graph."""
+    they are a property of the undirected graph. Parametrized over
+    the r14 driver fast path (cap=None) and the distributed join
+    (cap=0) so both paths stay pinned to ground truth."""
     import itertools
 
     from odsc_agentic_ai_summit_2025_spark.operators.components import (
@@ -297,9 +300,76 @@ def test_triangle_counts_hub_star_vs_bruteforce(spark):
     verts = spark.range(n).select(F.col("id"))
     got = {
         r["id"]: r["n_triangles"]
-        for r in triangle_counts(pairs, verts).collect()
+        for r in triangle_counts(pairs, verts, driver_max_edges=cap).collect()
     }
     assert got == want and sum(want.values()) > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_driver_triangle_counts_match_distributed(spark, seed):
+    """The r14 driver fast path (entry-level numpy wedge counting)
+    must count every vertex identically to the distributed
+    degree-oriented wedge join — isolated vertices and vertices
+    outside every triangle included."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        triangle_counts,
+    )
+
+    rng = random.Random(400 + seed)
+    n = 60
+    edges = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(140)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    verts = spark.createDataFrame(
+        [(i,) for i in range(n + 5)], "id long"
+    )  # 5 isolated vertices past the edge id range
+    fast = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(pairs, verts).collect()
+    }
+    dist = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(pairs, verts, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert len(fast) == n + 5 and sum(fast.values()) > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_driver_pagerank_match_distributed(spark, seed):
+    """The r14 driver fast path (vectorized int64 power steps) must
+    be bit-identical to the distributed unrolled plan — including
+    isolated vertices (teleport-only mass) and edge endpoints OUTSIDE
+    the vertex set (they dilute degree but hold no pr row)."""
+    from odsc_agentic_ai_summit_2025_spark.operators.components import (
+        pagerank_fixed,
+    )
+
+    rng = random.Random(700 + seed)
+    n = 50
+    edges = [
+        (rng.randrange(n + 4), rng.randrange(n + 4)) for _ in range(90)
+    ]  # ids n..n+3 appear in edges but NOT in the vertex table
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    fast = {
+        r["id"]: r["pr_e9"]
+        for r in pagerank_fixed(pairs, verts, iterations=3).collect()
+    }
+    dist = {
+        r["id"]: r["pr_e9"]
+        for r in pagerank_fixed(
+            pairs, verts, iterations=3, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert len(fast) == n
 
 
 def test_pagerank_fixed_star_and_determinism(spark):
@@ -341,13 +411,18 @@ def test_pagerank_checkpoint_every_bounds_plan_and_matches(spark):
     pairs = spark.createDataFrame(edges, "a_id long, b_id long")
     verts = spark.createDataFrame([(i,) for i in range(30)], "id long")
 
-    plain = pagerank_fixed(pairs, verts, iterations=12)
+    # driver_max_edges=0 forces the DISTRIBUTED unroll (the r14 driver
+    # fast path would otherwise absorb a graph this small) — this test
+    # exists to pin the checkpoint machinery of the unrolled plan
+    plain = pagerank_fixed(pairs, verts, iterations=12, driver_max_edges=0)
     want = {r["id"]: r["pr_e9"] for r in plain.collect()}
     plain_depth = plain._jdf.queryExecution().analyzed().treeString().count("\n")
     release(plain)
 
     baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
-    ck = pagerank_fixed(pairs, verts, iterations=12, checkpoint_every=3)
+    ck = pagerank_fixed(
+        pairs, verts, iterations=12, checkpoint_every=3, driver_max_edges=0
+    )
     got = {r["id"]: r["pr_e9"] for r in ck.collect()}
     ck_depth = ck._jdf.queryExecution().analyzed().treeString().count("\n")
     assert got == want
