@@ -172,8 +172,18 @@ def _lowercase_name(note: str) -> str | None:
     tokens wins."""
     if sum(c.isupper() for c in note) > 8:
         return None
-    for m in (*_LOWER_POSTFIX_NAME_RE.finditer(note),
-              *_LOWER_NAME_RE.finditer(note)):
+    # literal gate, exact by implication: the postfix pattern cannot
+    # match without the lowercase literal "official" in the note, and
+    # its leading {2,4}-token group backtracks at every position —
+    # measured ~2.4 ms/note over lowercase corpus text vs ~0 for the
+    # substring probe (r14; the extraction kernel's largest single
+    # cost after the language-clause scan)
+    postfix = (
+        _LOWER_POSTFIX_NAME_RE.finditer(note)
+        if "official" in note
+        else ()
+    )
+    for m in (*postfix, *_LOWER_NAME_RE.finditer(note)):
         toks = []
         for t in m.group(1).split():
             if t in _LOWER_STOP:
@@ -907,15 +917,22 @@ class MockLLMClient:
             marital = "Married"
 
         # language: a known language name in any clause that talks
-        # about language/communication
+        # about language/communication. Literal gate, exact by
+        # implication: the clause pattern cannot match unless one of
+        # its keywords appears (case-folded by `low`), and its
+        # double-sided [^.\n]* makes the ungated scan quadratic per
+        # clause — measured ~3 ms/note over corpus text vs ~0 for the
+        # substring probes (r14; the extraction kernel's largest
+        # single cost)
         lang = None
-        for lm in re.finditer(
-            r"[^.\n]*(?:language|speaks?|communicat)[^.\n]*", note, re.I
-        ):
-            hit = next((l for l in _LANGUAGES if l in lm.group(0)), None)
-            if hit:
-                lang = hit
-                break
+        if "language" in low or "speak" in low or "communicat" in low:
+            for lm in re.finditer(
+                r"[^.\n]*(?:language|speaks?|communicat)[^.\n]*", note, re.I
+            ):
+                hit = next((l for l in _LANGUAGES if l in lm.group(0)), None)
+                if hit:
+                    lang = hit
+                    break
 
         phone = None
         pm = _PHONE_RE.search(note)
