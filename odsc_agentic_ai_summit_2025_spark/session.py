@@ -36,32 +36,31 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size-targeted AQE coalescing with a SMALL advisory (guide
-        # §2.2: let AQE coalesce, derive partitioning from data, not
-        # a constant). The first r13 probe rejected parallelismFirst=
-        # false at the guide's 64 MB advisory because that collapsed
-        # byte-small but CPU-DENSE post-shuffle stages onto one core
-        # (q63 4.9 s → 19.4 s). The flag was not the problem — the
-        # advisory was: at 1 MB, CPU-dense stages keep multi-task
-        # parallelism while the ~cpus-task scheduling tax on every
-        # tiny shuffle stage (~0.2-0.4 s of wall per stage measured
-        # on 200-row graph/dedup frames) disappears. Measured across
-        # 44 inventory queries r13: wins up to −1.6 s (q38), −1.0
-        # (q78), −0.7 (q100), −0.6 (q97), one +0.3 (q82), rest flat
-        # or better. At production scale the INITIAL shuffle
-        # partition count (spark.sql.shuffle.partitions, env-tunable
-        # below) still sizes real partitions in the 100 MB-1 GB
-        # range; a 1 MB advisory only merges crumb partitions and
-        # can never split, so the cluster plan shape is unchanged.
-        # SPARK_GRAFT_ADVISORY_MB=64 restores the guide baseline for
-        # cluster profiles where reduce-side crumbs are impossible.
+        # AQE coalescing at the guide §2.2 / stock-Spark baseline:
+        # parallelismFirst=true with a 64 MB advisory. History of this
+        # pair, because it flip-flopped: r13 shipped parallelismFirst=
+        # false + a 1 MB advisory after a probe showed false+64m
+        # collapsing byte-small but CPU-DENSE post-shuffle stages onto
+        # one core (q63 4.9 s → 19.4 s) — the dangerous combination is
+        # the FLAG=false with a large advisory, because only then does
+        # the advisory alone decide the post-shuffle task count. The
+        # r13 1 MB default was never driver-verified ("inconclusive
+        # under host noise"), was the prime suspect for the r13
+        # q101/tiny-query regressions, and at 100 TB a 1 MB advisory
+        # effectively disables crumb coalescing. The r14 A/B (4 runs
+        # per query, both configs, same protocol) measured the stock
+        # default AT OR BETTER on every cell the 1 MB setting was
+        # meant to help (q63 5.04 vs 5.40, q82 2.78 vs 3.55, q38/q78/
+        # q97/q100 flat) and equal on the q101/tiny-query set — so the
+        # scale-safe stock default ships, and the local-profile
+        # escape hatches stay env-tunable for future A/Bs.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "1") + "m",
+            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "64") + "m",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
