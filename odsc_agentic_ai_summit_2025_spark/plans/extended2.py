@@ -524,25 +524,36 @@ def q113_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(_ts_key, "TIMESTAMP_MICROS")
     try:
         try:
-            for i in range(n_shards):
-                # one FILE per delivery: maxFilesPerTrigger=1 makes
-                # file count == micro-batch count (order is irrelevant
-                # — the max-merge is commutative and merge ≡ refit).
-                # The shard is written EXECUTOR-SIDE (coalesce(1)
-                # keeps it one part file); only the finished file is
-                # renamed on the driver — the events rows never cross
-                # the driver, so the replay setup scales with the
-                # cluster, not driver memory.
-                stage = f"{d}/stage-{i}"
-                ev.filter(F.pmod("event_id", n_shards) == i).coalesce(
-                    1
-                ).write.parquet(stage)
+            # one FILE per delivery: maxFilesPerTrigger=1 makes file
+            # count == micro-batch count (order is irrelevant — the
+            # max-merge is commutative and merge ≡ refit). ONE write
+            # job stages all shards (r14, guide §6): hash-partition
+            # by the shard key, then partitionBy writes exactly one
+            # part file per shard value (each value lives in exactly
+            # one task), where the r13 loop paid one full scan +
+            # filter + write per shard. Shards are written
+            # EXECUTOR-SIDE; the driver only renames finished files —
+            # events rows never cross the driver, so the replay setup
+            # scales with the cluster, not driver memory.
+            stage = f"{d}/stage"
+            (
+                ev.withColumn("_shard", F.pmod("event_id", n_shards))
+                .repartition(n_shards, "_shard")
+                .write.partitionBy("_shard")
+                .parquet(stage)
+            )
+            for name in os.listdir(stage):
+                if not name.startswith("_shard="):
+                    continue
+                i = int(name.split("=", 1)[1])
                 part = next(
-                    p for p in os.listdir(stage)
+                    p for p in os.listdir(f"{stage}/{name}")
                     if p.startswith("part-") and p.endswith(".parquet")
                 )
-                os.rename(f"{stage}/{part}", f"{d}/shard-{i}.parquet")
-                shutil.rmtree(stage, ignore_errors=True)
+                os.rename(
+                    f"{stage}/{name}/{part}", f"{d}/shard-{i}.parquet"
+                )
+            shutil.rmtree(stage, ignore_errors=True)
         finally:
             if _ts_prev is None:
                 spark.conf.unset(_ts_key)
@@ -626,23 +637,31 @@ def q114_dsir_stream_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_dir = f"{d}/in"
         out_dir = f"{d}/out"
         os.mkdir(in_dir)
-        for i in range(n_shards):
-            # one FILE per delivery (maxFilesPerTrigger=1 in the
-            # stream makes file count == micro-batch count), written
-            # EXECUTOR-SIDE exactly like q113's replay shards:
-            # coalesce(1) keeps one part file, the driver only
-            # renames the finished file — document text never
-            # crosses the driver.
-            stage = f"{in_dir}/stage-{i}"
-            docs.filter(F.pmod("doc_id", n_shards) == i).coalesce(
-                1
-            ).write.parquet(stage)
+        # one FILE per delivery (maxFilesPerTrigger=1 in the stream
+        # makes file count == micro-batch count), staged by ONE write
+        # job exactly like q113's replay shards (r14, guide §6):
+        # hash-partition by the shard key, partitionBy emits one part
+        # file per shard value, the driver only renames finished
+        # files — document text never crosses the driver.
+        stage = f"{in_dir}/stage"
+        (
+            docs.withColumn("_shard", F.pmod("doc_id", n_shards))
+            .repartition(n_shards, "_shard")
+            .write.partitionBy("_shard")
+            .parquet(stage)
+        )
+        for name in os.listdir(stage):
+            if not name.startswith("_shard="):
+                continue
+            i = int(name.split("=", 1)[1])
             part = next(
-                p for p in os.listdir(stage)
+                p for p in os.listdir(f"{stage}/{name}")
                 if p.startswith("part-") and p.endswith(".parquet")
             )
-            os.rename(f"{stage}/{part}", f"{in_dir}/shard-{i}.parquet")
-            shutil.rmtree(stage, ignore_errors=True)
+            os.rename(
+                f"{stage}/{name}/{part}", f"{in_dir}/shard-{i}.parquet"
+            )
+        shutil.rmtree(stage, ignore_errors=True)
 
         def _sink(scored: DataFrame, batch_id: int) -> None:
             # append-mode parquet from inside foreachBatch: the
