@@ -757,7 +757,19 @@ def q112_neardup_index_lifecycle(
     # stages, not the join tree, dominated the cold run). In
     # production the per-delivery signatures arrive precomputed from
     # the ingest path; this is that shape.
-    all_sigs = ops.minhash_signatures(docs, "text", "doc_id").persist()
+    # EAGER localCheckpoint, not persist (r14, guide §5/§7.3 — large
+    # query plans are driver-side cost): every downstream frame of the
+    # chained lifecycle embeds this table's plan; as a persist, each
+    # InMemoryTableScan prints/analyzes the whole mapInArrow subtree
+    # and the final two-admission plan reached ~210 KB of operator
+    # tree — ~5 s of pure Catalyst analysis (0 jobs) before the first
+    # task launched. The checkpoint swaps it for a flat scan of
+    # already-computed blocks (same executor-resident storage class
+    # the persist used; released by the same own() handle below), and
+    # the signature kernel provably runs exactly once.
+    all_sigs = ops.minhash_signatures(docs, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
     idx = ops.build_neardup_index(
         corpus, "text", "doc_id",
         sigs=all_sigs.filter(F.col("doc_id") % 3 == 1),
@@ -777,6 +789,14 @@ def q112_neardup_index_lifecycle(
         existing_kept=ops.neardup_trimmed(idx.bands, census_1),
         new_sigs=sigs_a,
     )
+    # the SECOND admission's plan otherwise embeds the ENTIRE first
+    # admission (admitted ids feed the index extend feed the probe) —
+    # the other half of the ~210 KB analyzed-plan blowup. The decision
+    # table is delivery-sized ([id, admitted, reason, n]), so an eager
+    # checkpoint is broadcast-class storage; own() keeps admit A's
+    # internal pins releasable through the checkpointed frame.
+    from ..cache import own
+    admit_a = own(admit_a.localCheckpoint(eager=True), admit_a)
     admitted_a = delivery_a.join(
         admit_a.filter(F.col("admitted")).select("doc_id"), "doc_id"
     )
