@@ -127,10 +127,10 @@ class CurationPipeline:
     def release(self) -> None:
         """Release every operator-internal cache this pipeline's
         stages own. Call once the stages are fully consumed (e.g.
-        after ``stage_counts()`` / writing ``final``): persist-backed
-        stages recompute on later actions, but the component labels
-        are checkpoint-backed (lineage-truncated), so stages from
-        ``neardup_kept`` down are NOT re-runnable afterwards — build
+        after ``stage_counts()`` / writing ``final``): the
+        ``exact_unique`` fan-in and the component labels are
+        checkpoint-backed (lineage-truncated), so stages from
+        ``exact_unique`` down are NOT re-runnable afterwards — build
         a fresh pipeline instead. A session building pipelines in a
         loop MUST call this or executor memory accumulates (r3
         verdict item, closed r4)."""
@@ -171,17 +171,29 @@ def build_curation_pipeline(
     keepers = exact_dedup_groups(admitted, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    # persisted: exact_unique is the fan-in the whole tail shares —
-    # the minhash pair generation, the near-dup keep join, and the
-    # quality branch each re-evaluate it otherwise, and its OWN
-    # lineage evaluates `admitted` (the full ingest gate) twice
-    # (probe + keepers build). Unpersisted, one final.count() at the
+    # EAGER localCheckpoint: exact_unique is the fan-in the whole tail
+    # shares — the minhash pair generation, the near-dup keep join,
+    # and the quality branch each re-evaluate it otherwise, and its
+    # OWN lineage evaluates `admitted` (the full ingest gate) twice
+    # (probe + keepers build). Unpinned, one final.count() at the
     # 300k-doc smoke re-ran the gate ~5x — 540 of the composition's
-    # 790 s (r6). Released via cache_sources with the rest
-    # (own(x, x): the frame is its own release handle).
+    # 790 s (r6). A checkpoint rather than the r6 persist (r14, guide
+    # §5/§7.3): every tail stage's plan embedded the full gate+dedup
+    # subtree through the InMemoryRelation — the composed q100 plan
+    # was ~487 KB of analyzed operator tree and the pipeline paid
+    # ~1.5 s of extra driver-side analysis/AQE re-optimization per
+    # materialization; the checkpoint flattens it to a block scan
+    # (167 KB, measured warm build+collect 6.0 -> 4.6 s at sf0.1).
+    # Storage class is unchanged (executor-resident blocks, released
+    # via cache_sources; own(x, x): the frame is its own handle) —
+    # the trade is lineage: stages derived from exact_unique are not
+    # re-runnable after release(), which the release() docstring
+    # already pins for the checkpoint-backed component stages.
     from .cache import own
 
-    exact_unique = admitted.join(keepers, id_col, "left_semi").persist()
+    exact_unique = admitted.join(keepers, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
     exact_unique = own(exact_unique, exact_unique)
 
     pairs = minhash_candidate_pairs(exact_unique, text_col, id_col)
