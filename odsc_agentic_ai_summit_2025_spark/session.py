@@ -73,7 +73,18 @@ def get_spark(
         # (measured: a kNN query after an IVF query went 5 s → 15-36 s;
         # reuse=false removes the stall for a ~100 ms/task fork cost,
         # noise for the seconds-long kernel tasks this engine runs).
-        .config("spark.python.worker.reuse", "false")
+        # Env-tunable since r14 so the reuse=true + idle-timeout
+        # combination (Spark 4's idleTimeoutSeconds/killOnIdleTimeout
+        # retire stale pool workers — the stall's suspected cause) can
+        # be soaked against the kNN-after-IVF repro without editing
+        # code; the default stays false until a soak longer than the
+        # r13 3-round probe clears it (see OPTIMIZATION_r14.md).
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"),
+        )
+        .config("spark.python.worker.idleTimeoutSeconds", "30")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
     )
     # With reuse=false every task forks a fresh worker; the dominant
     # fork cost is importing numpy/pandas/pyarrow (~300 ms). Forking
