@@ -266,3 +266,17 @@ def sweep_blocks(spark, keep: frozenset | set | tuple = ()) -> None:
     for rid in list(jmap.keySet()):
         if rid not in keep:
             jmap.get(rid).unpersist()
+    # Broadcast mop-up (r14): a result swept by blocks rather than by
+    # release() may carry a non-DataFrame handle (a Broadcast riding
+    # it — the LSH gather-verify matrix, a large gate gram set) that
+    # no block census can see; once none of an entry's DataFrame
+    # handles hold storage, its broadcasts back nothing reachable and
+    # are released here so bench-style sweep-only callers cannot
+    # accumulate executor-side broadcast copies (or registry entries)
+    # across queries. Entries with a live kept frame are untouched.
+    for _p, hs in list(_REGISTRY):
+        if not any(_is_live(h) for h in hs if hasattr(h, "_jdf")):
+            for h in hs:
+                if not hasattr(h, "_jdf"):
+                    release_frame(h)
+    _prune()

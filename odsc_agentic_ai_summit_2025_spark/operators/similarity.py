@@ -427,6 +427,7 @@ def neardup_pairs_lsh(
     planes_per_table: int | None = None,
     seed: int = 101,
     max_bucket: int = 4096,
+    verify_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via banded hyperplane LSH with EXACT
     verification — the 100 TB path for high-threshold near-duplicate
@@ -590,10 +591,73 @@ def neardup_pairs_lsh(
         .select("a_id", "b_id")
         .distinct()
     )
+    thr = threshold
+
+    # Verification ships id PAIRS, not vector payloads, whenever the
+    # whole (id → vector) table is broadcast-class (r14, guide §8 —
+    # "make every shuffle but the last operate on a lightweight
+    # proxy"): the join form attaches two dim-wide float64 arrays to
+    # EVERY candidate row, so ~1M surviving candidates at dim 64 push
+    # ~1 GB through the exchange and the Arrow boundary where the
+    # distinct id-pair stream is ~16 MB (measured: q63's verify job
+    # was 11.6 CPU-s, 15.7 MB shuffled pre-join → 1.6 s wall). Under
+    # the cap (total·dim·8 from the mean pass — no extra job;
+    # SPARK_GRAFT_LSH_VERIFY_BCAST_MB, default 64, 0 disables) the
+    # kernel gathers rows from one task-local broadcast matrix by
+    # searchsorted id lookup; the per-row normalize + dot is the
+    # SAME float64 arithmetic in the same order, so results are
+    # bit-identical (pinned by test against the join path). Over the
+    # cap — the 100 TB corpus — the join path runs unchanged: a
+    # corpus-sized vector table must move by hash join, exactly like
+    # an over-threshold broadcast join side.
+    if verify_broadcast_bytes is None:
+        import os
+
+        verify_broadcast_bytes = int(
+            os.environ.get("SPARK_GRAFT_LSH_VERIFY_BCAST_MB", "64")
+        ) * (1 << 20)
+    if 0 < total * dim * 8 <= verify_broadcast_bytes:
+        rows = df.select(id_col, vec_col).collect()  # reads the persist
+        ids = np.fromiter((r[0] for r in rows), np.int64, count=len(rows))
+        mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        bcv = df.sparkSession.sparkContext.broadcast(
+            (ids[order], mat[order])
+        )
+
+        def verify_gather(batches):
+            import numpy as np
+
+            from ..functions import arrowkit as ak
+
+            ids_s, m = bcv.value
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                s = b.schema
+                a = ak.i64(b.column(s.get_field_index("a_id")))
+                bb = ak.i64(b.column(s.get_field_index("b_id")))
+                A = m[np.searchsorted(ids_s, a)]
+                B = m[np.searchsorted(ids_s, bb)]
+                A = A / np.maximum(
+                    np.linalg.norm(A, axis=1, keepdims=True), 1e-300
+                )
+                B = B / np.maximum(
+                    np.linalg.norm(B, axis=1, keepdims=True), 1e-300
+                )
+                keep = (A * B).sum(axis=1) >= thr
+                yield ak.batch(a_id=a[keep], b_id=bb[keep])
+
+        return own(
+            cand.mapInArrow(verify_gather, "a_id long, b_id long"),
+            df,
+            bands,
+            bcv,  # Broadcast duck-types through cache.release_frame
+        )
+
     va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
     pairs = cand.join(va, "a_id").join(vb, "b_id")
-    thr = threshold
 
     def verify(batches):
         import numpy as np

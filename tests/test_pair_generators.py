@@ -140,6 +140,7 @@ def test_jaccard_prefix_filter_is_exact(spark):
 
 
 def test_lsh_banded_precision_and_recall(spark):
+    from odsc_agentic_ai_summit_2025_spark.cache import release
     from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
         neardup_pairs_lsh,
     )
@@ -148,10 +149,13 @@ def test_lsh_banded_precision_and_recall(spark):
     df = spark.createDataFrame(
         [(i, mat[i].tolist()) for i in range(len(mat))], "vid long, v array<double>"
     )
-    got = {
-        (r["a_id"], r["b_id"])
-        for r in neardup_pairs_lsh(df, "v", "vid", threshold=0.9).collect()
-    }
+    out = neardup_pairs_lsh(df, "v", "vid", threshold=0.9)
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    # release per the repo convention: since r14 the result carries a
+    # BROADCAST handle (the gather-verify matrix), which no block
+    # sweep can see — an unreleased result would leave its registry
+    # entry alive forever and trip the cache-hygiene invariant
+    release(out)
     truth = _brute_pairs(mat, 0.9)
     # precision is exact by construction (candidates are verified)
     assert got <= truth
@@ -159,6 +163,35 @@ def test_lsh_banded_precision_and_recall(spark):
     # in expectation at the defaults; allow a little slack for the
     # fixed seed
     assert len(got) >= 0.97 * len(truth), (len(got), len(truth))
+
+
+def test_lsh_gather_verify_matches_join_verify(spark):
+    """The r14 broadcast-gather verify (id pairs + one task-local
+    vector matrix) must emit exactly the join-form verify's pairs —
+    same float64 normalize+dot, so bit-identical keeps. cap=0 forces
+    the join path; the default cap takes the gather path on a
+    broadcast-class table."""
+    from odsc_agentic_ai_summit_2025_spark.cache import release, sweep_blocks
+    from odsc_agentic_ai_summit_2025_spark.operators.similarity import (
+        neardup_pairs_lsh,
+    )
+
+    mat = _random_vectors(240, 16, 6, seed=77)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))],
+        "vid long, v array<double>",
+    )
+    gather = neardup_pairs_lsh(df, "v", "vid", threshold=0.85)
+    got_g = sorted(map(tuple, gather.collect()))
+    release(gather)
+    sweep_blocks(spark)
+    join = neardup_pairs_lsh(
+        df, "v", "vid", threshold=0.85, verify_broadcast_bytes=0
+    )
+    got_j = sorted(map(tuple, join.collect()))
+    release(join)
+    sweep_blocks(spark)
+    assert got_g == got_j and len(got_g) > 0
 
 
 def test_simhash_kernel_matches_expression_form(spark, sf_dir):
