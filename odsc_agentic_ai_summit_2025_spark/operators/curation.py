@@ -238,7 +238,12 @@ def dsir_scores(
             F.col(id_col),
             F.col(source_col),
             _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
-        )
+        ),
+        # tokenize + bigram build + explode is ~100x hash-scale per
+        # input byte — a single-row-group gate input otherwise runs
+        # the whole gram stage on one core (measured r14; same class
+        # as the embed kernel's 128)
+        cost=128.0,
     )
     from ..cache import own
 
@@ -333,7 +338,8 @@ def dsir_model(
             df.filter(F.col(text_col).isNotNull()).select(
                 F.col(source_col),
                 _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
-            )
+            ),
+            cost=128.0,  # gram-stage per-byte cost, see dsir_scores
         )
         .select(source_col, F.explode("_grams").alias("gram"))
         .groupBy("gram")
@@ -385,7 +391,8 @@ def dsir_score_with_model(
             docs.filter(F.col(text_col).isNotNull()).select(
                 F.col(id_col),
                 _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
-            )
+            ),
+            cost=128.0,  # gram-stage per-byte cost, see dsir_scores
         )
         .select(id_col, F.explode("_grams").alias("gram"))
         .groupBy(id_col, "gram")
@@ -422,7 +429,8 @@ def dsir_model_cms(
         df.filter(F.col(text_col).isNotNull()).select(
             F.col(source_col),
             _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
-        )
+        ),
+        cost=128.0,  # gram-stage per-byte cost, see dsir_scores
     ).select(source_col, F.explode("_grams").alias("gram"))
     is_t = (
         F.when(F.col(source_col) == target_source, F.lit(1))
@@ -501,7 +509,8 @@ def dsir_score_with_cms_model(
             docs.filter(F.col(text_col).isNotNull()).select(
                 F.col(id_col),
                 _word_ngrams(tokens(F.col(text_col)), n).alias("_grams"),
-            )
+            ),
+            cost=128.0,  # gram-stage per-byte cost, see dsir_scores
         )
         .select(id_col, F.explode("_grams").alias("gram"))
         .groupBy(id_col, "gram")
